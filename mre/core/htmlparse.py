@@ -1,0 +1,224 @@
+"""E2 — lenient HTML parse into a small mutable DOM (SURVEY.md §2A E2).
+
+The reference uses ``lxml.html.fromstring`` (libxml2 recovery mode)
+[PUB:__init__.extract]; lxml is absent in this sandbox [ENV], so this module
+vendors a small recovery layer on stdlib ``html.parser``:
+
+* void elements never push onto the open stack;
+* a block-level start tag implicitly closes an open ``<p>``;
+* ``<li>`` closes an open ``<li>``; ``<tr>``/``<td>``/``<th>`` likewise;
+* stray end tags with no matching open element are ignored;
+* everything still open at EOF is closed;
+* ``<script>``/``<style>``/comments/doctype are dropped at parse time so no
+  text op ever sees them (the reference strips them before text extraction).
+
+The produced tree intentionally mirrors the subset of the lxml element API
+the extraction stages need: ``tag``, ``attrib``, ``children`` (nodes),
+``text parts`` interleaved in document order, parent links, and recursive
+iteration in document order.
+"""
+
+from __future__ import annotations
+
+from html import unescape
+from html.parser import HTMLParser
+from typing import Iterator, Optional
+
+VOID_ELEMENTS = frozenset(
+    {
+        "area", "base", "br", "col", "embed", "hr", "img", "input",
+        "link", "meta", "param", "source", "track", "wbr",
+    }
+)
+
+BLOCK_ELEMENTS = frozenset(
+    {
+        "address", "article", "aside", "blockquote", "div", "dl", "dd", "dt",
+        "fieldset", "figcaption", "figure", "footer", "form", "h1", "h2",
+        "h3", "h4", "h5", "h6", "header", "hr", "li", "main", "nav", "ol",
+        "p", "pre", "section", "table", "tbody", "td", "tfoot", "th",
+        "thead", "tr", "ul", "br", "title",
+    }
+)
+
+# start tag → tags it implicitly closes (nearest-first search up the stack)
+_IMPLIED_CLOSE = {
+    "li": ("li",),
+    "p": ("p",),
+    "tr": ("tr", "td", "th"),
+    "td": ("td", "th"),
+    "th": ("td", "th"),
+    "option": ("option",),
+    "dd": ("dd", "dt"),
+    "dt": ("dd", "dt"),
+}
+
+_DROP_SUBTREES = frozenset({"script", "style", "noscript", "iframe", "svg"})
+
+
+class Node:
+    """One element. ``content`` interleaves str (text runs) and Node children
+    in document order, like lxml's text/tail but simpler to walk."""
+
+    __slots__ = ("tag", "attrib", "content", "parent")
+
+    def __init__(self, tag: str, attrib: Optional[dict] = None,
+                 parent: Optional["Node"] = None):
+        self.tag = tag
+        self.attrib = attrib or {}
+        self.content: list = []  # str | Node
+        self.parent = parent
+
+    # -- tree walking ------------------------------------------------------
+    @property
+    def children(self) -> list["Node"]:
+        return [c for c in self.content if isinstance(c, Node)]
+
+    def iter(self, *tags: str) -> Iterator["Node"]:
+        """Self + descendants in document order, optionally tag-filtered."""
+        if not tags or self.tag in tags:
+            yield self
+        for c in self.content:
+            if isinstance(c, Node):
+                yield from c.iter(*tags)
+
+    def find(self, *tags: str) -> Optional["Node"]:
+        for n in self.iter(*tags):
+            if n is not self or self.tag in tags:
+                return n
+        return None
+
+    def ancestors(self) -> Iterator["Node"]:
+        n = self.parent
+        while n is not None:
+            yield n
+            n = n.parent
+
+    # -- attributes --------------------------------------------------------
+    def get(self, key: str, default=None):
+        return self.attrib.get(key, default)
+
+    @property
+    def classes(self) -> list[str]:
+        return (self.attrib.get("class") or "").split()
+
+    @property
+    def class_id(self) -> str:
+        """class + id mashed together for the weight regexes (the reference
+        scores both attributes with one regex table [PUB:headline])."""
+        return ((self.attrib.get("class") or "") + " "
+                + (self.attrib.get("id") or "")).strip()
+
+    # -- text --------------------------------------------------------------
+    def text_content(self) -> str:
+        """All descendant text, document order, no normalization."""
+        out: list[str] = []
+        self._collect_text(out)
+        return "".join(out)
+
+    def _collect_text(self, out: list[str]) -> None:
+        for c in self.content:
+            if isinstance(c, str):
+                out.append(c)
+            else:
+                c._collect_text(out)
+
+    def remove_child(self, child: "Node") -> None:
+        self.content = [c for c in self.content if c is not child]
+        child.parent = None
+
+    def __repr__(self) -> str:  # pragma: no cover - debug aid
+        return f"<Node {self.tag} {self.attrib.get('class','')!r}>"
+
+
+class _TreeBuilder(HTMLParser):
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.root = Node("#document")
+        self.stack: list[Node] = [self.root]
+        self._drop_depth = 0  # >0 while inside script/style/etc.
+
+    # HTMLParser with convert_charrefs=True already unescapes entities in
+    # handle_data; attribute values are unescaped by the parser too.
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        tag = tag.lower()
+        if self._drop_depth:
+            if tag in _DROP_SUBTREES and tag not in VOID_ELEMENTS:
+                self._drop_depth += 1
+            return
+        if tag in _DROP_SUBTREES:
+            self._drop_depth = 1
+            return
+        implied = _IMPLIED_CLOSE.get(tag)
+        if implied:
+            # close the nearest open implied tag, but never cross a
+            # structural boundary (div/section/table cell keeps its <p>s
+            # scoped)
+            for i in range(len(self.stack) - 1, 0, -1):
+                t = self.stack[i].tag
+                if t in implied:
+                    del self.stack[i:]
+                    break
+                if t in ("div", "section", "article", "td", "th", "body",
+                         "html"):
+                    break
+        attrib = {}
+        for k, v in attrs:
+            if k not in attrib:  # first occurrence wins, like libxml2
+                attrib[k.lower()] = v if v is not None else ""
+        node = Node(tag, attrib, self.stack[-1])
+        self.stack[-1].content.append(node)
+        if tag not in VOID_ELEMENTS:
+            self.stack.append(node)
+
+    def handle_startendtag(self, tag: str, attrs) -> None:
+        tag = tag.lower()
+        if self._drop_depth:
+            return
+        if tag in _DROP_SUBTREES:
+            return
+        if tag in VOID_ELEMENTS:
+            self.handle_starttag(tag, attrs)
+        else:
+            # <div/> style self-closing non-void: treat as open+close
+            self.handle_starttag(tag, attrs)
+            self.handle_endtag(tag)
+
+    def handle_endtag(self, tag: str) -> None:
+        tag = tag.lower()
+        if self._drop_depth:
+            if tag in _DROP_SUBTREES:
+                self._drop_depth -= 1
+            return
+        if tag in VOID_ELEMENTS:
+            return
+        # find nearest matching open tag; ignore stray end tags
+        for i in range(len(self.stack) - 1, 0, -1):
+            if self.stack[i].tag == tag:
+                del self.stack[i:]
+                return
+        # no match → ignored (recovery behavior)
+
+    def handle_data(self, data: str) -> None:
+        if self._drop_depth or not data:
+            return
+        self.stack[-1].content.append(data)
+
+    def handle_comment(self, data: str) -> None:  # dropped
+        return
+
+    def handle_decl(self, decl: str) -> None:  # <!DOCTYPE ...> dropped
+        return
+
+
+def parse_doc(html: str) -> Node:
+    """Parse possibly-malformed HTML into a Node tree; never raises on tag
+    soup (only on catastrophic parser errors, which callers guard)."""
+    builder = _TreeBuilder()
+    builder.feed(html)
+    builder.close()
+    return builder.root
+
+
+__all__ = ["Node", "parse_doc", "BLOCK_ELEMENTS", "VOID_ELEMENTS", "unescape"]
