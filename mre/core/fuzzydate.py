@@ -120,9 +120,10 @@ _DMY_NAME_RX = re.compile(
     re.I,
 )
 
-# "March 15, 2024", "Mar 15 2024", "March 15th"
+# "March 15, 2024", "Mar 15 2024", "March 15th" — (?!\d) stops the day
+# from eating the first digits of a 4-digit year ("March 2024")
 _MDY_NAME_RX = re.compile(
-    _MONTH_RX + r"\s+(?P<d>\d{1,2})" + _ORDINAL
+    _MONTH_RX + r"\s+(?P<d>\d{1,2})(?!\d)" + _ORDINAL
     + r"(?:[,\s]+(?P<y>\d{4}|\d{2})\b)?",
     re.I,
 )
@@ -220,11 +221,12 @@ _TIME_RX = re.compile(
     r"\b(?P<H>\d{1,2})[:.](?P<M>\d{2})(?::(?P<S>\d{2}))?"
     r"\s*(?P<ampm>am|pm|a\.m\.|p\.m\.)?"
     r"\s*(?P<tz>" + "|".join(k for k in _TZ_ABBREV if k != "z")
-    + r"|[+-]\d{2}:?\d{2})?\b",
+    + r"|[+-]\d{2}:?\d{2})?(?!\w)",
     re.I,
 )
+# (?!\w) instead of \b: "a.m." ends in '.', where \b can't match
 _AMPM_ONLY_RX = re.compile(
-    r"\b(?P<H>\d{1,2})\s*(?P<ampm>am|pm|a\.m\.|p\.m\.)\b", re.I
+    r"\b(?P<H>\d{1,2})\s*(?P<ampm>am|pm|a\.m\.|p\.m\.)(?!\w)", re.I
 )
 _WORD_TIME = {"noon": 12, "midday": 12, "midnight": 0}
 _WORD_TIME_RX = re.compile(r"\b(noon|midday|midnight)\b", re.I)

@@ -98,10 +98,12 @@ def _similarity(a: str, b: str) -> float:
 def score_headline(doc: Node, url: str) -> tuple[Optional[str], Optional[Node]]:
     """E5: additive scoring; returns (headline, winning element)."""
     cands = headline_candidates(doc)
-    if not cands:
-        return None, None
     title = _title_text(doc)
     variants = title_variants(title)
+    if not cands:
+        if variants:  # cleaned <title> fallback [PUB:headline]
+            return (variants[1] if len(variants) > 1 else variants[0]), None
+        return None, None
     path_slug = slugify(urlparse(url).path)
 
     best: Optional[Candidate] = None
