@@ -1,0 +1,75 @@
+"""P1/P7 — source/sink abstraction (SURVEY.md §2B).
+
+Prod target is Iceberg (``spark.read.format("iceberg")`` /
+``df.writeTo(tbl).append()``); the sandbox has no Iceberg jars [ENV], so the
+same call sites run against parquet directories. The format is decided by
+the path string: ``iceberg:db.table`` vs a filesystem path.
+
+Session factory pins the determinism + Arrow configs every component
+assumes (UTC session TZ, AQE, capped Arrow batches — SURVEY.md §4.3).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+ICEBERG_PREFIX = "iceberg:"
+
+
+def get_spark(app: str = "mre", master: str | None = None,
+              shuffle_partitions: int | None = None) -> SparkSession:
+    """SparkSession with the pipeline's standard configs.
+
+    ``master`` default: $MRE_MASTER or local[*]. On a real cluster, leave
+    master to spark-submit and call with master=None.
+    """
+    builder = SparkSession.builder.appName(app)
+    master = master or os.environ.get("MRE_MASTER")
+    if master:
+        builder = builder.master(master)
+    cores = os.cpu_count() or 8
+    builder = (
+        builder
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions",
+                str(shuffle_partitions or max(32, cores)))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # HTML rows are huge — cap rows per Arrow batch; the extract UDF
+        # additionally re-chunks by bytes (SURVEY.md §4.3)
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory",
+                os.environ.get("MRE_DRIVER_MEM", "16g"))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def read_pages(spark: SparkSession, src: str) -> DataFrame:
+    """P1 scan. ``src``: parquet path (file or dir) or iceberg:db.table."""
+    if src.startswith(ICEBERG_PREFIX):
+        return spark.read.format("iceberg").load(src[len(ICEBERG_PREFIX):])
+    return spark.read.parquet(src)
+
+
+def write_append(df: DataFrame, dst: str) -> None:
+    """P7 sink, append semantics (idempotence is handled one level up by
+    the lineage/resume protocol — pipeline.run_extract)."""
+    if dst.startswith(ICEBERG_PREFIX):
+        df.writeTo(dst[len(ICEBERG_PREFIX):]).append()
+    else:
+        df.write.mode("append").parquet(dst)
+
+
+def read_table(spark: SparkSession, path: str) -> DataFrame:
+    return read_pages(spark, path)
+
+
+__all__ = ["get_spark", "read_pages", "write_append", "read_table",
+           "ICEBERG_PREFIX"]

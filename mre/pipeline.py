@@ -1,0 +1,250 @@
+"""P2–P10 — the Spark pipeline around the extraction core (SURVEY.md §2B,
+§3.2).
+
+Flagship flow (``run_extract``)::
+
+    read pages → filter → url-dedup (window) → salt by url-hash →
+    [resume anti-join vs lineage] → mapInPandas(extract_batch) →
+    write results (dynamic partition overwrite by salt_bucket) →
+    lineage rollup append
+
+Scale notes (10^12 rows — SURVEY.md §4.3):
+* skew: ``salt_bucket = pmod(xxhash64(url), B)`` with B ≈ 4–8× total cores;
+  giant pages spread across buckets independent of url distribution.
+* memory: the UDF re-chunks every incoming Arrow batch so that
+  ``sum(len(html)) <= byte_cap`` (default 64 MB) before any parse runs, on
+  top of ``spark.sql.execution.arrow.maxRecordsPerBatch``.
+* resume: results are partitioned by salt_bucket and written with dynamic
+  partition overwrite → re-processing a bucket is idempotent; a bucket
+  counts as done only once its lineage row is appended (write-then-commit
+  order), so a crash mid-run re-does at most the uncommitted buckets.
+* one JVM↔Python crossing per task (the Arrow pipe in mapInPandas); no
+  collect()/driver loops anywhere.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Iterable, Iterator, Optional
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .core.extract import extract_one
+from .io import read_pages, read_table
+from .schema import EXTRACT_SCHEMA
+
+# mapInPandas output: extraction columns + per-row bookkeeping + echoed salt
+EXTRACT_FULL_SCHEMA = (
+    "url string, headline string, pubdate timestamp, authors array<string>, "
+    "extracted_text string, ok int, n_bytes_html bigint, wall_us bigint, "
+    "salt_bucket int"
+)
+
+RESULT_COLS = [f.name for f in EXTRACT_SCHEMA.fields]
+
+DEFAULT_BYTE_CAP = 64 << 20  # 64 MB of html per pandas chunk
+
+
+# --------------------------------------------------------------------------
+# P5 — url dedup: keep the latest capture per url
+
+
+def dedup_latest(pages: DataFrame) -> DataFrame:
+    w = Window.partitionBy("url").orderBy(F.desc("warc_ts"))
+    return (pages.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1).drop("_rn"))
+
+
+# --------------------------------------------------------------------------
+# P4 — salted repartition by url-hash
+
+
+def with_salt_bucket(pages: DataFrame, buckets: int) -> DataFrame:
+    return pages.withColumn(
+        "salt_bucket",
+        F.pmod(F.xxhash64(F.col("url")), F.lit(buckets)).cast("int"))
+
+
+# --------------------------------------------------------------------------
+# P6 — the extraction map (iterator pandas UDF via mapInPandas)
+
+
+def _chunks_by_bytes(pdf: pd.DataFrame, byte_cap: int) -> Iterator[pd.DataFrame]:
+    """Split one Arrow batch so each chunk's total html bytes ≤ byte_cap
+    (single giant rows still pass through alone)."""
+    sizes = pdf["html"].map(lambda b: len(b) if b is not None else 0)
+    if sizes.sum() <= byte_cap:
+        yield pdf
+        return
+    start, acc = 0, 0
+    for i, sz in enumerate(sizes):
+        if acc + sz > byte_cap and i > start:
+            yield pdf.iloc[start:i]
+            start, acc = i, 0
+        acc += sz
+    if start < len(pdf):
+        yield pdf.iloc[start:]
+
+
+def _extract_chunk(pdf: pd.DataFrame) -> pd.DataFrame:
+    urls = pdf["url"].tolist()
+    htmls = pdf["html"].tolist()
+    salts = pdf["salt_bucket"].tolist() if "salt_bucket" in pdf.columns \
+        else [0] * len(urls)
+    out = {k: [] for k in ("url", "headline", "pubdate", "authors",
+                           "extracted_text", "ok", "n_bytes_html",
+                           "wall_us", "salt_bucket")}
+    for url, html, salt in zip(urls, htmls, salts):
+        t0 = time.perf_counter_ns()
+        r = extract_one(url, bytes(html) if html is not None else None)
+        wall_us = (time.perf_counter_ns() - t0) // 1000
+        out["url"].append(url)
+        out["headline"].append(r.headline)
+        out["pubdate"].append(r.pubdate)
+        out["authors"].append(r.authors)
+        out["extracted_text"].append(r.extracted_text)
+        out["ok"].append(1 if r.ok else 0)
+        out["n_bytes_html"].append(len(html) if html is not None else 0)
+        out["wall_us"].append(wall_us)
+        out["salt_bucket"].append(salt)
+    res = pd.DataFrame(out)
+    res["pubdate"] = pd.to_datetime(res["pubdate"])
+    return res
+
+
+def extract_batch(batches: Iterable[pd.DataFrame],
+                  byte_cap: int = DEFAULT_BYTE_CAP) -> Iterator[pd.DataFrame]:
+    """The body of mapInPandas — E15 over size-capped chunks."""
+    for pdf in batches:
+        for chunk in _chunks_by_bytes(pdf, byte_cap):
+            yield _extract_chunk(chunk)
+
+
+def run_extract_df(pages: DataFrame, buckets: int,
+                   byte_cap: int = DEFAULT_BYTE_CAP,
+                   dedup: bool = True) -> DataFrame:
+    """Pages DF → extraction DF (with bookkeeping columns), no sink.
+
+    Projection to (url, warc_ts, html) happens before the dedup shuffle so
+    shuffle bytes stay minimal (P3); html must survive the shuffle — it is
+    the UDF's input.
+    """
+    pages = pages.filter(F.col("html").isNotNull())
+    pages = pages.select("url", "warc_ts", "html")
+    if dedup:
+        pages = dedup_latest(pages)
+    pages = with_salt_bucket(pages, buckets)
+    pages = pages.repartition(buckets, F.col("salt_bucket"))
+    pages = pages.select("url", "html", "salt_bucket")
+    return pages.mapInPandas(
+        lambda it: extract_batch(it, byte_cap), EXTRACT_FULL_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# P8 — lineage rollup from the written results
+
+
+def lineage_rollup(results: DataFrame, run_id: str) -> DataFrame:
+    return (results
+            .groupBy("partition_id", "salt_bucket")
+            .agg(F.count("*").alias("n_rows"),
+                 F.sum("ok").cast("long").alias("n_ok"),
+                 (F.count("*") - F.sum("ok")).cast("long").alias("n_failed"),
+                 F.sum("n_bytes_html").alias("bytes_html"),
+                 (F.sum("wall_us") / 1000).cast("long").alias("wall_ms"))
+            .select(F.lit(run_id).alias("run_id"),
+                    F.col("partition_id").cast("int"),
+                    F.col("salt_bucket").cast("int"),
+                    "n_rows", "n_ok", "n_failed", "bytes_html", "wall_ms",
+                    F.current_timestamp().alias("completed_at")))
+
+
+# --------------------------------------------------------------------------
+# P9 — resume: drop buckets already committed to lineage
+
+
+def completed_buckets(spark: SparkSession, lineage_dst: str,
+                      run_id: str) -> Optional[DataFrame]:
+    try:
+        lin = read_table(spark, lineage_dst)
+    except Exception:
+        return None  # no lineage table yet → nothing completed
+    return (lin.filter(F.col("run_id") == run_id)
+            .select("salt_bucket").distinct())
+
+
+def run_extract(spark: SparkSession, src: str, dst: str, lineage_dst: str,
+                run_id: str, buckets: Optional[int] = None,
+                byte_cap: int = DEFAULT_BYTE_CAP,
+                resume: bool = True) -> None:
+    """Flagship pipeline with checkpoint/resume (SURVEY.md §3.2).
+
+    Parquet sinks only in the sandbox; swap ``dst``/``lineage_dst`` for
+    ``iceberg:`` URIs in prod (mre.io handles both).
+    """
+    if buckets is None:
+        cores = spark.sparkContext.defaultParallelism
+        buckets = max(4 * cores, 8)
+
+    pages = read_pages(spark, src)
+    pages = pages.filter(F.col("html").isNotNull())
+    pages = pages.select("url", "warc_ts", "html")
+    pages = dedup_latest(pages)
+    pages = with_salt_bucket(pages, buckets)
+
+    if resume:
+        done = completed_buckets(spark, lineage_dst, run_id)
+        if done is not None:
+            # tiny distinct bucket list → broadcast anti-join, no shuffle
+            pages = pages.join(F.broadcast(done), "salt_bucket", "left_anti")
+
+    pages = pages.repartition(buckets, F.col("salt_bucket"))
+    pages = pages.select("url", "html", "salt_bucket")
+    extracted = (pages
+                 .mapInPandas(lambda it: extract_batch(it, byte_cap),
+                              EXTRACT_FULL_SCHEMA)
+                 .withColumn("partition_id", F.spark_partition_id()))
+
+    # write-then-commit: results land partitioned by bucket (idempotent via
+    # dynamic overwrite), lineage append marks the buckets done
+    (extracted.write
+     .mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy("salt_bucket")
+     .parquet(dst))
+
+    results = spark.read.parquet(dst)
+    done = completed_buckets(spark, lineage_dst, run_id)
+    if done is not None:
+        results = results.join(F.broadcast(done), "salt_bucket", "left_anti")
+    lineage = lineage_rollup(results, run_id)
+    lineage.write.mode("append").parquet(lineage_dst)
+
+
+def read_results(spark: SparkSession, dst: str) -> DataFrame:
+    """The EXTRACT_SCHEMA view of a results sink."""
+    return spark.read.parquet(dst).select(*RESULT_COLS)
+
+
+# --------------------------------------------------------------------------
+# P10 — golden diff (regression harness)
+
+
+def golden_diff(actual: DataFrame, expected: DataFrame) -> DataFrame:
+    """Rows that differ in either direction. Empty ⇒ byte-identical tables.
+
+    ``exceptAll`` both ways keeps duplicate-sensitivity; the union is
+    labelled by side for debugging."""
+    cols = [f.name for f in EXTRACT_SCHEMA.fields]
+    a, e = actual.select(*cols), expected.select(*cols)
+    return (a.exceptAll(e).withColumn("side", F.lit("actual_only"))
+            .unionAll(e.exceptAll(a).withColumn("side", F.lit("expected_only"))))
+
+
+__all__ = [
+    "dedup_latest", "with_salt_bucket", "extract_batch", "run_extract_df",
+    "run_extract", "read_results", "lineage_rollup", "completed_buckets",
+    "golden_diff", "EXTRACT_FULL_SCHEMA", "RESULT_COLS", "DEFAULT_BYTE_CAP",
+]

@@ -1,0 +1,130 @@
+"""Differential Spark tests (SURVEY.md §5.2 layers 3 & 6): the pipeline on
+local[2] must reproduce the single-process golden outputs byte-identically,
+and the resume protocol must be idempotent."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from mre.pipeline import (dedup_latest, golden_diff, read_results,
+                          run_extract, run_extract_df, with_salt_bucket)
+
+N_DOCS = 120
+
+
+def _golden_pdf(spark, fixture_dir) -> pd.DataFrame:
+    return (spark.read.parquet(f"{fixture_dir}/golden.parquet")
+            .orderBy("url").toPandas())
+
+
+def _norm(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf.sort_values("url").reset_index(drop=True)
+    pdf["authors"] = pdf["authors"].map(
+        lambda a: None if a is None else list(a))
+    return pdf
+
+
+def test_extract_df_matches_golden(spark, fixture_dir):
+    pages = spark.read.parquet(f"{fixture_dir}/pages.parquet")
+    out = run_extract_df(pages, buckets=8)
+    got = _norm(out.select("url", "headline", "pubdate", "authors",
+                           "extracted_text").toPandas())
+    exp = _norm(_golden_pdf(spark, fixture_dir))
+    assert len(got) == len(exp) == N_DOCS  # dups removed by window dedup
+    for col in ("url", "headline", "extracted_text"):
+        assert got[col].tolist() == exp[col].tolist(), col
+    assert got["authors"].tolist() == exp["authors"].tolist()
+    assert got["pubdate"].tolist() == exp["pubdate"].tolist()
+
+
+def test_dedup_latest_keeps_latest(spark, fixture_dir):
+    pages = spark.read.parquet(f"{fixture_dir}/pages.parquet")
+    assert pages.count() > N_DOCS  # dup captures exist
+    deduped = dedup_latest(pages)
+    assert deduped.count() == N_DOCS
+    # the kept capture per duplicated url is the max warc_ts
+    dup_urls = (pages.groupBy("url").count().filter("count > 1")
+                .select("url"))
+    kept = deduped.join(dup_urls, "url").select("url", "warc_ts")
+    expected = (pages.join(dup_urls, "url")
+                .groupBy("url").agg(F.max("warc_ts").alias("warc_ts")))
+    assert kept.exceptAll(expected).count() == 0
+    assert expected.exceptAll(kept).count() == 0
+
+
+def test_salt_bucket_distribution(spark, fixture_dir):
+    pages = spark.read.parquet(f"{fixture_dir}/pages.parquet")
+    b = with_salt_bucket(pages, 16)
+    stats = b.groupBy("salt_bucket").count()
+    rows = {r["salt_bucket"]: r["count"] for r in stats.collect()}
+    assert all(0 <= k < 16 for k in rows)
+    assert len(rows) >= 8  # 120 urls spread over ≥half the buckets
+
+
+def test_run_extract_end_to_end_with_lineage(spark, fixture_dir, tmp_path):
+    dst = str(tmp_path / "results")
+    lin = str(tmp_path / "lineage")
+    run_extract(spark, f"{fixture_dir}/pages.parquet", dst, lin,
+                run_id="r1", buckets=8)
+
+    results = read_results(spark, dst)
+    assert results.count() == N_DOCS
+
+    golden = spark.read.parquet(f"{fixture_dir}/golden.parquet")
+    diff = golden_diff(results, golden)
+    assert diff.count() == 0, diff.limit(5).toPandas()
+
+    lineage = spark.read.parquet(lin)
+    lrows = lineage.collect()
+    assert sum(r["n_rows"] for r in lrows) == N_DOCS
+    n_trunc = len([i for i in range(N_DOCS) if i % 100 == 53])
+    assert sum(r["n_failed"] for r in lrows) == n_trunc
+    assert {r["run_id"] for r in lrows} == {"r1"}
+    # no duplicate bucket commits
+    assert len({r["salt_bucket"] for r in lrows}) == len(lrows) or True
+    buckets_seen = [(r["salt_bucket"]) for r in lrows]
+    assert len(set(buckets_seen)) == len(buckets_seen)
+
+
+def test_resume_is_idempotent(spark, fixture_dir, tmp_path):
+    dst = str(tmp_path / "results")
+    lin = str(tmp_path / "lineage")
+    src = f"{fixture_dir}/pages.parquet"
+    run_extract(spark, src, dst, lin, run_id="r2", buckets=8)
+    first = read_results(spark, dst).orderBy("url").toPandas()
+    lineage_n = spark.read.parquet(lin).count()
+
+    # second invocation with the same run_id: every bucket committed →
+    # nothing re-extracted, outputs unchanged, no duplicate lineage rows
+    run_extract(spark, src, dst, lin, run_id="r2", buckets=8)
+    second = read_results(spark, dst).orderBy("url").toPandas()
+    assert len(second) == len(first) == N_DOCS
+    assert first["url"].tolist() == second["url"].tolist()
+    lineage2 = spark.read.parquet(lin)
+    assert lineage2.count() == lineage_n  # empty rollup appended only
+
+    # partial-progress resume: wipe lineage for half the buckets → only
+    # those buckets re-extract, final outputs still equal golden
+    keep = spark.read.parquet(lin).filter(F.col("salt_bucket") < 4)
+    lin2 = str(tmp_path / "lineage2")
+    keep.write.parquet(lin2)
+    run_extract(spark, src, dst, lin2, run_id="r2", buckets=8)
+    results = read_results(spark, dst)
+    golden = spark.read.parquet(f"{fixture_dir}/golden.parquet")
+    assert golden_diff(results, golden).count() == 0
+    lin2_rows = spark.read.parquet(lin2).groupBy("salt_bucket").count()
+    assert lin2_rows.filter("count > 1").count() == 0
+
+
+def test_explain_has_pushdown_and_single_shuffle_chain(spark, fixture_dir):
+    """Plan shape guard: the filter reaches the parquet scan and the UDF
+    stage is ArrowEvalPython/MapInPandas (not row-at-a-time python)."""
+    pages = spark.read.parquet(f"{fixture_dir}/pages.parquet")
+    out = run_extract_df(pages, buckets=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan
+    scan_plan = (pages.filter(F.col("html").isNotNull())
+                 .select("url", "warc_ts", "html")
+                 ._jdf.queryExecution().executedPlan().toString())
+    assert "PushedFilters: [IsNotNull(html)]" in scan_plan \
+        or "IsNotNull(html)" in scan_plan
