@@ -1,38 +1,493 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship: derive Common-Crawl-style pages
+deterministically from the sf0.001 ``documents`` table (doc_id-keyed
+fixture templates, FIXTURES.md) and run the full extraction pipeline
+(dedup → salt → mapInPandas extract), returning the EXTRACT_SCHEMA frame.
+
+``queries()`` — one entry per implemented operator (SURVEY.md §2A/§2B +
+mre.textops); ``oracle_sql()`` gives the DuckDB-equivalent SQL for every
+SQL-expressible one (aliases match column-for-column). Extraction, MinHash/
+SimHash near-dup and LSH-ANN are non-SQL-expressible → rows-only checks.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+os.environ["PYTHONPATH"] = _REPO + os.pathsep + os.environ.get("PYTHONPATH", "")
+
+import pandas as pd  # noqa: E402
+from pyspark.sql import DataFrame, SparkSession  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+from pyspark.sql import Window  # noqa: E402
+
+SF_DEFAULT = "/root/testdata/sf0.001"
+
+
+def _prep(spark: SparkSession) -> None:
+    # deterministic timestamps regardless of the driver's session defaults
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------------
+# flagship: documents → synthetic pages → extraction pipeline
+
+
+def _pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic pages table keyed by doc_id (FIXTURES.md templates).
+    html rendering happens distributed, inside mapInPandas — no driver
+    loop, no collect."""
+    from mre.schema import PAGES_SCHEMA
+
+    def render(batches):
+        from mre import fixtures as FX
+        for pdf in batches:
+            ids = pdf["doc_id"].tolist()
+            yield pd.DataFrame({
+                "url": [FX.url_of(i) for i in ids],
+                "warc_ts": [FX.warc_ts_of(i) for i in ids],
+                "html": [FX.html_bytes_of(i) for i in ids],
+                "text": [None] * len(ids),
+                "lang": [FX.lang_of(i) for i in ids],
+            })
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return docs.repartition(max(spark.sparkContext.defaultParallelism, 4)) \
+        .mapInPandas(render, PAGES_SCHEMA)
+
+
+def q_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mre.pipeline import run_extract_df
+    _prep(spark)
+    pages = _pages_from_documents(spark, sf_dir)
+    out = run_extract_df(pages, buckets=32)
+    return out.select("url", "headline", "pubdate", "authors",
+                      "extracted_text")
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q_extract(spark, SF_DEFAULT)
+
+
+# --------------------------------------------------------------------------
+# relational operators (P2/P3/P5/P8-style) over the TPC-H-ish tables
+
+
+def q_filter_project(spark, sf_dir):
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.filter((F.col("l_shipdate") >= "1995-01-01")
+                      & (F.col("l_discount") > 0.05))
+            .select("l_orderkey", "l_linenumber", "l_quantity",
+                    F.round(F.col("l_extendedprice")
+                            * (1 - F.col("l_discount")), 4)
+                    .alias("net_price")))
+
+
+def q_agg_pricing(spark, sf_dir):
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.filter(F.col("l_shipdate") <= "1998-09-02")
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+                 F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+                 F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 4)
+                 .alias("sum_disc_price"),
+                 F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+                 F.count("*").alias("count_order")))
+
+
+def q_join_nations(spark, sf_dir):
+    _prep(spark)
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (c.join(F.broadcast(n),
+                   c["c_nationkey"] == n["n_nationkey"])
+            .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+            .groupBy("r_name", "n_name")
+            .agg(F.count("*").alias("n_customers"),
+                 F.round(F.sum("c_acctbal"), 4).alias("total_acctbal")))
+
+
+def q_join_orders_revenue(spark, sf_dir):
+    _prep(spark)
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (o.join(li, o["o_orderkey"] == li["l_orderkey"])
+            .groupBy("o_orderkey", "o_orderpriority")
+            .agg(F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 4)
+                 .alias("revenue"))
+            .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+            .limit(10))
+
+
+def q_window_latest_event(spark, sf_dir):
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id"))
+    return (ev.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("user_id", "event_id", "event_type", "ts"))
+
+
+def q_window_running(spark, sf_dir):
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id")
+         .orderBy(F.asc("ts"), F.asc("event_id"))
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return ev.select("user_id", "event_id",
+                     F.round(F.sum("value").over(w), 3)
+                     .alias("running_value"))
+
+
+def q_topk_docs(spark, sf_dir):
+    _prep(spark)
+    d = _t(spark, sf_dir, "documents")
+    return (d.orderBy(F.desc("n_chars"), F.asc("doc_id"))
+            .select("doc_id", "lang", "n_chars").limit(10))
+
+
+def q_rollup_docs(spark, sf_dir):
+    _prep(spark)
+    d = _t(spark, sf_dir, "documents")
+    return (d.rollup("lang", "source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_chars").alias("total_chars")))
+
+
+def q_anti_join(spark, sf_dir):
+    _prep(spark)
+    d = _t(spark, sf_dir, "documents")
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("doc_id")).distinct()
+    return (d.join(ev, "doc_id", "left_anti")
+            .select("doc_id", "lang", "n_chars"))
+
+
+def q_set_except(spark, sf_dir):
+    _prep(spark)
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("doc_id"))
+    return d.distinct().exceptAll(ev.distinct())
+
+
+def q_events_daily(spark, sf_dir):
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events")
+    return (ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day"),
+                       F.col("event_type"))
+            .agg(F.count("*").alias("n_events"),
+                 F.round(F.sum("value"), 2).alias("total_value")))
+
+
+# --------------------------------------------------------------------------
+# training-data ops (mre.textops) over documents / embeddings
+
+
+def q_token_stats(spark, sf_dir):
+    from mre.textops import token_stats
+    _prep(spark)
+    return token_stats(_t(spark, sf_dir, "documents"))
+
+
+def q_quality(spark, sf_dir):
+    from mre.textops import quality_score
+    _prep(spark)
+    return quality_score(_t(spark, sf_dir, "documents"))
+
+
+def q_lang_id(spark, sf_dir):
+    from mre.textops import lang_id
+    _prep(spark)
+    return lang_id(_t(spark, sf_dir, "documents"))
+
+
+def q_fingerprint(spark, sf_dir):
+    from mre.textops import fingerprint
+    _prep(spark)
+    return fingerprint(_t(spark, sf_dir, "documents"))
+
+
+def q_exact_dedup(spark, sf_dir):
+    from mre.textops import exact_dedup
+    _prep(spark)
+    return exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+def q_jaccard_pairs(spark, sf_dir):
+    from mre.textops import jaccard_pairs
+    _prep(spark)
+    return jaccard_pairs(_t(spark, sf_dir, "documents"), n=3, threshold=0.2)
+
+
+def q_minhash_near_dups(spark, sf_dir):
+    from mre.textops import minhash_near_dups
+    _prep(spark)
+    return minhash_near_dups(_t(spark, sf_dir, "documents"), threshold=0.2)
+
+
+def q_simhash_near_dups(spark, sf_dir):
+    from mre.textops import simhash_near_dups
+    _prep(spark)
+    return simhash_near_dups(_t(spark, sf_dir, "documents"), max_hamming=3)
+
+
+def q_ann_brute_force(spark, sf_dir):
+    from mre.textops import ann_brute_force
+    _prep(spark)
+    return ann_brute_force(_t(spark, sf_dir, "embeddings"),
+                           n_queries=5, k=10)
+
+
+def q_ann_lsh(spark, sf_dir):
+    from mre.textops import ann_lsh
+    _prep(spark)
+    return ann_lsh(_t(spark, sf_dir, "embeddings"), n_queries=5, k=10)
+
+
+# --------------------------------------------------------------------------
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "extract_flagship": q_extract,
+        "filter_project": q_filter_project,
+        "agg_pricing": q_agg_pricing,
+        "join_nations": q_join_nations,
+        "join_orders_revenue": q_join_orders_revenue,
+        "window_latest_event": q_window_latest_event,
+        "window_running": q_window_running,
+        "topk_docs": q_topk_docs,
+        "rollup_docs": q_rollup_docs,
+        "anti_join": q_anti_join,
+        "set_except": q_set_except,
+        "events_daily": q_events_daily,
+        "token_stats": q_token_stats,
+        "quality_score": q_quality,
+        "lang_id": q_lang_id,
+        "fingerprint": q_fingerprint,
+        "exact_dedup": q_exact_dedup,
+        "jaccard_pairs": q_jaccard_pairs,
+        "minhash_near_dups": q_minhash_near_dups,
+        "simhash_near_dups": q_simhash_near_dups,
+        "ann_brute_force": q_ann_brute_force,
+        "ann_lsh": q_ann_lsh,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+_STOPWORDS_SQL = "'the', 'a', 'of', 'and', 'in', 'to', 'is'"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "filter_project": """
+            SELECT l_orderkey, l_linenumber, l_quantity,
+                   round(l_extendedprice * (1 - l_discount), 4) AS net_price
+            FROM lineitem
+            WHERE l_shipdate >= '1995-01-01' AND l_discount > 0.05
+        """,
+        "agg_pricing": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 4) AS sum_qty,
+                   round(sum(l_extendedprice), 4) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4)
+                       AS sum_disc_price,
+                   round(avg(l_quantity), 4) AS avg_qty,
+                   count(*) AS count_order
+            FROM lineitem WHERE l_shipdate <= '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "join_nations": """
+            SELECT r_name, n_name, count(*) AS n_customers,
+                   round(sum(c_acctbal), 4) AS total_acctbal
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name, n_name
+        """,
+        "join_orders_revenue": """
+            SELECT o_orderkey, o_orderpriority,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4)
+                       AS revenue
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+            GROUP BY o_orderkey, o_orderpriority
+            ORDER BY revenue DESC, o_orderkey ASC
+            LIMIT 10
+        """,
+        "window_latest_event": """
+            SELECT user_id, event_id, event_type, ts FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY user_id
+                    ORDER BY ts DESC, event_id DESC) AS rn
+                FROM events) WHERE rn = 1
+        """,
+        "window_running": """
+            SELECT user_id, event_id,
+                   round(sum(value) OVER (
+                       PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                       3) AS running_value
+            FROM events
+        """,
+        "topk_docs": """
+            SELECT doc_id, lang, n_chars FROM documents
+            ORDER BY n_chars DESC, doc_id ASC LIMIT 10
+        """,
+        "rollup_docs": """
+            SELECT lang, source, count(*) AS n_docs,
+                   sum(n_chars) AS total_chars
+            FROM documents GROUP BY ROLLUP (lang, source)
+        """,
+        "anti_join": """
+            SELECT doc_id, lang, n_chars FROM documents
+            WHERE doc_id NOT IN (SELECT DISTINCT user_id FROM events)
+        """,
+        "set_except": """
+            SELECT DISTINCT doc_id FROM documents
+            EXCEPT
+            SELECT DISTINCT user_id AS doc_id FROM events
+        """,
+        "events_daily": """
+            SELECT date_trunc('day', ts) AS day, event_type,
+                   count(*) AS n_events,
+                   round(sum(value), 2) AS total_value
+            FROM events GROUP BY 1, 2
+        """,
+        "token_stats": r"""
+            SELECT doc_id,
+                   length(text) AS n_chars_calc,
+                   len(regexp_split_to_array(trim(text), '\s+'))
+                       AS n_ws_tokens,
+                   len(regexp_extract_all(text,
+                       '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens,
+                   len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct
+            FROM documents
+        """,
+        "quality_score": rf"""
+            WITH t AS (
+                SELECT doc_id,
+                       regexp_split_to_array(lower(trim(text)), '\s+') AS toks,
+                       length(regexp_replace(lower(trim(text)),
+                           '\s+', '', 'g')) AS n_ns
+                FROM documents),
+            m AS (
+                SELECT doc_id,
+                       len(toks) AS n_tokens,
+                       greatest(len(toks), 1) AS n1,
+                       len(list_filter(toks,
+                           t -> t IN ({_STOPWORDS_SQL}))) AS n_stop,
+                       n_ns
+                FROM t)
+            SELECT doc_id, n_tokens,
+                   round(n_stop / n1, 4) AS stopword_ratio,
+                   round(n_ns / n1, 4) AS mean_token_len,
+                   (least(n_tokens, 100)::BIGINT * 5
+                    + least(floor((n_stop * 1500) / n1)::BIGINT, 300)
+                    + CASE WHEN floor((n_ns * 100) / n1)::BIGINT
+                                BETWEEN 300 AND 800
+                           THEN 200 ELSE 0 END)::BIGINT AS quality_bp
+            FROM m
+        """,
+        "lang_id": r"""
+            WITH s AS (
+                SELECT doc_id,
+                    len(regexp_extract_all(lower(text),
+                        '\b(the|and|of|is|a)\b')) AS score_en,
+                    len(regexp_extract_all(lower(text),
+                        '\b(le|la|les|et|des)\b')) AS score_fr,
+                    len(regexp_extract_all(lower(text),
+                        '\b(el|los|las|una|y)\b')) AS score_es,
+                    len(regexp_extract_all(lower(text),
+                        '\b(der|die|und|das|nicht)\b')) AS score_de,
+                    len(regexp_extract_all(text, '[一-鿿]')) AS score_zh
+                FROM documents)
+            SELECT doc_id, score_en, score_fr, score_es, score_de, score_zh,
+                   CASE WHEN greatest(score_en, score_fr, score_es,
+                                      score_de, score_zh) = 0 THEN 'und'
+                        WHEN score_en = greatest(score_en, score_fr,
+                            score_es, score_de, score_zh) THEN 'en'
+                        WHEN score_fr = greatest(score_en, score_fr,
+                            score_es, score_de, score_zh) THEN 'fr'
+                        WHEN score_es = greatest(score_en, score_fr,
+                            score_es, score_de, score_zh) THEN 'es'
+                        WHEN score_de = greatest(score_en, score_fr,
+                            score_es, score_de, score_zh) THEN 'de'
+                        ELSE 'zh' END AS pred_lang
+            FROM s
+        """,
+        "fingerprint": """
+            SELECT doc_id, md5(lower(trim(text))) AS fingerprint
+            FROM documents
+        """,
+        "exact_dedup": """
+            SELECT md5(lower(trim(text))) AS fingerprint,
+                   min(doc_id) AS keeper_doc_id,
+                   count(*) AS n_copies
+            FROM documents GROUP BY 1
+        """,
+        "jaccard_pairs": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       regexp_split_to_array(lower(trim(text)), '\s+') AS t
+                FROM documents),
+            sh AS (
+                SELECT doc_id,
+                       unnest(list_distinct(list_transform(
+                           range(1, len(t) - 1),
+                           i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])))
+                           AS shingle
+                FROM toks WHERE len(t) >= 3),
+            sizes AS (
+                SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+            inter AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       count(*) AS n_inter
+                FROM sh a JOIN sh b
+                  ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+            SELECT doc_a, doc_b,
+                   round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 4)
+                       AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 4) >= 0.2
+        """,
+        "ann_brute_force": """
+            SELECT query_id, neighbor_id, cosine, rank FROM (
+                SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                       round(list_cosine_similarity(
+                           q.embedding::DOUBLE[], e.embedding::DOUBLE[]),
+                           4) AS cosine,
+                       row_number() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY round(list_cosine_similarity(
+                               q.embedding::DOUBLE[],
+                               e.embedding::DOUBLE[]), 4) DESC,
+                               e.vec_id ASC) AS rank
+                FROM embeddings q
+                JOIN embeddings e ON e.vec_id != q.vec_id
+                WHERE q.vec_id < 5)
+            WHERE rank <= 10
+        """,
+        # extract_flagship, minhash_near_dups, simhash_near_dups, ann_lsh:
+        # non-SQL-expressible (DOM heuristics / xxhash64-based signatures /
+        # approximate search) → rows-only driver check.
+    }

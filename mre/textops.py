@@ -1,0 +1,411 @@
+"""Training-data pipeline operators over document/embedding tables.
+
+These are the large-scale corpus-preparation ops a 100 TB text pipeline
+needs around the extractor: deduplication (exact, MinHash-LSH, SimHash,
+n-gram Jaccard), similarity search (brute-force + LSH-bucketed ANN),
+language-ID, quality scoring, token counting, and fingerprinting.
+
+Everything stays JVM-side (built-in functions, higher-order array
+expressions) except the SimHash bit-fold, which is a vectorized pandas UDF
+over pre-hashed tokens — the documented slow-path pattern.
+
+Scale design:
+* exact dedup / fingerprints: hash-groupBy, one shuffle on the digest.
+* MinHash-LSH: signatures are per-row (no shuffle); banding explodes to
+  b rows/doc and joins on (band, band_hash) — the classic sub-quadratic
+  near-dup path; the exact-Jaccard verifier runs only on candidate pairs.
+* n-gram Jaccard inverted-index join is the quadratic-ish fallback used at
+  test scale and as the LSH verifier; do not run it standalone at 10^12.
+* ANN: brute-force variant broadcasts the (small) query set; the LSH
+  variant buckets by random-hyperplane signs so the join is equi-key.
+* arithmetic stays in [0, 2^62) — Spark 4 ANSI mode would throw on long
+  overflow, so MinHash uses mod-2^31-1 linear hashes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# --------------------------------------------------------------------------
+# shared text helpers
+
+_WS_SPLIT = r"\s+"
+
+MERSENNE31 = 2147483647  # minhash modulus (fits ANSI-safe long arithmetic)
+
+# deterministic minhash params: a_i odd, b_i arbitrary, both < 2^31-1
+_KNUTH = 2654435761
+
+
+def _minhash_params(k: int) -> list[tuple[int, int]]:
+    return [(((2 * i + 1) * _KNUTH) % MERSENNE31 or 1,
+             ((i + 1) * 40503 * 65537) % MERSENNE31) for i in range(k)]
+
+
+def tokens_col(text_col: str = "text"):
+    return F.split(F.lower(F.trim(F.col(text_col))), _WS_SPLIT)
+
+
+# --------------------------------------------------------------------------
+# token counting & quality scoring (pure built-ins; SQL-oracle-able)
+
+
+def token_stats(docs: DataFrame) -> DataFrame:
+    """Whitespace tokens + BPE-ish regex token count + char classes."""
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars_calc"),
+        F.size(tokens_col()).alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all(
+            F.col("text"), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"),
+            0)).alias("n_bpe_tokens"),
+        F.size(F.regexp_extract_all(
+            F.col("text"), F.lit(r"[.,;:!?]"), 0)).alias("n_punct"),
+    )
+
+
+_STOPWORDS = ("the", "a", "of", "and", "in", "to", "is")
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Length/punct/stopword heuristic quality features + a composite score.
+
+    The composite (``quality_bp``, 0–1000 basis points) is computed in pure
+    integer arithmetic — float composites land exactly on .xxxx5 rounding
+    boundaries for power-of-two token counts, where Spark (decimal-string
+    HALF_UP) and other engines (binary) disagree."""
+    toks = tokens_col()
+    n_toks = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*_STOPWORDS)))
+    n1 = F.greatest(n_toks, F.lit(1))
+    n_chars_nospace = F.length(F.regexp_replace(
+        F.lower(F.trim(F.col("text"))), _WS_SPLIT, ""))
+    # integer division (positive operands → identical in every engine)
+    mtl_x100 = F.floor((n_chars_nospace * 100) / n1).cast("long")
+    stop_bp = F.least(F.floor((n_stop * 1500) / n1).cast("long"),
+                      F.lit(300))
+    quality_bp = (
+        F.least(n_toks, F.lit(100)).cast("long") * 5
+        + stop_bp
+        + F.when((mtl_x100 >= 300) & (mtl_x100 <= 800),
+                 F.lit(200)).otherwise(F.lit(0))
+    )
+    return docs.select(
+        "doc_id",
+        n_toks.alias("n_tokens"),
+        F.round(n_stop / n1, 4).alias("stopword_ratio"),
+        F.round(n_chars_nospace / n1, 4).alias("mean_token_len"),
+        quality_bp.cast("long").alias("quality_bp"),
+    )
+
+
+# --------------------------------------------------------------------------
+# language-ID (marker-word heuristic; mirrored 1:1 in the DuckDB oracle)
+
+LANG_MARKERS = {
+    "en": ("the", "and", "of", "is", "a"),
+    "fr": ("le", "la", "les", "et", "des"),
+    "es": ("el", "los", "las", "una", "y"),
+    "de": ("der", "die", "und", "das", "nicht"),
+}
+
+
+def lang_scores_exprs() -> dict[str, "F.Column"]:
+    out = {}
+    for lang, words in LANG_MARKERS.items():
+        pat = r"\b(" + "|".join(words) + r")\b"
+        out[lang] = F.size(F.regexp_extract_all(
+            F.lower(F.col("text")), F.lit(pat), 0))
+    out["zh"] = F.size(F.regexp_extract_all(
+        F.col("text"), F.lit(r"[一-鿿]"), 0))
+    return out
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Predicted language = first language (fixed order en,fr,es,de,zh)
+    whose marker score equals the max; 'und' when all scores are 0."""
+    scores = lang_scores_exprs()
+    order = ["en", "fr", "es", "de", "zh"]
+    mx = F.greatest(*[scores[l] for l in order])
+    pred = F.when(mx == 0, F.lit("und"))
+    for lang in order:
+        pred = pred.when(scores[lang] == mx, F.lit(lang))
+    sel = [F.col("doc_id")]
+    sel += [scores[l].alias(f"score_{l}") for l in order]
+    sel += [pred.alias("pred_lang")]
+    return docs.select(*sel)
+
+
+# --------------------------------------------------------------------------
+# fingerprinting & exact dedup
+
+
+def fingerprint(docs: DataFrame) -> DataFrame:
+    """Content fingerprint: md5 of lower/trimmed text (md5 exists in both
+    Spark and DuckDB, so the oracle is exact)."""
+    return docs.select(
+        "doc_id",
+        F.md5(F.lower(F.trim(F.col("text")))).alias("fingerprint"))
+
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """Hash-groupBy exact dedup: one keeper (min doc_id) per distinct
+    normalized text + the copy count. Single shuffle on the digest."""
+    fp = fingerprint(docs)
+    return (fp.groupBy("fingerprint")
+            .agg(F.min("doc_id").alias("keeper_doc_id"),
+                 F.count("*").alias("n_copies")))
+
+
+# --------------------------------------------------------------------------
+# n-gram shingles + exact Jaccard near-dup (inverted-index join)
+
+
+def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, shingle) pairs — distinct word n-grams per doc."""
+    joined = " || ' ' || ".join(f"toks[i + {j}]" for j in range(n))
+    return (docs
+            .withColumn("toks", tokens_col())
+            .filter(F.size("toks") >= n)
+            .select("doc_id", F.explode(F.expr(
+                f"array_distinct(transform(sequence(0, size(toks) - {n}),"
+                f" i -> {joined}))")).alias("shingle")))
+
+
+def jaccard_pairs(docs: DataFrame, n: int = 3,
+                  threshold: float = 0.8) -> DataFrame:
+    """Exact n-gram Jaccard over pairs sharing ≥1 shingle.
+
+    Inverted-index equi-join — fine at verification scale; quadratic in the
+    worst case, so at 10^12 docs this runs only on LSH candidate pairs."""
+    sh = shingles(docs, n)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id")))
+             .groupBy(F.col("a.doc_id").alias("doc_a"),
+                      F.col("b.doc_id").alias("doc_b"))
+             .agg(F.count("*").alias("n_inter")))
+    sa = sizes.select(F.col("doc_id").alias("doc_a"),
+                      F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"),
+                      F.col("n_sh").alias("n_b"))
+    return (inter.join(sa, "doc_a").join(sb, "doc_b")
+            .withColumn("jaccard", F.round(
+                F.col("n_inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 4))
+            .filter(F.col("jaccard") >= threshold)
+            .select("doc_a", "doc_b", "jaccard"))
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH near-dup (sub-quadratic scale path)
+
+
+def minhash_signatures(docs: DataFrame, k: int = 32,
+                       n: int = 3) -> DataFrame:
+    """k-element MinHash signature per doc, fully JVM-side.
+
+    h_i(s) = (a_i * (xxhash64(s) mod P) + b_i) mod P with P = 2^31-1;
+    products stay < 2^62 so ANSI-mode long arithmetic never overflows."""
+    joined = " || ' ' || ".join(f"toks[i + {j}]" for j in range(n))
+    params = _minhash_params(k)
+    mins = ", ".join(
+        f"array_min(transform(sh, h -> pmod({a}L * h + {b}L, {MERSENNE31}L)))"
+        for a, b in params)
+    return (docs
+            .withColumn("toks", tokens_col())
+            .filter(F.size("toks") >= n)
+            .withColumn("sh", F.expr(
+                f"transform(array_distinct(transform("
+                f"sequence(0, size(toks) - {n}), i -> {joined})),"
+                f" s -> pmod(xxhash64(s), {MERSENNE31}L))"))
+            .select("doc_id", F.expr(f"array({mins})").alias("sig")))
+
+
+def minhash_candidates(sigs: DataFrame, bands: int = 8) -> DataFrame:
+    """LSH banding: docs agreeing on any band are candidate near-dups.
+    Join key is (band_idx, hash(band slice)) → pure equi-join shuffle."""
+    k = bands  # r = k_total / bands rows per band
+    banded = sigs.select(
+        "doc_id",
+        F.posexplode(F.expr(
+            f"transform(sequence(0, {bands - 1}),"
+            f" b -> hash(slice(sig, b * (size(sig) div {bands}) + 1,"
+            f" size(sig) div {bands})))")).alias("band_idx", "band_hash"))
+    a, b = banded.alias("a"), banded.alias("b")
+    return (a.join(b, (F.col("a.band_idx") == F.col("b.band_idx"))
+                   & (F.col("a.band_hash") == F.col("b.band_hash"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"))
+            .distinct())
+
+
+def minhash_near_dups(docs: DataFrame, k: int = 32, n: int = 3,
+                      bands: int = 8,
+                      threshold: float = 0.5) -> DataFrame:
+    """Candidates via banding, verified by signature agreement (estimated
+    Jaccard = fraction of equal signature positions)."""
+    sigs = minhash_signatures(docs, k, n)
+    cands = minhash_candidates(sigs, bands)
+    sa = sigs.select(F.col("doc_id").alias("doc_a"),
+                     F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("doc_id").alias("doc_b"),
+                     F.col("sig").alias("sig_b"))
+    return (cands.join(sa, "doc_a").join(sb, "doc_b")
+            .withColumn("est_jaccard", F.expr(
+                "round(size(filter(zip_with(sig_a, sig_b,"
+                " (x, y) -> int(x = y)), v -> v = 1)) / size(sig_a), 4)"))
+            .filter(F.col("est_jaccard") >= threshold)
+            .select("doc_a", "doc_b", "est_jaccard"))
+
+
+# --------------------------------------------------------------------------
+# SimHash (pandas-UDF bit fold over JVM-hashed tokens)
+
+
+def simhash(docs: DataFrame) -> DataFrame:
+    """64-bit SimHash per doc. Token hashing stays JVM-side (xxhash64);
+    only the 64-bit majority fold crosses into Python, Arrow-batched."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _fold(hashes: pd.Series) -> pd.Series:
+        out = []
+        shifts = np.arange(64, dtype=np.uint64)
+        for hs in hashes:
+            if hs is None or len(hs) == 0:
+                out.append(0)
+                continue
+            arr = np.asarray(hs, dtype=np.int64).astype(np.uint64)
+            bits = ((arr[:, None] >> shifts) & np.uint64(1))
+            maj = (bits.sum(axis=0) * 2 >= len(arr))
+            val = np.uint64(0)
+            for i in range(64):
+                if maj[i]:
+                    val |= np.uint64(1) << np.uint64(i)
+            out.append(int(val.astype(np.int64)))
+        return pd.Series(out, dtype="int64")
+
+    # tokens_col (Python API) sidesteps SQL string-literal escaping of \s+
+    hashed = docs.withColumn("toks", tokens_col()).withColumn(
+        "tok_hashes", F.expr("transform(toks, t -> xxhash64(t))"))
+    return hashed.select("doc_id", _fold("tok_hashes").alias("simhash"))
+
+
+def simhash_near_dups(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-dups by SimHash: band the 64 bits into 4×16-bit keys (any equal
+    band ⇒ candidate), verify by popcount(xor) ≤ max_hamming."""
+    sh = simhash(docs)
+    banded = sh.select(
+        "doc_id", "simhash",
+        F.posexplode(F.expr(
+            "transform(sequence(0, 3),"
+            " b -> (simhash >> (b * 16)) & 65535)"))
+        .alias("band_idx", "band_key"))
+    a, b = banded.alias("a"), banded.alias("b")
+    return (a.join(b, (F.col("a.band_idx") == F.col("b.band_idx"))
+                   & (F.col("a.band_key") == F.col("b.band_key"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"),
+                    F.expr("bit_count(a.simhash ^ b.simhash)")
+                    .alias("hamming"))
+            .distinct()
+            .filter(F.col("hamming") <= max_hamming))
+
+
+# --------------------------------------------------------------------------
+# embedding similarity search (ANN)
+
+
+def _cosine_expr(a: str, b: str):
+    dot = F.expr(f"aggregate(zip_with({a}, {b},"
+                 f" (x, y) -> double(x) * double(y)),"
+                 f" 0.0D, (acc, v) -> acc + v)")
+    na = F.expr(f"sqrt(aggregate({a}, 0.0D,"
+                f" (acc, v) -> acc + double(v) * double(v)))")
+    nb = F.expr(f"sqrt(aggregate({b}, 0.0D,"
+                f" (acc, v) -> acc + double(v) * double(v)))")
+    return dot / (na * nb)
+
+
+def ann_brute_force(embeddings: DataFrame, n_queries: int = 5,
+                    k: int = 10) -> DataFrame:
+    """Exact top-k cosine neighbours for the first ``n_queries`` vectors.
+    The query set is broadcast; candidates never shuffle. Deterministic
+    tie-break: (similarity desc, neighbour id asc) on the rounded value."""
+    from pyspark.sql import Window
+    q = (embeddings.filter(F.col("vec_id") < n_queries)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("q_emb")))
+    joined = (embeddings.join(F.broadcast(q),
+                              F.col("vec_id") != F.col("query_id"))
+              .withColumn("cosine",
+                          F.round(_cosine_expr("q_emb", "embedding"), 4)))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("vec_id"))
+    return (joined.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                    "cosine", "rank"))
+
+
+def _hyperplanes(n_planes: int, dim: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (LCG; no RNG state)."""
+    planes = []
+    state = 88172645463325252
+    for _ in range(n_planes):
+        row = []
+        for _ in range(dim):
+            # xorshift64
+            state ^= (state << 13) & 0xFFFFFFFFFFFFFFFF
+            state ^= state >> 7
+            state ^= (state << 17) & 0xFFFFFFFFFFFFFFFF
+            row.append(((state % 2000001) / 1000000.0) - 1.0)
+        planes.append(row)
+    return planes
+
+
+def ann_lsh(embeddings: DataFrame, n_queries: int = 5, k: int = 10,
+            n_planes: int = 8, dim: int = 64) -> DataFrame:
+    """LSH-bucketed ANN: random-hyperplane sign bits → bucket id; top-k
+    cosine within the query's bucket only (the 100 TB path: the candidate
+    join is an equi-join on bucket, no broadcast of the corpus)."""
+    from pyspark.sql import Window
+    planes = _hyperplanes(n_planes, dim)
+    bucket = F.lit(0)
+    for i, p in enumerate(planes):
+        arr = "array(" + ", ".join(f"{x}D" for x in p) + ")"
+        dot = F.expr(f"aggregate(zip_with({arr}, embedding,"
+                     f" (x, y) -> x * double(y)), 0.0D,"
+                     f" (acc, v) -> acc + v)")
+        bucket = bucket + F.when(dot >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+    emb_b = embeddings.withColumn("bucket", bucket)
+    q = (emb_b.filter(F.col("vec_id") < n_queries)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("q_emb"),
+                 F.col("bucket").alias("q_bucket")))
+    joined = (emb_b.join(q, (F.col("bucket") == F.col("q_bucket"))
+                         & (F.col("vec_id") != F.col("query_id")))
+              .withColumn("cosine",
+                          F.round(_cosine_expr("q_emb", "embedding"), 4)))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("vec_id"))
+    return (joined.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                    "cosine", "rank"))
+
+
+__all__ = [
+    "token_stats", "quality_score", "lang_id", "fingerprint", "exact_dedup",
+    "shingles", "jaccard_pairs", "minhash_signatures", "minhash_candidates",
+    "minhash_near_dups", "simhash", "simhash_near_dups", "ann_brute_force",
+    "ann_lsh", "LANG_MARKERS", "MERSENNE31",
+]

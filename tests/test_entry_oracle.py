@@ -1,0 +1,91 @@
+"""Mimics the driver's correctness gate: every queries() entry runs on
+Spark; every oracle_sql() entry runs on DuckDB over the same parquet; the
+two must match on row-count + schema-ordered values (order-insensitive)."""
+
+import math
+import os
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod
+
+SF_DIR = os.environ.get("MRE_ORACLE_SF", "/root/testdata/sf0.001")
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def _duck(sql: str):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{SF_DIR}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    return con.execute(sql).fetch_df()
+
+
+def _normalize(pdf):
+    pdf = pdf.reindex(sorted(pdf.columns), axis=1)
+    pdf = pdf.sort_values(by=list(pdf.columns)).reset_index(drop=True)
+    return pdf
+
+
+def _values_equal(a, b) -> bool:
+    if a is None and b is None:
+        return True
+    try:
+        if isinstance(a, float) or isinstance(b, float):
+            fa, fb = float(a), float(b)
+            if math.isnan(fa) and math.isnan(fb):
+                return True
+            return abs(fa - fb) <= 1e-9 * max(1.0, abs(fa), abs(fb))
+    except (TypeError, ValueError):
+        pass
+    return str(a) == str(b)
+
+
+ORACLE_KEYS = sorted(entrymod.oracle_sql().keys())
+
+
+def test_oracle_keys_subset_of_queries():
+    assert set(entrymod.oracle_sql()) <= set(entrymod.queries())
+
+
+@pytest.mark.parametrize("name", ORACLE_KEYS)
+def test_query_matches_oracle(spark, name):
+    q = entrymod.queries()[name]
+    sdf = q(spark, SF_DIR)
+    got = sdf.toPandas()
+    exp = _duck(entrymod.oracle_sql()[name])
+    assert len(got) == len(exp), f"{name}: rowcount {len(got)} != {len(exp)}"
+    assert sorted(got.columns) == sorted(exp.columns), \
+        f"{name}: columns {sorted(got.columns)} vs {sorted(exp.columns)}"
+    g, e = _normalize(got), _normalize(exp)
+    for col in g.columns:
+        gv, ev = g[col].tolist(), e[col].tolist()
+        mism = [(i, a, b) for i, (a, b) in enumerate(zip(gv, ev))
+                if not _values_equal(a, b)]
+        assert not mism, f"{name}.{col}: first mismatches {mism[:5]}"
+
+
+ROWS_ONLY = sorted(set(entrymod.queries()) - set(entrymod.oracle_sql()))
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_queries_run(spark, name):
+    df = entrymod.queries()[name](spark, SF_DIR)
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    assert df.count() > 0
+    names = [f.name for f in df.schema.fields]
+    assert names == ["url", "headline", "pubdate", "authors",
+                     "extracted_text"]
