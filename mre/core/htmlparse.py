@@ -60,7 +60,7 @@ class Node:
     """One element. ``content`` interleaves str (text runs) and Node children
     in document order, like lxml's text/tail but simpler to walk."""
 
-    __slots__ = ("tag", "attrib", "content", "parent")
+    __slots__ = ("tag", "attrib", "content", "parent", "_flat", "_class_id")
 
     def __init__(self, tag: str, attrib: Optional[dict] = None,
                  parent: Optional["Node"] = None):
@@ -68,19 +68,38 @@ class Node:
         self.attrib = attrib or {}
         self.content: list = []  # str | Node
         self.parent = parent
+        self._flat: Optional[list] = None   # doc-order cache (root only)
+        self._class_id: Optional[str] = None
 
     # -- tree walking ------------------------------------------------------
     @property
     def children(self) -> list["Node"]:
         return [c for c in self.content if isinstance(c, Node)]
 
+    def _flatten(self) -> list["Node"]:
+        """Self + descendants in document order (iterative; cached — the
+        extraction stages traverse the same tree several times)."""
+        if self._flat is not None:
+            return self._flat
+        out: list[Node] = []
+        stack = [self]
+        while stack:
+            n = stack.pop()
+            out.append(n)
+            cs = n.content
+            for i in range(len(cs) - 1, -1, -1):
+                c = cs[i]
+                if c.__class__ is Node:
+                    stack.append(c)
+        self._flat = out
+        return out
+
     def iter(self, *tags: str) -> Iterator["Node"]:
         """Self + descendants in document order, optionally tag-filtered."""
-        if not tags or self.tag in tags:
-            yield self
-        for c in self.content:
-            if isinstance(c, Node):
-                yield from c.iter(*tags)
+        if not tags:
+            return iter(self._flatten())
+        tagset = tags if len(tags) > 2 else tags  # tuple membership is fast
+        return (n for n in self._flatten() if n.tag in tagset)
 
     def find(self, *tags: str) -> Optional["Node"]:
         for n in self.iter(*tags):
@@ -105,9 +124,12 @@ class Node:
     @property
     def class_id(self) -> str:
         """class + id mashed together for the weight regexes (the reference
-        scores both attributes with one regex table [PUB:headline])."""
-        return ((self.attrib.get("class") or "") + " "
-                + (self.attrib.get("id") or "")).strip()
+        scores both attributes with one regex table [PUB:headline]);
+        cached — scored repeatedly across stages."""
+        if self._class_id is None:
+            self._class_id = ((self.attrib.get("class") or "") + " "
+                              + (self.attrib.get("id") or "")).strip()
+        return self._class_id
 
     # -- text --------------------------------------------------------------
     def text_content(self) -> str:
@@ -126,6 +148,11 @@ class Node:
     def remove_child(self, child: "Node") -> None:
         self.content = [c for c in self.content if c is not child]
         child.parent = None
+        # invalidate doc-order caches up the ancestor chain
+        n: Optional[Node] = self
+        while n is not None:
+            n._flat = None
+            n = n.parent
 
     def __repr__(self) -> str:  # pragma: no cover - debug aid
         return f"<Node {self.tag} {self.attrib.get('class','')!r}>"
