@@ -1,0 +1,149 @@
+"""Benchmark harness — prints ONE JSON line.
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] (default all cores).
+
+* value/metric: total wall seconds over the query set (lower = better)
+* queries: per-query seconds
+* extract_docs_per_sec: flagship extraction throughput (pages/sec through
+  the full dedup→salt→mapInPandas pipeline, including synthetic page
+  rendering)
+
+Usage: python bench.py            # one line of JSON on stdout
+       python bench.py --scaling  # additionally runs the local[8] vs
+                                  # local[32] scaling protocol from
+                                  # BASELINE.md and writes BENCH/BASELINE.md
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+os.environ["PYTHONPATH"] = REPO + os.pathsep + os.environ.get("PYTHONPATH", "")
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+BENCH_QUERIES = [
+    "extract_flagship",
+    "agg_pricing",
+    "join_orders_revenue",
+    "window_latest_event",
+    "exact_dedup",
+    "minhash_near_dups",
+    "jaccard_pairs",
+    "simhash_near_dups",
+    "ann_brute_force",
+    "quality_score",
+    "lang_id",
+    "token_stats",
+]
+
+
+def _session(cpus: int):
+    from mre.io import get_spark
+    return get_spark(app="mre-bench", master=f"local[{cpus}]",
+                     shuffle_partitions=max(cpus, 8))
+
+
+def run_bench(spark, sf_dir: str) -> dict:
+    import __spark_entry__ as entrymod
+    qs = entrymod.queries()
+    times: dict[str, float] = {}
+    extra: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        t0 = time.perf_counter()
+        df = qs[name](spark, sf_dir)
+        n = df.count()
+        dt = time.perf_counter() - t0
+        times[name] = round(dt, 3)
+        if name == "extract_flagship":
+            extra["extract_docs"] = n
+            extra["extract_docs_per_sec"] = round(n / dt, 1)
+    return {"times": times, **extra}
+
+
+def scaling_run(sf_dir: str) -> dict:
+    """BASELINE.md protocol: same corpus, same job, local[8] vs local[32];
+    efficiency = (docs/sec@32 / docs/sec@8) / 4."""
+    out = {}
+    for cpus in (8, 32):
+        spark = _session(cpus)
+        try:
+            import __spark_entry__ as entrymod
+            q = entrymod.queries()["extract_flagship"]
+            q(spark, sf_dir).count()  # warm-up
+            runs = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                n = q(spark, sf_dir).count()
+                runs.append(time.perf_counter() - t0)
+            med = sorted(runs)[1]
+            out[f"local[{cpus}]"] = {
+                "docs": n, "sec_median": round(med, 3),
+                "docs_per_sec": round(n / med, 1)}
+        finally:
+            spark.stop()
+    eff = (out["local[32]"]["docs_per_sec"]
+           / out["local[8]"]["docs_per_sec"]) / 4.0
+    out["scaling_efficiency_8_to_32"] = round(eff, 3)
+    return out
+
+
+def main() -> None:
+    result_extra = {}
+    if "--scaling" in sys.argv:
+        scal = scaling_run(SF_DIR)
+        result_extra["scaling"] = scal
+        _write_baseline_md(scal)
+
+    spark = _session(CPUS)
+    try:
+        r = run_bench(spark, SF_DIR)
+    finally:
+        spark.stop()
+
+    total = round(sum(r["times"].values()), 3)
+    line = {
+        "metric": "bench_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": r["times"],
+        "sf": SF_DIR,
+        "cpus": CPUS,
+        "extract_docs_per_sec": r.get("extract_docs_per_sec"),
+        **result_extra,
+    }
+    print(json.dumps(line))
+
+
+def _write_baseline_md(scal: dict) -> None:
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    p8, p32 = scal["local[8]"], scal["local[32]"]
+    eff = scal["scaling_efficiency_8_to_32"]
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        f.write(f"""# BENCH/BASELINE — measured scaling numbers
+
+Protocol (BASELINE.md): identical corpus (`{SF_DIR}` documents-derived
+pages), identical job (extract_flagship: dedup → salt → mapInPandas
+extract), only `--master` differs; 1 warm-up + 3 timed runs, median.
+
+| config | docs | sec (median) | docs/sec |
+|---|---|---|---|
+| local[8]  | {p8['docs']} | {p8['sec_median']} | {p8['docs_per_sec']} |
+| local[32] | {p32['docs']} | {p32['sec_median']} | {p32['docs_per_sec']} |
+
+**Scaling efficiency 8→32 cores (N→4N): {eff}** (pass bar ≥ 0.8,
+`BASELINE.json:north_rule` two-cluster-size criterion, evidenced at two
+local parallelism levels per the driver instruction — no real cluster in
+this sandbox).
+""")
+
+
+if __name__ == "__main__":
+    main()

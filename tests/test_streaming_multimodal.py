@@ -1,0 +1,61 @@
+"""Streaming pipeline (one micro-batch, file source) + multimodal plumbing
+tests."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_streaming_extract_matches_batch(spark, fixture_dir, tmp_path):
+    from mre.fixtures import gen_golden
+    from mre.streaming import start_extract_stream
+
+    src = str(tmp_path / "stream_src")
+    os.makedirs(src)
+    # stage the fixture pages as the stream input
+    pages = spark.read.parquet(f"{fixture_dir}/pages.parquet")
+    pages.coalesce(2).write.mode("overwrite").parquet(src)
+
+    dst = str(tmp_path / "stream_out")
+    ckpt = str(tmp_path / "ckpt")
+    q = start_extract_stream(spark, src, dst, ckpt, buckets=8)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    out = spark.read.parquet(dst)
+    # streaming dedup is first-capture-wins (not latest) — but fixture dups
+    # share identical html, so extraction output is identical either way
+    assert out.count() == 120
+    golden = spark.read.parquet(f"{fixture_dir}/golden.parquet")
+    joined = (out.select("url", "headline")
+              .join(golden.select("url", F.col("headline").alias("g")),
+                    "url"))
+    assert joined.filter(
+        ~(F.col("headline").eqNullSafe(F.col("g")))).count() == 0
+
+
+def test_synth_media_and_features(spark):
+    from mre.multimodal import extract_media_features, synth_media
+
+    media = synth_media(spark, 48)
+    assert media.count() == 48
+    feats = extract_media_features(media)
+    rows = feats.orderBy("media_id").collect()
+    assert len(rows) == 48
+    assert all(r["decode_ok"] == 1 for r in rows)
+    assert all(r["n_bytes"] > 0 for r in rows)
+    assert all(len(r["feat"]) == 16 for r in rows)
+    assert all(abs(sum(r["feat"]) - 1.0) < 1e-9 for r in rows)
+    # determinism: same media_id → same sha1 across runs
+    rows2 = extract_media_features(synth_media(spark, 48)) \
+        .orderBy("media_id").collect()
+    assert [r["sha1"] for r in rows] == [r["sha1"] for r in rows2]
+
+
+def test_decode_media_stub_raises_without_fake():
+    from mre.multimodal import decode_media
+    with pytest.raises(NotImplementedError):
+        decode_media(b"xx", "image")
