@@ -68,20 +68,42 @@ def run_bench(spark, sf_dir: str) -> dict:
     return {"times": times, **extra}
 
 
-def scaling_run(sf_dir: str) -> dict:
-    """BASELINE.md protocol: same corpus, same job, local[8] vs local[32];
-    efficiency = (docs/sec@32 / docs/sec@8) / 4."""
+SCALING_N = int(os.environ.get("SPARK_GRAFT_SCALING_N", "50000"))
+
+
+def _scaling_corpus() -> str:
+    """Seed-free deterministic 50k-page corpus (BASELINE.md 'sandbox
+    corpus' row), generated once and reused."""
+    d = os.path.join(REPO, "BENCH", f"corpus_n{SCALING_N}")
+    marker = os.path.join(d, "pages.parquet")
+    if not os.path.exists(marker):
+        from mre.fixtures import write_fixture_parquet
+        write_fixture_parquet(d, n=SCALING_N)
+    return marker
+
+
+def scaling_run(_sf_dir: str) -> dict:
+    """BASELINE.md protocol: same corpus (50k heavy-tailed pages), same job
+    (dedup → salt → mapInPandas extract), local[8] vs local[32];
+    efficiency = (docs/sec@32 / docs/sec@8) / 4. Session startup excluded;
+    one warm-up run primes the python workers."""
+    corpus = _scaling_corpus()
     out = {}
     for cpus in (8, 32):
         spark = _session(cpus)
         try:
-            import __spark_entry__ as entrymod
-            q = entrymod.queries()["extract_flagship"]
-            q(spark, sf_dir).count()  # warm-up
+            from mre.pipeline import run_extract_df
+            # salt buckets fixed to 4x the LARGER config so both runs
+            # shuffle identically (BASELINE.md protocol note)
+            def job():
+                pages = spark.read.parquet(corpus)
+                return run_extract_df(pages, buckets=128).count()
+
+            job()  # warm-up: JIT + python worker spawn
             runs = []
             for _ in range(3):
                 t0 = time.perf_counter()
-                n = q(spark, sf_dir).count()
+                n = job()
                 runs.append(time.perf_counter() - t0)
             med = sorted(runs)[1]
             out[f"local[{cpus}]"] = {
@@ -129,9 +151,10 @@ def _write_baseline_md(scal: dict) -> None:
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(f"""# BENCH/BASELINE — measured scaling numbers
 
-Protocol (BASELINE.md): identical corpus (`{SF_DIR}` documents-derived
-pages), identical job (extract_flagship: dedup → salt → mapInPandas
-extract), only `--master` differs; 1 warm-up + 3 timed runs, median.
+Protocol (BASELINE.md): identical corpus ({SCALING_N} deterministic
+heavy-tailed fixture pages, FIXTURES.md spec), identical job (url-dedup →
+salted repartition → mapInPandas extract, 128 salt buckets in both runs),
+only the local[] parallelism differs; 1 warm-up + 3 timed runs, median.
 
 | config | docs | sec (median) | docs/sec |
 |---|---|---|---|

@@ -55,6 +55,10 @@ _IMPLIED_CLOSE = {
 
 _DROP_SUBTREES = frozenset({"script", "style", "noscript", "iframe", "svg"})
 
+from sys import intern as _intern  # noqa: E402
+
+_EMPTY_ATTRS: dict = {}  # shared by every attributeless Node (never mutated)
+
 
 class Node:
     """One element. ``content`` interleaves str (text runs) and Node children
@@ -65,7 +69,9 @@ class Node:
     def __init__(self, tag: str, attrib: Optional[dict] = None,
                  parent: Optional["Node"] = None):
         self.tag = tag
-        self.attrib = attrib or {}
+        # attrless nodes share one read-only dict (allocation density
+        # matters: GC/memory traffic caps multi-core scaling)
+        self.attrib = attrib if attrib is not None else _EMPTY_ATTRS
         self.content: list = []  # str | Node
         self.parent = parent
         self._flat: Optional[list] = None   # doc-order cache (root only)
@@ -169,7 +175,7 @@ class _TreeBuilder(HTMLParser):
     # handle_data; attribute values are unescaped by the parser too.
 
     def handle_starttag(self, tag: str, attrs) -> None:
-        tag = tag.lower()
+        tag = _intern(tag.lower())
         if self._drop_depth:
             if tag in _DROP_SUBTREES and tag not in VOID_ELEMENTS:
                 self._drop_depth += 1
@@ -190,10 +196,14 @@ class _TreeBuilder(HTMLParser):
                 if t in ("div", "section", "article", "td", "th", "body",
                          "html"):
                     break
-        attrib = {}
-        for k, v in attrs:
-            if k not in attrib:  # first occurrence wins, like libxml2
-                attrib[k.lower()] = v if v is not None else ""
+        if attrs:
+            attrib = {}
+            for k, v in attrs:
+                k = _intern(k.lower())
+                if k not in attrib:  # first occurrence wins, like libxml2
+                    attrib[k] = v if v is not None else ""
+        else:
+            attrib = None  # Node shares one empty dict — fewer allocations
         node = Node(tag, attrib, self.stack[-1])
         self.stack[-1].content.append(node)
         if tag not in VOID_ELEMENTS:

