@@ -20,6 +20,7 @@ iteration in document order.
 
 from __future__ import annotations
 
+import re
 from html import unescape
 from html.parser import HTMLParser
 from typing import Iterator, Optional
@@ -164,15 +165,18 @@ class Node:
         return f"<Node {self.tag} {self.attrib.get('class','')!r}>"
 
 
-class _TreeBuilder(HTMLParser):
-    def __init__(self) -> None:
-        super().__init__(convert_charrefs=True)
-        self.root = Node("#document")
-        self.stack: list[Node] = [self.root]
-        self._drop_depth = 0  # >0 while inside script/style/etc.
+class _SinkMixin:
+    """Recovery logic shared by the stdlib driver and the fast scanner:
+    implied closes, stray-end-tag tolerance, script/style subtree drops."""
 
-    # HTMLParser with convert_charrefs=True already unescapes entities in
-    # handle_data; attribute values are unescaped by the parser too.
+    root: Node
+    stack: list
+    _drop_depth: int
+
+    def _init_sink(self) -> None:
+        self.root = Node("#document")
+        self.stack = [self.root]
+        self._drop_depth = 0  # >0 while inside script/style/etc.
 
     def handle_starttag(self, tag: str, attrs) -> None:
         tag = _intern(tag.lower())
@@ -249,13 +253,138 @@ class _TreeBuilder(HTMLParser):
         return
 
 
+class _TreeBuilder(_SinkMixin, HTMLParser):
+    """stdlib-driven builder (reference behavior / fallback path)."""
+
+    def __init__(self) -> None:
+        HTMLParser.__init__(self, convert_charrefs=True)
+        self._init_sink()
+    # convert_charrefs=True: entities in text and attr values arrive
+    # already unescaped, matching the fast scanner's unescape calls.
+
+
+# ---------------------------------------------------------------------------
+# fast path: a lean regex scanner driving the same sink. The stdlib parser
+# spends most of its time in line/col bookkeeping and per-chunk charref
+# scanning; this tokenizer allocates far less, which matters twice — raw
+# speed AND multi-core scaling (memory bandwidth is the shared resource).
+
+_TAG_NAME_RX = re.compile(r"([a-zA-Z][^\t\n\r\f\s/>\x00]*)")
+# one C-level match per start tag: name + quote-aware attr region + '/'
+_STARTTAG_RX = re.compile(
+    r"""([a-zA-Z][^\t\n\r\f\s/>\x00]*)"""
+    r"""((?:[^>"']|"[^"]*"|'[^']*')*?)(/?)>""")
+_ATTR_RX = re.compile(
+    r"""[\s/]*([^\s/>=]+)(?:\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>]*)))?""")
+_RAW_END_RX = {
+    "script": re.compile(r"</script[^>]*>", re.I),
+    "style": re.compile(r"</style[^>]*>", re.I),
+}
+
+
+class _FastScanner(_SinkMixin):
+    def __init__(self) -> None:
+        self._init_sink()
+
+    def feed(self, s: str) -> None:
+        n = len(s)
+        find = s.find
+        pos = 0
+        data = self.handle_data
+        while pos < n:
+            lt = find("<", pos)
+            if lt < 0:
+                chunk = s[pos:]
+                data(unescape(chunk) if "&" in chunk else chunk)
+                return
+            if lt > pos:
+                chunk = s[pos:lt]
+                data(unescape(chunk) if "&" in chunk else chunk)
+            c = s[lt + 1:lt + 2]
+            if c == "/":
+                m = _TAG_NAME_RX.match(s, lt + 2)
+                if m:
+                    gt = find(">", m.end())
+                    if gt < 0:
+                        return
+                    self.handle_endtag(m.group(1).lower())
+                    pos = gt + 1
+                else:  # bogus end tag → skip to '>'
+                    gt = find(">", lt)
+                    if gt < 0:
+                        return
+                    pos = gt + 1
+                continue
+            if c == "!" or c == "?":
+                if s.startswith("<!--", lt):
+                    end = find("-->", lt + 4)
+                    pos = (end + 3) if end >= 0 else n
+                else:  # doctype / processing instruction → dropped
+                    gt = find(">", lt)
+                    pos = (gt + 1) if gt >= 0 else n
+                continue
+            if not c or not c.isalpha():
+                # stray '<' → literal text, like the stdlib recovery
+                data("<")
+                pos = lt + 1
+                continue
+            m = _STARTTAG_RX.match(s, lt + 1)
+            if m is None:
+                return  # truncated inside a tag
+            tag = m.group(1).lower()
+            attr_str = m.group(2)
+            selfclose = bool(m.group(3))
+            if attr_str and not attr_str.isspace():
+                attrs = []
+                for am in _ATTR_RX.finditer(attr_str):
+                    v = am.group(2)
+                    if v is None:
+                        v = am.group(3)
+                    if v is None:
+                        v = am.group(4)
+                    if v:
+                        if "&" in v:
+                            v = unescape(v)
+                    else:
+                        v = ""
+                    attrs.append((am.group(1), v))
+            else:
+                attrs = []
+            pos = m.end()
+            raw = _RAW_END_RX.get(tag)
+            if raw is not None and not selfclose:
+                # raw-text element (dropped subtree): skip to its end tag
+                em = raw.search(s, pos)
+                pos = em.end() if em else n
+                continue
+            if selfclose:
+                self.handle_startendtag(tag, attrs)
+            else:
+                self.handle_starttag(tag, attrs)
+
+
 def parse_doc(html: str) -> Node:
     """Parse possibly-malformed HTML into a Node tree; never raises on tag
-    soup (only on catastrophic parser errors, which callers guard)."""
+    soup. Fast regex scanner by default; stdlib html.parser as the
+    (deterministic, per-document) fallback on scanner errors."""
+    try:
+        scanner = _FastScanner()
+        scanner.feed(html)
+        return scanner.root
+    except Exception:
+        builder = _TreeBuilder()
+        builder.feed(html)
+        builder.close()
+        return builder.root
+
+
+def parse_doc_stdlib(html: str) -> Node:
+    """stdlib-driven parse (differential-testing reference)."""
     builder = _TreeBuilder()
     builder.feed(html)
     builder.close()
     return builder.root
 
 
-__all__ = ["Node", "parse_doc", "BLOCK_ELEMENTS", "VOID_ELEMENTS", "unescape"]
+__all__ = ["Node", "parse_doc", "parse_doc_stdlib", "BLOCK_ELEMENTS",
+           "VOID_ELEMENTS", "unescape"]

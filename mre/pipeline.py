@@ -57,6 +57,18 @@ def dedup_latest(pages: DataFrame) -> DataFrame:
             .filter(F.col("_rn") == 1).drop("_rn"))
 
 
+def dedup_latest_in_bucket(pages: DataFrame) -> DataFrame:
+    """Same semantics as dedup_latest for a frame already salted: window
+    over (salt_bucket, url). salt_bucket is a pure function of url, so the
+    grouping is identical — but HashPartitioning(salt_bucket) from the salt
+    repartition already satisfies ClusteredDistribution(salt_bucket, url),
+    so Catalyst inserts NO second exchange. At 100 TB this halves the
+    number of full-corpus html shuffles (one instead of window+repartition)."""
+    w = Window.partitionBy("salt_bucket", "url").orderBy(F.desc("warc_ts"))
+    return (pages.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1).drop("_rn"))
+
+
 # --------------------------------------------------------------------------
 # P4 — salted repartition by url-hash
 
@@ -143,16 +155,17 @@ def run_extract_df(pages: DataFrame, buckets: int,
                    dedup: bool = True) -> DataFrame:
     """Pages DF → extraction DF (with bookkeeping columns), no sink.
 
-    Projection to (url, warc_ts, html) happens before the dedup shuffle so
+    Projection to (url, warc_ts, html) happens before the shuffle so
     shuffle bytes stay minimal (P3); html must survive the shuffle — it is
-    the UDF's input.
+    the UDF's input. Salting comes FIRST and the dedup window runs inside
+    the salted partitioning, so the corpus shuffles exactly once.
     """
     pages = pages.filter(F.col("html").isNotNull())
     pages = pages.select("url", "warc_ts", "html")
-    if dedup:
-        pages = dedup_latest(pages)
     pages = with_salt_bucket(pages, buckets)
     pages = pages.repartition(buckets, F.col("salt_bucket"))
+    if dedup:
+        pages = dedup_latest_in_bucket(pages)
     pages = pages.select("url", "html", "salt_bucket")
     return pages.mapInPandas(
         lambda it: extract_batch(it, byte_cap), EXTRACT_FULL_SCHEMA)
@@ -207,16 +220,20 @@ def run_extract(spark: SparkSession, src: str, dst: str, lineage_dst: str,
     pages = read_pages(spark, src)
     pages = pages.filter(F.col("html").isNotNull())
     pages = pages.select("url", "warc_ts", "html")
-    pages = dedup_latest(pages)
     pages = with_salt_bucket(pages, buckets)
 
     if resume:
         done = completed_buckets(spark, lineage_dst, run_id)
         if done is not None:
-            # tiny distinct bucket list → broadcast anti-join, no shuffle
+            # tiny distinct bucket list → broadcast anti-join BEFORE the
+            # shuffle: completed buckets never shuffle their html at all
             pages = pages.join(F.broadcast(done), "salt_bucket", "left_anti")
 
+    # single full-corpus shuffle: salt repartition; the dedup window then
+    # runs inside that partitioning (no second exchange — see
+    # dedup_latest_in_bucket)
     pages = pages.repartition(buckets, F.col("salt_bucket"))
+    pages = dedup_latest_in_bucket(pages)
     pages = pages.select("url", "html", "salt_bucket")
     extracted = (pages
                  .mapInPandas(lambda it: extract_batch(it, byte_cap),
@@ -260,7 +277,8 @@ def golden_diff(actual: DataFrame, expected: DataFrame) -> DataFrame:
 
 
 __all__ = [
-    "dedup_latest", "with_salt_bucket", "extract_batch", "run_extract_df",
+    "dedup_latest", "dedup_latest_in_bucket",
+    "with_salt_bucket", "extract_batch", "run_extract_df",
     "run_extract", "read_results", "lineage_rollup", "completed_buckets",
     "golden_diff", "EXTRACT_FULL_SCHEMA", "RESULT_COLS", "DEFAULT_BYTE_CAP",
 ]

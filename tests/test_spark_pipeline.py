@@ -123,6 +123,9 @@ def test_explain_has_pushdown_and_single_shuffle_chain(spark, fixture_dir):
     out = run_extract_df(pages, buckets=8)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "MapInPandas" in plan
+    # exactly ONE full-corpus shuffle: salt repartition; the dedup window
+    # must reuse that partitioning (no second Exchange)
+    assert plan.count("Exchange") == 1, plan
     scan_plan = (pages.filter(F.col("html").isNotNull())
                  .select("url", "warc_ts", "html")
                  ._jdf.queryExecution().executedPlan().toString())
