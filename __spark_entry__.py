@@ -262,6 +262,15 @@ def q_ann_lsh(spark, sf_dir):
     return ann_lsh(_t(spark, sf_dir, "embeddings"), n_queries=5, k=10)
 
 
+def q_pdf_extract(spark, sf_dir):
+    """north_rule "PDF/layout parse": documents → real Flate-compressed
+    PDFs → pure-stdlib text extraction; exact SQL oracle re-creates the
+    deterministic line wrapping."""
+    from mre.pdf import run_pdf_extract
+    _prep(spark)
+    return run_pdf_extract(_t(spark, sf_dir, "documents"))
+
+
 # --------------------------------------------------------------------------
 
 
@@ -289,6 +298,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dups": q_simhash_near_dups,
         "ann_brute_force": q_ann_brute_force,
         "ann_lsh": q_ann_lsh,
+        "pdf_extract": q_pdf_extract,
     }
 
 
@@ -486,6 +496,20 @@ def oracle_sql() -> dict[str, str]:
                 JOIN embeddings e ON e.vec_id != q.vec_id
                 WHERE q.vec_id < 5)
             WHERE rank <= 10
+        """,
+        "pdf_extract": """
+            WITH t AS (
+                SELECT doc_id, string_split(text, ' ') AS toks
+                FROM documents)
+            SELECT doc_id,
+                   array_to_string(
+                       list_transform(
+                           range(0, cast(ceil(len(toks) / 8.0) AS INT)),
+                           i -> array_to_string(
+                               toks[i * 8 + 1 : i * 8 + 8], ' ')),
+                       chr(10)) AS pdf_text,
+                   1 AS ok
+            FROM t
         """,
         # extract_flagship, minhash_near_dups, simhash_near_dups, ann_lsh:
         # non-SQL-expressible (DOM heuristics / xxhash64-based signatures /
