@@ -76,14 +76,27 @@ def _decode_hex(tok: bytes) -> str:
     return bytes.fromhex(h.decode("ascii")).decode("latin-1")
 
 
+_LENGTH_RX = re.compile(rb"/Length\s+(\d+)(?!\s+\d+\s+R)")
+
+
 def _content_streams(pdf: bytes) -> list[bytes]:
     out = []
     for m in _STREAM_RX.finditer(pdf):
         start = m.end()
-        end = pdf.find(_ENDSTREAM, start)
-        if end < 0:
-            continue
-        body = pdf[start:end].rstrip(b"\r\n")
+        lm = _LENGTH_RX.search(m.group(1))
+        if lm:  # literal /Length is authoritative
+            body = pdf[start:start + int(lm.group(1))]
+        else:
+            end = pdf.find(_ENDSTREAM, start)
+            if end < 0:
+                continue
+            body = pdf[start:end]
+            # strip exactly ONE trailing EOL (compressed bodies may
+            # legitimately end in 0x0A/0x0D — rstrip would corrupt them)
+            if body.endswith(b"\r\n"):
+                body = body[:-2]
+            elif body.endswith(b"\n") or body.endswith(b"\r"):
+                body = body[:-1]
         d = m.group(1)
         if b"/FlateDecode" in d:
             try:

@@ -74,9 +74,14 @@ def dedup_latest_in_bucket(pages: DataFrame) -> DataFrame:
 
 
 def with_salt_bucket(pages: DataFrame, buckets: int) -> DataFrame:
+    """salt_bucket = pmod(murmur3(url), B) — the SAME function
+    HashPartitioning uses, so after ``repartition(B, salt_bucket)`` every
+    bucket maps 1:1 onto a physical partition: perfect balance (no
+    hash-of-hash collisions leaving ~37% of partitions empty) and perfect
+    bucket↔output-file alignment for the resumable sink."""
     return pages.withColumn(
         "salt_bucket",
-        F.pmod(F.xxhash64(F.col("url")), F.lit(buckets)).cast("int"))
+        F.pmod(F.hash(F.col("url")), F.lit(buckets)).cast("int"))
 
 
 # --------------------------------------------------------------------------
@@ -150,6 +155,75 @@ def extract_batch(batches: Iterable[pd.DataFrame],
             gc.enable()
 
 
+def extract_batch_arrow(batches, byte_cap: int = DEFAULT_BYTE_CAP):
+    """mapInArrow body — same semantics as extract_batch but without the
+    Arrow↔pandas round-trip (the pandas block assembly for ~MB binary rows
+    is a measurable fraction of the framework cost at scale)."""
+    import gc
+
+    import pyarrow as pa
+
+    out_type = pa.schema([
+        pa.field("url", pa.string()),
+        pa.field("headline", pa.string()),
+        pa.field("pubdate", pa.timestamp("us")),
+        pa.field("authors", pa.list_(pa.string())),
+        pa.field("extracted_text", pa.string()),
+        pa.field("ok", pa.int32()),
+        pa.field("n_bytes_html", pa.int64()),
+        pa.field("wall_us", pa.int64()),
+        pa.field("salt_bucket", pa.int32()),
+    ])
+
+    gc_was_enabled = gc.isenabled()
+    gc.disable()
+    try:
+        for batch in batches:
+            urls = batch.column("url").to_pylist()
+            htmls = batch.column("html").to_pylist()
+            salts = batch.column("salt_bucket").to_pylist()
+            n = len(urls)
+            start = 0
+            while start < n:
+                acc, end = 0, start
+                while end < n:
+                    sz = len(htmls[end]) if htmls[end] is not None else 0
+                    if acc + sz > byte_cap and end > start:
+                        break
+                    acc += sz
+                    end += 1
+                cols = {k: [] for k in ("headline", "pubdate", "authors",
+                                        "extracted_text", "ok", "nb", "wu")}
+                for i in range(start, end):
+                    html = htmls[i]
+                    t0 = time.perf_counter_ns()
+                    r = extract_one(urls[i], html)
+                    cols["wu"].append(
+                        (time.perf_counter_ns() - t0) // 1000)
+                    cols["headline"].append(r.headline)
+                    cols["pubdate"].append(r.pubdate)
+                    cols["authors"].append(r.authors)
+                    cols["extracted_text"].append(r.extracted_text)
+                    cols["ok"].append(1 if r.ok else 0)
+                    cols["nb"].append(len(html) if html is not None else 0)
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(urls[start:end], pa.string()),
+                     pa.array(cols["headline"], pa.string()),
+                     pa.array(cols["pubdate"], pa.timestamp("us")),
+                     pa.array(cols["authors"], pa.list_(pa.string())),
+                     pa.array(cols["extracted_text"], pa.string()),
+                     pa.array(cols["ok"], pa.int32()),
+                     pa.array(cols["nb"], pa.int64()),
+                     pa.array(cols["wu"], pa.int64()),
+                     pa.array(salts[start:end], pa.int32())],
+                    schema=out_type)
+                gc.collect()
+                start = end
+    finally:
+        if gc_was_enabled:
+            gc.enable()
+
+
 def run_extract_df(pages: DataFrame, buckets: int,
                    byte_cap: int = DEFAULT_BYTE_CAP,
                    dedup: bool = True) -> DataFrame:
@@ -163,12 +237,14 @@ def run_extract_df(pages: DataFrame, buckets: int,
     pages = pages.filter(F.col("html").isNotNull())
     pages = pages.select("url", "warc_ts", "html")
     pages = with_salt_bucket(pages, buckets)
-    pages = pages.repartition(buckets, F.col("salt_bucket"))
+    # repartition by url: HashPartitioning places each row at
+    # pmod(hash(url), B) == its salt_bucket -> bucket == physical partition
+    pages = pages.repartition(buckets, F.col("url"))
     if dedup:
         pages = dedup_latest_in_bucket(pages)
     pages = pages.select("url", "html", "salt_bucket")
-    return pages.mapInPandas(
-        lambda it: extract_batch(it, byte_cap), EXTRACT_FULL_SCHEMA)
+    return pages.mapInArrow(
+        lambda it: extract_batch_arrow(it, byte_cap), EXTRACT_FULL_SCHEMA)
 
 
 # --------------------------------------------------------------------------
@@ -232,12 +308,12 @@ def run_extract(spark: SparkSession, src: str, dst: str, lineage_dst: str,
     # single full-corpus shuffle: salt repartition; the dedup window then
     # runs inside that partitioning (no second exchange — see
     # dedup_latest_in_bucket)
-    pages = pages.repartition(buckets, F.col("salt_bucket"))
+    pages = pages.repartition(buckets, F.col("url"))  # partition==bucket
     pages = dedup_latest_in_bucket(pages)
     pages = pages.select("url", "html", "salt_bucket")
     extracted = (pages
-                 .mapInPandas(lambda it: extract_batch(it, byte_cap),
-                              EXTRACT_FULL_SCHEMA)
+                 .mapInArrow(lambda it: extract_batch_arrow(it, byte_cap),
+                             EXTRACT_FULL_SCHEMA)
                  .withColumn("partition_id", F.spark_partition_id()))
 
     # write-then-commit: results land partitioned by bucket (idempotent via
@@ -277,7 +353,7 @@ def golden_diff(actual: DataFrame, expected: DataFrame) -> DataFrame:
 
 
 __all__ = [
-    "dedup_latest", "dedup_latest_in_bucket",
+    "dedup_latest", "dedup_latest_in_bucket", "extract_batch_arrow",
     "with_salt_bucket", "extract_batch", "run_extract_df",
     "run_extract", "read_results", "lineage_rollup", "completed_buckets",
     "golden_diff", "EXTRACT_FULL_SCHEMA", "RESULT_COLS", "DEFAULT_BYTE_CAP",

@@ -122,7 +122,7 @@ def test_explain_has_pushdown_and_single_shuffle_chain(spark, fixture_dir):
     pages = spark.read.parquet(f"{fixture_dir}/pages.parquet")
     out = run_extract_df(pages, buckets=8)
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "MapInPandas" in plan
+    assert "MapInArrow" in plan or "MapInPandas" in plan
     # exactly ONE full-corpus shuffle: salt repartition; the dedup window
     # must reuse that partitioning (no second Exchange)
     assert plan.count("Exchange") == 1, plan
