@@ -3,7 +3,8 @@
 ``entry(spark)`` — flagship: derive Common-Crawl-style pages
 deterministically from the sf0.001 ``documents`` table (doc_id-keyed
 fixture templates, FIXTURES.md) and run the full extraction pipeline
-(dedup → salt → mapInPandas extract), returning the EXTRACT_SCHEMA frame.
+(salt → single shuffle → in-bucket dedup → mapInArrow extract),
+returning the EXTRACT_SCHEMA frame.
 
 ``queries()`` — one entry per implemented operator (SURVEY.md §2A/§2B +
 mre.textops); ``oracle_sql()`` gives the DuckDB-equivalent SQL for every

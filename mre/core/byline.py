@@ -136,9 +136,13 @@ def byline_candidates(doc: Node) -> list[tuple[str, float, int]]:
     return out
 
 
-def extract_authors(doc: Node) -> list[str]:
-    """E12→E13 composed: best-cue author list (document order within cue)."""
+def extract_authors(doc: Node, jsonld=None) -> list[str]:
+    """E12→E13 composed: best-cue author list (document order within cue).
+    JSON-LD authors (E12b) outrank element/meta cues."""
     cands = byline_candidates(doc)
+    for meta in (jsonld or []):
+        if meta.authors:
+            cands.append((" and ".join(meta.authors), 7.0, -1))
     best: Optional[list[str]] = None
     best_key = (float("-inf"), 0)
     for raw, weight, order in cands:

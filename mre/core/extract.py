@@ -16,6 +16,7 @@ from .byline import extract_authors
 from .content import extract_text
 from .headline import score_headline
 from .htmlparse import parse_doc
+from .jsonld import extract_jsonld
 from .pubdate import pick_pubdate
 from .textutil import decode_html
 
@@ -44,9 +45,10 @@ def extract_one(url: str, html: Optional[bytes],
         # sanity: a usable page has a <body>-ish amount of structure
         if not doc.content:
             return ExtractResult(url, *_FAILED, ok=False)
-        headline, _h_node = score_headline(doc, url)
-        pubdate = pick_pubdate(doc, url, horizon=horizon)
-        authors = extract_authors(doc)
+        jsonld = extract_jsonld(doc)
+        headline, _h_node = score_headline(doc, url, jsonld=jsonld)
+        pubdate = pick_pubdate(doc, url, horizon=horizon, jsonld=jsonld)
+        authors = extract_authors(doc, jsonld=jsonld)
         body = extract_text(doc)
         if headline is None and pubdate is None and not authors \
                 and body is None:

@@ -40,6 +40,7 @@ class Candidate:
     value: str
     score: float = 0.0
     order: int = 0
+    base: float = 0.0  # node-less cue strength (og:title 2.5, JSON-LD 3.0)
     notes: list = field(default_factory=list)
 
 
@@ -69,8 +70,10 @@ def meta_title(doc: Node) -> Optional[str]:
     return None
 
 
-def headline_candidates(doc: Node) -> list[Candidate]:
-    """E4: h1..h4, headline-classed elements, og/twitter meta titles."""
+def headline_candidates(doc: Node,
+                        jsonld=None) -> list[Candidate]:
+    """E4: h1..h4, headline-classed elements, og/twitter meta titles,
+    JSON-LD article headlines (E7b)."""
     cands: list[Candidate] = []
     order = 0
     for node in doc.iter(*_CANDIDATE_TAGS):
@@ -85,7 +88,13 @@ def headline_candidates(doc: Node) -> list[Candidate]:
         order += 1
     mt = meta_title(doc)
     if mt:
-        cands.append(Candidate(None, mt, 0.0, order))
+        cands.append(Candidate(None, mt, 0.0, order, base=2.5))
+        order += 1
+    for meta in (jsonld or []):
+        if meta.headline:
+            cands.append(Candidate(None, meta.headline, 0.0, order,
+                                   base=3.0))
+            order += 1
     return cands
 
 
@@ -95,9 +104,10 @@ def _similarity(a: str, b: str) -> float:
     return SequenceMatcher(None, a.lower(), b.lower()).ratio()
 
 
-def score_headline(doc: Node, url: str) -> tuple[Optional[str], Optional[Node]]:
+def score_headline(doc: Node, url: str,
+                   jsonld=None) -> tuple[Optional[str], Optional[Node]]:
     """E5: additive scoring; returns (headline, winning element)."""
-    cands = headline_candidates(doc)
+    cands = headline_candidates(doc, jsonld)
     title = _title_text(doc)
     variants = title_variants(title)
     if not cands:
@@ -121,7 +131,7 @@ def score_headline(doc: Node, url: str) -> tuple[Optional[str], Optional[Node]]:
                     score -= 2.0
                     break
         else:
-            score += 2.5  # og:title/twitter:title are strong editorial cues
+            score += c.base  # og:title 2.5 / JSON-LD 3.0 editorial cues
 
         sim = max((_similarity(c.value, v) for v in variants), default=0.0)
         score += 3.0 * sim

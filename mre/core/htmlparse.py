@@ -61,6 +61,14 @@ from sys import intern as _intern  # noqa: E402
 _EMPTY_ATTRS: dict = {}  # shared by every attributeless Node (never mutated)
 
 
+def _is_ldjson(attrs) -> bool:
+    for k, v in attrs:
+        if k.lower() == "type" and v \
+                and "ld+json" in v.lower():
+            return True
+    return False
+
+
 class Node:
     """One element. ``content`` interleaves str (text runs) and Node children
     in document order, like lxml's text/tail but simpler to walk."""
@@ -177,6 +185,7 @@ class _SinkMixin:
         self.root = Node("#document")
         self.stack = [self.root]
         self._drop_depth = 0  # >0 while inside script/style/etc.
+        self._ld_capture: Optional[Node] = None  # open ld+json script
 
     def handle_starttag(self, tag: str, attrs) -> None:
         tag = _intern(tag.lower())
@@ -185,6 +194,14 @@ class _SinkMixin:
                 self._drop_depth += 1
             return
         if tag in _DROP_SUBTREES:
+            if tag == "script" and _is_ldjson(attrs):
+                # JSON-LD carries article metadata — keep as a leaf node
+                # whose text content is the raw JSON (E7b/E12 cues)
+                self._ld_capture = Node(
+                    tag, {k.lower(): (v or "") for k, v in attrs},
+                    self.stack[-1])
+                self.stack[-1].content.append(self._ld_capture)
+                return
             self._drop_depth = 1
             return
         implied = _IMPLIED_CLOSE.get(tag)
@@ -228,6 +245,10 @@ class _SinkMixin:
 
     def handle_endtag(self, tag: str) -> None:
         tag = tag.lower()
+        if self._ld_capture is not None:
+            if tag == "script":
+                self._ld_capture = None
+            return
         if self._drop_depth:
             if tag in _DROP_SUBTREES:
                 self._drop_depth -= 1
@@ -242,6 +263,9 @@ class _SinkMixin:
         # no match → ignored (recovery behavior)
 
     def handle_data(self, data: str) -> None:
+        if self._ld_capture is not None:
+            self._ld_capture.content.append(data)
+            return
         if self._drop_depth or not data:
             return
         self.stack[-1].content.append(data)
@@ -353,8 +377,14 @@ class _FastScanner(_SinkMixin):
             pos = m.end()
             raw = _RAW_END_RX.get(tag)
             if raw is not None and not selfclose:
-                # raw-text element (dropped subtree): skip to its end tag
+                # raw-text element: usually skipped, but JSON-LD scripts
+                # are kept as metadata leaf nodes (same as the sink path)
                 em = raw.search(s, pos)
+                body_end = em.start() if em else n
+                if tag == "script" and _is_ldjson(attrs):
+                    self.handle_starttag(tag, attrs)
+                    self.handle_data(s[pos:body_end])
+                    self.handle_endtag(tag)
                 pos = em.end() if em else n
                 continue
             if selfclose:

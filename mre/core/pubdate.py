@@ -177,7 +177,8 @@ _DEFAULT_HORIZON = _dt.date(2999, 12, 31)
 
 
 def pick_pubdate(doc: Node, url: str,
-                 horizon: Optional[_dt.date] = None) -> Optional[_dt.datetime]:
+                 horizon: Optional[_dt.date] = None,
+                 jsonld=None) -> Optional[_dt.datetime]:
     """E6→E11 composed: best publication datetime for the document."""
     horizon = horizon or _DEFAULT_HORIZON
     udate = url_date(url)
@@ -186,6 +187,13 @@ def pick_pubdate(doc: Node, url: str,
     # other cues for the time-of-day [PUB:pubdate early-exit, behavior-visible]
     cands = meta_dates(doc)
     cands.extend(elem_dates(doc))
+    for i, meta in enumerate(jsonld or []):
+        if meta.date_published is not None:
+            dt = meta.date_published
+            cands.append(DateCand(
+                FuzzyDate(dt.year, dt.month, dt.day),
+                FuzzyTime(dt.hour, dt.minute, dt.second, 0),
+                11.0, -len(jsonld or []) + i, "jsonld"))  # strongest cue
 
     def in_range(fd: FuzzyDate) -> bool:
         d = fd.date()

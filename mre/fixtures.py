@@ -69,9 +69,9 @@ TZ_UTC = dt.timezone.utc
 EPOCH = dt.datetime(2024, 1, 1, 0, 0, 0)
 
 _FAMILY_BANDS = [
-    (15, "F1"), (25, "F2"), (35, "F3"), (45, "F4"), (55, "F5"),
-    (70, "F6"), (75, "F7"), (85, "F8"), (95, "F9"), (98, "F10"),
-    (100, "F11"),
+    (15, "F1"), (25, "F2"), (35, "F3"), (45, "F4"), (50, "F5"),
+    (55, "F12"), (70, "F6"), (75, "F7"), (85, "F8"), (95, "F9"),
+    (98, "F10"), (100, "F11"),
 ]
 
 
@@ -124,6 +124,9 @@ def authors_of(doc_id: int) -> list[str]:
     if fam == "F10":
         return [f"{ACCENT_FIRST[doc_id % len(ACCENT_FIRST)]} "
                 f"{ACCENT_LAST[(doc_id * 3 + 2) % len(ACCENT_LAST)]}"]
+    if fam == "F12":
+        return [f"{FIRST_NAMES[(doc_id + 7) % len(FIRST_NAMES)]} "
+                f"{LAST_NAMES[(doc_id * 3 + 4) % len(LAST_NAMES)]}"]
     return []
 
 
@@ -134,7 +137,7 @@ def pub_dt_of(doc_id: int) -> Optional[dt.datetime]:
     d = dt.date(2024, 1, 1) + dt.timedelta(days=doc_id % 365)
     if fam == "F4":
         return dt.datetime(d.year, d.month, d.day)  # url date → midnight
-    if fam == "F5":
+    if fam in ("F5", "F12"):
         local_h, minute = 6 + doc_id % 12, doc_id % 60
         return dt.datetime(d.year, d.month, d.day, local_h - 2, minute)
     if fam in ("F6", "F11"):
@@ -269,6 +272,16 @@ def render_html(doc_id: int) -> str:
         byline_block = f"<p>By {authors[0]} and {authors[1]}</p>"
     elif fam == "F10":
         head_meta.append(f'<meta name="author" content="{authors[0]}">')
+    elif fam == "F12":
+        iso = (pub + dt.timedelta(hours=2)).strftime(
+            "%Y-%m-%dT%H:%M:%S+02:00")
+        ld = ('{"@context": "https://schema.org", "@type": "NewsArticle", '
+              + f'"headline": "{headline}", "datePublished": "{iso}", '
+              + '"author": {"@type": "Person", "name": "'
+              + authors[0] + '"}}')
+        head_meta.append(
+            f'<script type="application/ld+json">{ld}</script>')
+        headline_block = '<div class="kicker">From the newsroom</div>'
 
     body_paras = "\n".join(f"<p>{p}</p>" for p in paras)
 

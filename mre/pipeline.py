@@ -3,22 +3,30 @@
 
 Flagship flow (``run_extract``)::
 
-    read pages → filter → url-dedup (window) → salt by url-hash →
-    [resume anti-join vs lineage] → mapInPandas(extract_batch) →
+    read pages → filter → salt by url-hash →
+    [resume anti-join vs lineage, BEFORE the shuffle] →
+    repartition(B, url)  (the ONLY full-corpus shuffle) →
+    url-dedup window inside that partitioning →
+    mapInArrow(extract_batch_arrow) →
     write results (dynamic partition overwrite by salt_bucket) →
     lineage rollup append
 
-Scale notes (10^12 rows — SURVEY.md §4.3):
-* skew: ``salt_bucket = pmod(xxhash64(url), B)`` with B ≈ 4–8× total cores;
-  giant pages spread across buckets independent of url distribution.
+Scale notes (10^12 rows — SURVEY.md §4.3, §7.1):
+* skew/balance: ``salt_bucket = pmod(murmur3(url), B)`` — the identical
+  function HashPartitioning applies during ``repartition(B, url)``, so
+  bucket == physical partition 1:1: uniform load, one output file per
+  bucket, and B ≈ 4–8× total cores bounds per-task size.
+* single shuffle: the dedup window runs over (salt_bucket, url) inside
+  HashPartitioning(url) — Catalyst inserts no second exchange (plan test).
 * memory: the UDF re-chunks every incoming Arrow batch so that
   ``sum(len(html)) <= byte_cap`` (default 64 MB) before any parse runs, on
-  top of ``spark.sql.execution.arrow.maxRecordsPerBatch``.
+  top of ``spark.sql.execution.arrow.maxRecordsPerBatch``; cyclic GC is
+  disabled inside the UDF (memory-bandwidth scaling, §7.1).
 * resume: results are partitioned by salt_bucket and written with dynamic
   partition overwrite → re-processing a bucket is idempotent; a bucket
   counts as done only once its lineage row is appended (write-then-commit
   order), so a crash mid-run re-does at most the uncommitted buckets.
-* one JVM↔Python crossing per task (the Arrow pipe in mapInPandas); no
+* one JVM↔Python crossing per task (the Arrow pipe in mapInArrow); no
   collect()/driver loops anywhere.
 """
 

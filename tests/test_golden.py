@@ -35,7 +35,7 @@ def test_truncated_rows_are_all_null_and_failed():
 
 def test_every_family_covered():
     fams = {family_of(i) for i in range(100)}
-    assert fams == {f"F{i}" for i in range(1, 12)}
+    assert fams == {f"F{i}" for i in range(1, 13)}
 
 
 def test_never_raises_on_fuzz():
