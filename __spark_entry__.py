@@ -263,6 +263,18 @@ def q_ann_lsh(spark, sf_dir):
     return ann_lsh(_t(spark, sf_dir, "embeddings"), n_queries=5, k=10)
 
 
+def q_gopher_quality(spark, sf_dir):
+    from mre.textops import gopher_quality
+    _prep(spark)
+    return gopher_quality(_t(spark, sf_dir, "documents"))
+
+
+def q_cosine_dup_pairs(spark, sf_dir):
+    from mre.textops import cosine_dup_pairs
+    _prep(spark)
+    return cosine_dup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.3)
+
+
 def q_pdf_extract(spark, sf_dir):
     """north_rule "PDF/layout parse": documents → real Flate-compressed
     PDFs → pure-stdlib text extraction; exact SQL oracle re-creates the
@@ -300,6 +312,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_brute_force": q_ann_brute_force,
         "ann_lsh": q_ann_lsh,
         "pdf_extract": q_pdf_extract,
+        "gopher_quality": q_gopher_quality,
+        "cosine_dup_pairs": q_cosine_dup_pairs,
     }
 
 
@@ -497,6 +511,50 @@ def oracle_sql() -> dict[str, str]:
                 JOIN embeddings e ON e.vec_id != q.vec_id
                 WHERE q.vec_id < 5)
             WHERE rank <= 10
+        """,
+        "gopher_quality": r"""
+            WITH t AS (
+                SELECT doc_id, text,
+                       regexp_split_to_array(lower(trim(text)), '\s+')
+                           AS toks,
+                       length(regexp_replace(lower(trim(text)),
+                           '\s+', '', 'g')) AS n_ns
+                FROM documents),
+            m AS (
+                SELECT doc_id, text, n_ns,
+                       len(toks) AS n_words,
+                       greatest(len(toks), 1) AS n1,
+                       len(list_filter(toks, t -> regexp_matches(t,
+                           '[a-z]'))) AS n_alpha,
+                       len(list_filter(toks, t -> t IN ('the', 'be', 'to',
+                           'of', 'and', 'that', 'have', 'with')))
+                           AS n_stop,
+                       len(regexp_extract_all(text,
+                           '[#…•=+*^~|<>{}\\\\]')) AS n_sym
+                FROM t)
+            SELECT doc_id, n_words,
+                   round(n_ns / n1, 4) AS mean_word_len,
+                   (n_words >= 50 AND n_words <= 100000)::INT
+                       AS pass_word_count,
+                   (n_ns / n1 >= 3.0 AND n_ns / n1 <= 10.0)::INT
+                       AS pass_mean_word_len,
+                   (n_sym / n1 <= 0.1)::INT AS pass_symbol_ratio,
+                   (n_alpha / n1 >= 0.8)::INT AS pass_alpha_fraction,
+                   (n_stop >= 2)::INT AS pass_stopwords,
+                   ((n_words >= 50 AND n_words <= 100000)
+                    AND (n_ns / n1 >= 3.0 AND n_ns / n1 <= 10.0)
+                    AND (n_sym / n1 <= 0.1)
+                    AND (n_alpha / n1 >= 0.8)
+                    AND (n_stop >= 2))::INT AS keep
+            FROM m
+        """,
+        "cosine_dup_pairs": """
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   round(list_cosine_similarity(a.embedding::DOUBLE[],
+                       b.embedding::DOUBLE[]), 4) AS cosine
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
+                       b.embedding::DOUBLE[]), 4) >= 0.3
         """,
         "pdf_extract": """
             WITH t AS (

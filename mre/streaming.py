@@ -49,6 +49,75 @@ def streaming_extract(pages: DataFrame, buckets: int = 32,
             .mapInPandas(extract_batch, EXTRACT_FULL_SCHEMA))
 
 
+def sessionize_events(events: DataFrame, gap_minutes: int = 10,
+                      watermark: str = "30 minutes") -> DataFrame:
+    """Custom stateful streaming operator: gap-based sessionization per
+    user via ``applyInPandasWithState`` (the arbitrary-state API).
+
+    State per user = (session_start, last_ts, n_events, total_value); a
+    session closes when no event arrives within ``gap_minutes`` of the
+    last one (event-time timeout driven by the watermark). Emits one row
+    per closed session — the pattern for any custom stateful op the
+    built-in windowed aggregations can't express.
+    """
+    import datetime as dt
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import (GroupState,
+                                             GroupStateTimeout)
+
+    gap = dt.timedelta(minutes=gap_minutes)
+
+    out_schema = ("user_id bigint, session_start timestamp, "
+                  "session_end timestamp, n_events bigint, "
+                  "total_value double")
+    state_schema = ("session_start timestamp, last_ts timestamp, "
+                    "n_events bigint, total_value double")
+
+    def fn(key, pdfs, state: GroupState):
+        (user_id,) = key
+        if state.hasTimedOut:
+            start, last, n, total = state.get
+            state.remove()
+            yield pd.DataFrame([{
+                "user_id": user_id, "session_start": start,
+                "session_end": last, "n_events": n,
+                "total_value": float(total)}])
+            return
+        start = last = None
+        n, total = 0, 0.0
+        if state.exists:
+            start, last, n, total = state.get
+        closed = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("ts")
+            for ts, value in zip(pdf["ts"], pdf["value"]):
+                ts = ts.to_pydatetime()
+                if last is not None and ts - last > gap:
+                    closed.append({
+                        "user_id": user_id, "session_start": start,
+                        "session_end": last, "n_events": n,
+                        "total_value": float(total)})
+                    start, n, total = ts, 0, 0.0
+                if start is None:
+                    start = ts
+                last = ts
+                n += 1
+                total += float(value)
+        state.update((start, last, n, total))
+        state.setTimeoutTimestamp(int(
+            (last + gap).timestamp() * 1000))
+        if closed:
+            yield pd.DataFrame(closed)
+
+    return (events
+            .withWatermark("ts", watermark)
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                fn, out_schema, state_schema, "append",
+                GroupStateTimeout.EventTimeTimeout))
+
+
 def start_extract_stream(spark: SparkSession, src_dir: str, dst_dir: str,
                          checkpoint_dir: str, buckets: int = 32):
     """End-to-end streaming job; exactly-once via checkpoint + file sink.
@@ -63,4 +132,5 @@ def start_extract_stream(spark: SparkSession, src_dir: str, dst_dir: str,
             .start())
 
 
-__all__ = ["read_pages_stream", "streaming_extract", "start_extract_stream"]
+__all__ = ["read_pages_stream", "streaming_extract", "start_extract_stream",
+           "sessionize_events"]

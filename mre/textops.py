@@ -356,6 +356,63 @@ def ann_brute_force(embeddings: DataFrame, n_queries: int = 5,
                     "cosine", "rank"))
 
 
+def cosine_dup_pairs(embeddings: DataFrame,
+                     threshold: float = 0.3) -> DataFrame:
+    """Exact embedding-cosine near-dup pairs (vec_a < vec_b, cosine ≥ t).
+
+    O(n²) verifier — at corpus scale run it only on LSH-bucket candidates
+    (``ann_lsh``'s bucket join produces exactly that restriction)."""
+    a = embeddings.select(F.col("vec_id").alias("vec_a"),
+                          F.col("embedding").alias("emb_a"))
+    b = embeddings.select(F.col("vec_id").alias("vec_b"),
+                          F.col("embedding").alias("emb_b"))
+    return (a.join(b, F.col("vec_a") < F.col("vec_b"))
+            .withColumn("cosine", F.round(_cosine_expr("emb_a", "emb_b"), 4))
+            .filter(F.col("cosine") >= threshold)
+            .select("vec_a", "vec_b", "cosine"))
+
+
+# --------------------------------------------------------------------------
+# Gopher-style document quality rules (pure built-ins; SQL-oracle-able)
+
+_GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality(docs: DataFrame) -> DataFrame:
+    """Gopher/Dolma-family quality filter rules over raw text, JVM-side:
+    word-count window, mean-word-length window, symbol-to-word ratio,
+    alpha-word fraction, stopword floor; ``keep`` = all rules pass."""
+    toks = tokens_col()
+    n_words = F.size(toks)
+    n1 = F.greatest(n_words, F.lit(1))
+    n_chars_ns = F.length(F.regexp_replace(
+        F.lower(F.trim(F.col("text"))), _WS_SPLIT, ""))
+    mean_wl = n_chars_ns / n1
+    n_sym = F.size(F.regexp_extract_all(
+        F.col("text"), F.lit(r"[#…•=+*^~|<>{}\\]"), 0))
+    n_alpha_words = F.size(F.filter(
+        toks, lambda t: t.rlike("[a-z]")))
+    n_stop = F.size(F.filter(
+        toks, lambda t: t.isin(*_GOPHER_STOPWORDS)))
+    rule_wc = (n_words >= 50) & (n_words <= 100000)
+    rule_mwl = (mean_wl >= 3.0) & (mean_wl <= 10.0)
+    rule_sym = (n_sym / n1) <= 0.1
+    rule_alpha = (n_alpha_words / n1) >= 0.8
+    rule_stop = n_stop >= 2
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        F.round(mean_wl, 4).alias("mean_word_len"),
+        rule_wc.cast("int").alias("pass_word_count"),
+        rule_mwl.cast("int").alias("pass_mean_word_len"),
+        rule_sym.cast("int").alias("pass_symbol_ratio"),
+        rule_alpha.cast("int").alias("pass_alpha_fraction"),
+        rule_stop.cast("int").alias("pass_stopwords"),
+        (rule_wc & rule_mwl & rule_sym & rule_alpha & rule_stop)
+        .cast("int").alias("keep"),
+    )
+
+
 def _hyperplanes(n_planes: int, dim: int) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes (LCG; no RNG state)."""
     planes = []
@@ -407,5 +464,6 @@ __all__ = [
     "token_stats", "quality_score", "lang_id", "fingerprint", "exact_dedup",
     "shingles", "jaccard_pairs", "minhash_signatures", "minhash_candidates",
     "minhash_near_dups", "simhash", "simhash_near_dups", "ann_brute_force",
-    "ann_lsh", "LANG_MARKERS", "MERSENNE31",
+    "ann_lsh", "cosine_dup_pairs", "gopher_quality", "LANG_MARKERS",
+    "MERSENNE31",
 ]
