@@ -83,8 +83,9 @@ _WS_RX = re.compile(r"\s+")
 
 def collapse_ws(s: str) -> str:
     """Whitespace runs → single space, stripped (the reference normalizes
-    candidate text this way before scoring [PUB:util])."""
-    return _WS_RX.sub(" ", s).strip()
+    candidate text this way before scoring [PUB:util]). str.split is the
+    C-level fast path — equivalent to the regex for all whitespace."""
+    return " ".join(s.split())
 
 
 def render_text(node: Node) -> str:
