@@ -275,6 +275,12 @@ def q_cosine_dup_pairs(spark, sf_dir):
     return cosine_dup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.3)
 
 
+def q_winnow_dups(spark, sf_dir):
+    from mre.textops import winnow_dup_pairs
+    _prep(spark)
+    return winnow_dup_pairs(_t(spark, sf_dir, "documents"))
+
+
 def q_pdf_extract(spark, sf_dir):
     """north_rule "PDF/layout parse": documents → real Flate-compressed
     PDFs → pure-stdlib text extraction; exact SQL oracle re-creates the
@@ -313,6 +319,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,
         "pdf_extract": q_pdf_extract,
         "gopher_quality": q_gopher_quality,
+        "winnow_dup_pairs": q_winnow_dups,
         "cosine_dup_pairs": q_cosine_dup_pairs,
     }
 

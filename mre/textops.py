@@ -151,6 +151,40 @@ def fingerprint(docs: DataFrame) -> DataFrame:
         F.md5(F.lower(F.trim(F.col("text")))).alias("fingerprint"))
 
 
+def winnow_fingerprints(docs: DataFrame, k: int = 8,
+                        window: int = 4) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken):
+    char k-gram rolling hashes → per-window minima → distinct fingerprint
+    set. Fully JVM-side (xxhash64 over substring k-grams + higher-order
+    array ops); two docs sharing any fingerprint share a k-char run, so a
+    fingerprint-exploded equi-join finds copied passages sub-quadratically."""
+    norm = F.lower(F.trim(F.col("text")))
+    return (docs
+            .withColumn("t", F.regexp_replace(norm, _WS_SPLIT, " "))
+            .filter(F.length("t") >= k + window)
+            .select("doc_id", F.expr(
+                f"array_distinct(transform("
+                f"sequence(0, length(t) - {k} - {window}),"
+                f" j -> array_min(transform(sequence(j, j + {window} - 1),"
+                f" i -> xxhash64(substring(t, i + 1, {k}))))))")
+                .alias("fingerprints")))
+
+
+def winnow_dup_pairs(docs: DataFrame, k: int = 8, window: int = 4,
+                     min_shared: int = 3) -> DataFrame:
+    """Docs sharing ≥ min_shared winnowing fingerprints (passage-level
+    near-dup) via explode + equi-join."""
+    fps = winnow_fingerprints(docs, k, window).select(
+        "doc_id", F.explode("fingerprints").alias("fp"))
+    a, b = fps.alias("a"), fps.alias("b")
+    return (a.join(b, (F.col("a.fp") == F.col("b.fp"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .groupBy(F.col("a.doc_id").alias("doc_a"),
+                     F.col("b.doc_id").alias("doc_b"))
+            .agg(F.count("*").alias("n_shared"))
+            .filter(F.col("n_shared") >= min_shared))
+
+
 def exact_dedup(docs: DataFrame) -> DataFrame:
     """Hash-groupBy exact dedup: one keeper (min doc_id) per distinct
     normalized text + the copy count. Single shuffle on the digest."""
@@ -464,6 +498,7 @@ __all__ = [
     "token_stats", "quality_score", "lang_id", "fingerprint", "exact_dedup",
     "shingles", "jaccard_pairs", "minhash_signatures", "minhash_candidates",
     "minhash_near_dups", "simhash", "simhash_near_dups", "ann_brute_force",
-    "ann_lsh", "cosine_dup_pairs", "gopher_quality", "LANG_MARKERS",
+    "ann_lsh", "cosine_dup_pairs", "gopher_quality", "winnow_fingerprints",
+    "winnow_dup_pairs", "LANG_MARKERS",
     "MERSENNE31",
 ]

@@ -111,3 +111,17 @@ def test_lang_id_priority_tiebreak(spark):
         ["doc_id", "text"])
     out = {r["doc_id"]: r["pred_lang"] for r in lang_id(pdf).collect()}
     assert out == {1: "en", 2: "fr", 3: "und", 4: "de"}
+
+
+def test_winnow_fingerprints_and_pairs(spark, docs_with_dups):
+    from mre.textops import winnow_dup_pairs, winnow_fingerprints
+    fps = {r["doc_id"]: r["fingerprints"]
+           for r in winnow_fingerprints(docs_with_dups).collect()}
+    base_ids = [d for d in fps if d < 10000]
+    # identical text → identical fingerprint sets
+    for i in base_ids:
+        assert fps[i] == fps[i + 20000]
+    # exact copies share all fingerprints → pairs found
+    pairs = winnow_dup_pairs(docs_with_dups, min_shared=3)
+    found = {(r["doc_a"], r["doc_b"]) for r in pairs.collect()}
+    assert {(i, i + 20000) for i in base_ids} <= found
