@@ -69,6 +69,7 @@ def run_bench(spark, sf_dir: str) -> dict:
 
 
 SCALING_N = int(os.environ.get("SPARK_GRAFT_SCALING_N", "50000"))
+SCALING_RUNS = int(os.environ.get("SPARK_GRAFT_SCALING_RUNS", "3"))
 
 
 def _scaling_corpus() -> str:
@@ -101,7 +102,7 @@ def scaling_run(_sf_dir: str) -> dict:
 
             job()  # warm-up: JIT + python worker spawn
             runs = []
-            for _ in range(3):
+            for _ in range(SCALING_RUNS):
                 t0 = time.perf_counter()
                 n = job()
                 runs.append(time.perf_counter() - t0)
@@ -162,13 +163,13 @@ Protocol (BASELINE.md): identical corpus ({SCALING_N} deterministic
 heavy-tailed fixture pages, FIXTURES.md spec), identical job (salted
 repartition → in-bucket url-dedup window → mapInPandas extract, 128 salt
 buckets in every run), only the local[] parallelism differs; 1 warm-up +
-3 timed runs, best (see note).
+N timed runs (default 3), best (see note).
 
-Best-of-3 is used because interference on a shared VM is strictly
+Best-of-N is used because interference on a shared VM is strictly
 one-sided (a contended run is only ever slower); all three raw timings are
 recorded in BENCH_r*.json.
 
-| config | docs | sec (best of 3) | docs/sec |
+| config | docs | sec (best of N) | docs/sec |
 |---|---|---|---|
 | local[2]  | {p2['docs']} | {p2['sec_best']} | {p2['docs_per_sec']} |
 | local[8]  | {p8['docs']} | {p8['sec_best']} | {p8['docs_per_sec']} |
