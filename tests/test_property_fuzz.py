@@ -1,0 +1,81 @@
+"""Property-based robustness (hypothesis): the extraction core must never
+raise on arbitrary bytes/text, and invariants must hold on random inputs.
+SURVEY.md §5.2 layer 5."""
+
+import datetime as dt
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from mre.core.extract import extract_one
+from mre.core.fuzzydate import parse_date, parse_time
+from mre.core.htmlparse import parse_doc
+from mre.core.pdftext import extract_pdf_text
+from mre.core.textutil import collapse_ws, decode_html
+
+SETTINGS = dict(max_examples=200, deadline=None)
+
+
+@given(st.binary(max_size=4096))
+@settings(**SETTINGS)
+def test_decode_html_total(b):
+    out = decode_html(b)
+    assert isinstance(out, str)
+
+
+@given(st.text(max_size=2048))
+@settings(**SETTINGS)
+def test_parse_doc_total(s):
+    doc = parse_doc(s)
+    assert doc.tag == "#document"
+    # text content of the tree never exceeds input length by more than
+    # entity expansion allows (sanity bound, not exact)
+    assert len(doc.text_content()) <= 8 * max(len(s), 1)
+
+
+@given(st.text(max_size=300))
+@settings(**SETTINGS)
+def test_parse_date_total_and_valid(s):
+    fd = parse_date(s)
+    if fd is not None:
+        if fd.month is not None:
+            assert 1 <= fd.month <= 12
+        if fd.day is not None:
+            assert 1 <= fd.day <= 31
+        d = fd.date()
+        if d is not None:
+            assert isinstance(d, dt.date)
+
+
+@given(st.text(max_size=300))
+@settings(**SETTINGS)
+def test_parse_time_total_and_valid(s):
+    ft = parse_time(s)
+    if ft is not None:
+        assert 0 <= ft.hour <= 23
+        assert ft.minute is None or 0 <= ft.minute <= 59
+
+
+@given(st.binary(max_size=4096))
+@settings(**SETTINGS)
+def test_extract_one_total(b):
+    r = extract_one("https://fuzz.example/a/1", b)
+    assert r.url == "https://fuzz.example/a/1"
+    if not r.ok:
+        assert r.headline is None and r.extracted_text is None
+
+
+@given(st.binary(max_size=2048))
+@settings(**SETTINGS)
+def test_pdf_total(b):
+    out = extract_pdf_text(b)
+    assert out is None or isinstance(out, str)
+
+
+@given(st.text(max_size=500))
+@settings(**SETTINGS)
+def test_collapse_ws_idempotent(s):
+    once = collapse_ws(s)
+    assert collapse_ws(once) == once
+    assert "  " not in once and not once.startswith(" ") \
+        and not once.endswith(" ")
