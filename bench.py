@@ -56,6 +56,8 @@ def run_bench(spark, sf_dir: str) -> dict:
     qs = entrymod.queries()
     times: dict[str, float] = {}
     extra: dict[str, float] = {}
+    # warm-up: spawn python workers + JIT before any query is timed
+    qs["extract_flagship"](spark, "/root/testdata/sf0.001").count()
     for name in BENCH_QUERIES:
         t0 = time.perf_counter()
         df = qs[name](spark, sf_dir)
