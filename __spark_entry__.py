@@ -172,6 +172,14 @@ def q_rollup_docs(spark, sf_dir):
                  F.sum("n_chars").alias("total_chars")))
 
 
+def q_cube_docs(spark, sf_dir):
+    _prep(spark)
+    d = _t(spark, sf_dir, "documents")
+    return (d.cube("lang", "source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.max("n_chars").alias("max_chars")))
+
+
 def q_anti_join(spark, sf_dir):
     _prep(spark)
     d = _t(spark, sf_dir, "documents")
@@ -200,6 +208,15 @@ def q_events_daily(spark, sf_dir):
 
 # --------------------------------------------------------------------------
 # training-data ops (mre.textops) over documents / embeddings
+
+
+def q_event_stats(spark, sf_dir):
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events")
+    return (ev.groupBy("event_type")
+            .agg(F.countDistinct("user_id").alias("n_users"),
+                 F.round(F.median("value"), 3).alias("median_value"),
+                 F.round(F.stddev_pop("value"), 3).alias("sd_value")))
 
 
 def q_token_stats(spark, sf_dir):
@@ -304,9 +321,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_running": q_window_running,
         "topk_docs": q_topk_docs,
         "rollup_docs": q_rollup_docs,
+        "cube_docs": q_cube_docs,
         "anti_join": q_anti_join,
         "set_except": q_set_except,
         "events_daily": q_events_daily,
+        "event_stats": q_event_stats,
         "token_stats": q_token_stats,
         "quality_score": q_quality,
         "lang_id": q_lang_id,
@@ -387,6 +406,11 @@ def oracle_sql() -> dict[str, str]:
                    sum(n_chars) AS total_chars
             FROM documents GROUP BY ROLLUP (lang, source)
         """,
+        "cube_docs": """
+            SELECT lang, source, count(*) AS n_docs,
+                   max(n_chars) AS max_chars
+            FROM documents GROUP BY CUBE (lang, source)
+        """,
         "anti_join": """
             SELECT doc_id, lang, n_chars FROM documents
             WHERE doc_id NOT IN (SELECT DISTINCT user_id FROM events)
@@ -401,6 +425,13 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events,
                    round(sum(value), 2) AS total_value
             FROM events GROUP BY 1, 2
+        """,
+        "event_stats": """
+            SELECT event_type,
+                   count(DISTINCT user_id) AS n_users,
+                   round(median(value), 3) AS median_value,
+                   round(stddev_pop(value), 3) AS sd_value
+            FROM events GROUP BY event_type
         """,
         "token_stats": r"""
             SELECT doc_id,
