@@ -61,14 +61,6 @@ from sys import intern as _intern  # noqa: E402
 _EMPTY_ATTRS: dict = {}  # shared by every attributeless Node (never mutated)
 
 
-def _is_ldjson(attrs) -> bool:
-    for k, v in attrs:
-        if k.lower() == "type" and v \
-                and "ld+json" in v.lower():
-            return True
-    return False
-
-
 class Node:
     """One element. ``content`` interleaves str (text runs) and Node children
     in document order, like lxml's text/tail but simpler to walk."""
@@ -189,17 +181,31 @@ class _SinkMixin:
 
     def handle_starttag(self, tag: str, attrs) -> None:
         tag = _intern(tag.lower())
+        if attrs:
+            attrib = {}
+            for k, v in attrs:
+                k = _intern(k.lower())
+                if k not in attrib:  # first occurrence wins, like libxml2
+                    attrib[k] = v if v is not None else ""
+        else:
+            attrib = None
+        self._start_node(tag, attrib)
+
+    def _start_node(self, tag: str, attrib) -> None:
+        """Shared start logic; ``attrib`` is a prebuilt dict or None.
+        Dicts may be SHARED between nodes with identical attribute strings
+        (the scanner memoizes them) — Node.attrib is read-only by
+        convention throughout the extraction stages."""
         if self._drop_depth:
             if tag in _DROP_SUBTREES and tag not in VOID_ELEMENTS:
                 self._drop_depth += 1
             return
         if tag in _DROP_SUBTREES:
-            if tag == "script" and _is_ldjson(attrs):
+            if tag == "script" and attrib \
+                    and "ld+json" in (attrib.get("type") or "").lower():
                 # JSON-LD carries article metadata — keep as a leaf node
                 # whose text content is the raw JSON (E7b/E12 cues)
-                self._ld_capture = Node(
-                    tag, {k.lower(): (v or "") for k, v in attrs},
-                    self.stack[-1])
+                self._ld_capture = Node(tag, attrib, self.stack[-1])
                 self.stack[-1].content.append(self._ld_capture)
                 return
             self._drop_depth = 1
@@ -217,14 +223,6 @@ class _SinkMixin:
                 if t in ("div", "section", "article", "td", "th", "body",
                          "html"):
                     break
-        if attrs:
-            attrib = {}
-            for k, v in attrs:
-                k = _intern(k.lower())
-                if k not in attrib:  # first occurrence wins, like libxml2
-                    attrib[k] = v if v is not None else ""
-        else:
-            attrib = None  # Node shares one empty dict — fewer allocations
         node = Node(tag, attrib, self.stack[-1])
         self.stack[-1].content.append(node)
         if tag not in VOID_ELEMENTS:
@@ -315,6 +313,10 @@ class _FastScanner(_SinkMixin):
         find = s.find
         pos = 0
         data = self.handle_data
+        # attr strings repeat heavily (boilerplate classes) — share one
+        # read-only dict per distinct string: fewer allocations = less
+        # memory-bandwidth pressure at high worker counts (SURVEY §7.1)
+        attr_memo: dict = {}
         while pos < n:
             lt = find("<", pos)
             if lt < 0:
@@ -359,21 +361,30 @@ class _FastScanner(_SinkMixin):
             attr_str = m.group(2)
             selfclose = bool(m.group(3))
             if attr_str and not attr_str.isspace():
-                attrs = []
-                for am in _ATTR_RX.finditer(attr_str):
-                    v = am.group(2)
-                    if v is None:
-                        v = am.group(3)
-                    if v is None:
-                        v = am.group(4)
-                    if v:
-                        if "&" in v:
-                            v = unescape(v)
-                    else:
-                        v = ""
-                    attrs.append((am.group(1), v))
+                attrib = attr_memo.get(attr_str)
+                if attrib is None:
+                    attrib = {}
+                    for am in _ATTR_RX.finditer(attr_str):
+                        k = _intern(am.group(1).lower())
+                        if k in attrib:
+                            continue  # first occurrence wins
+                        v = am.group(2)
+                        if v is None:
+                            v = am.group(3)
+                        if v is None:
+                            v = am.group(4)
+                        if v:
+                            if "&" in v:
+                                v = unescape(v)
+                        else:
+                            v = ""
+                        attrib[k] = v
+                    if len(attr_memo) > 8192:  # bound per-doc memo memory
+                        attr_memo.clear()
+                    attr_memo[attr_str] = attrib
             else:
-                attrs = []
+                attrib = None
+            tag = _intern(tag)
             pos = m.end()
             raw = _RAW_END_RX.get(tag)
             if raw is not None and not selfclose:
@@ -381,16 +392,21 @@ class _FastScanner(_SinkMixin):
                 # are kept as metadata leaf nodes (same as the sink path)
                 em = raw.search(s, pos)
                 body_end = em.start() if em else n
-                if tag == "script" and _is_ldjson(attrs):
-                    self.handle_starttag(tag, attrs)
+                if tag == "script" and attrib \
+                        and "ld+json" in (attrib.get("type") or "").lower():
+                    self._start_node(tag, attrib)
                     self.handle_data(s[pos:body_end])
                     self.handle_endtag(tag)
                 pos = em.end() if em else n
                 continue
             if selfclose:
-                self.handle_startendtag(tag, attrs)
+                if tag in _DROP_SUBTREES:
+                    continue  # self-closed script/style etc: nothing kept
+                self._start_node(tag, attrib)
+                if tag not in VOID_ELEMENTS:
+                    self.handle_endtag(tag)
             else:
-                self.handle_starttag(tag, attrs)
+                self._start_node(tag, attrib)
 
 
 def parse_doc(html: str) -> Node:
