@@ -197,6 +197,25 @@ def q_set_except(spark, sf_dir):
     return d.distinct().exceptAll(ev.distinct())
 
 
+def q_set_intersect(spark, sf_dir):
+    _prep(spark)
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("doc_id"))
+    return d.distinct().intersect(ev.distinct())
+
+
+def q_full_outer(spark, sf_dir):
+    _prep(spark)
+    d = (_t(spark, sf_dir, "documents")
+         .groupBy("doc_id").agg(F.count("*").alias("n_docs")))
+    ev = (_t(spark, sf_dir, "events")
+          .groupBy(F.col("user_id").alias("doc_id"))
+          .agg(F.count("*").alias("n_events")))
+    return (d.join(ev, "doc_id", "full_outer")
+            .select("doc_id", "n_docs", "n_events"))
+
+
 def q_events_daily(spark, sf_dir):
     _prep(spark)
     ev = _t(spark, sf_dir, "events")
@@ -324,6 +343,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_docs": q_cube_docs,
         "anti_join": q_anti_join,
         "set_except": q_set_except,
+        "set_intersect": q_set_intersect,
+        "full_outer": q_full_outer,
         "events_daily": q_events_daily,
         "event_stats": q_event_stats,
         "token_stats": q_token_stats,
@@ -419,6 +440,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT doc_id FROM documents
             EXCEPT
             SELECT DISTINCT user_id AS doc_id FROM events
+        """,
+        "set_intersect": """
+            SELECT DISTINCT doc_id FROM documents
+            INTERSECT
+            SELECT DISTINCT user_id AS doc_id FROM events
+        """,
+        "full_outer": """
+            WITH d AS (SELECT doc_id, count(*) AS n_docs
+                       FROM documents GROUP BY doc_id),
+                 e AS (SELECT user_id AS doc_id, count(*) AS n_events
+                       FROM events GROUP BY user_id)
+            SELECT coalesce(d.doc_id, e.doc_id) AS doc_id,
+                   n_docs, n_events
+            FROM d FULL OUTER JOIN e ON d.doc_id = e.doc_id
         """,
         "events_daily": """
             SELECT date_trunc('day', ts) AS day, event_type,

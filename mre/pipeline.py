@@ -280,6 +280,12 @@ def lineage_rollup(results: DataFrame, run_id: str) -> DataFrame:
 
 def completed_buckets(spark: SparkSession, lineage_dst: str,
                       run_id: str) -> Optional[DataFrame]:
+    # cheap existence probe first: avoids a scary (but harmless)
+    # FileNotFoundException WARN in the Spark log on the very first run
+    if not lineage_dst.startswith("iceberg:"):
+        import os
+        if not os.path.exists(lineage_dst):
+            return None
     try:
         lin = read_table(spark, lineage_dst)
     except Exception:
