@@ -77,7 +77,7 @@ SCALING_RUNS = int(os.environ.get("SPARK_GRAFT_SCALING_RUNS", "3"))
 def _scaling_corpus() -> str:
     """Seed-free deterministic 50k-page corpus (BASELINE.md 'sandbox
     corpus' row), generated once and reused."""
-    d = os.path.join(REPO, "BENCH", f"corpus_v2_n{SCALING_N}")
+    d = os.path.join(REPO, "BENCH", f"corpus_v3_n{SCALING_N}")
     marker = os.path.join(d, "pages.parquet")
     if not os.path.exists(marker):
         from mre.fixtures import write_fixture_parquet

@@ -95,6 +95,21 @@ def byline_candidates(doc: Node) -> list[tuple[str, float, int]]:
                 out.append((txt, 6.0, order))
                 order += 1
             continue
+        # schema.org microdata: itemprop="author" (Person), name nested
+        if (node.get("itemprop") or "").lower() == "author":
+            names = [collapse_ws(f.text_content()) for f in node.iter()
+                     if f is not node
+                     and (f.get("itemprop") or "").lower() == "name"]
+            names = [t for t in names if t]
+            if names:
+                out.append((" and ".join(names), 5.5, order))
+            else:
+                txt = collapse_ws(node.get("content")
+                                  or node.text_content())
+                if txt and len(txt) < 200:
+                    out.append((txt, 5.0, order))
+            order += 1
+            continue
         cid = node.class_id
         if _AUTHOR_CLASS_RX.search(cid) and not _NEG_AUTHOR_CLASS_RX.search(cid):
             # prefer an .fn descendant (hAtom) over the whole element text

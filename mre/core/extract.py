@@ -35,8 +35,11 @@ _FAILED = (None, None, None, None)
 
 
 def extract_one(url: str, html: Optional[bytes],
-                horizon: Optional[_dt.date] = None) -> ExtractResult:
-    """One page → (headline, pubdate, authors, extracted_text); never raises."""
+                horizon: Optional[_dt.date] = None,
+                capture_ts: Optional[_dt.datetime] = None) -> ExtractResult:
+    """One page → (headline, pubdate, authors, extracted_text); never
+    raises. ``capture_ts`` (the crawl's warc_ts) anchors relative
+    datelines ("3 hours ago") — never the wall clock."""
     if html is None or len(html) == 0:
         return ExtractResult(url, *_FAILED, ok=False)
     try:
@@ -47,7 +50,8 @@ def extract_one(url: str, html: Optional[bytes],
             return ExtractResult(url, *_FAILED, ok=False)
         jsonld = extract_jsonld(doc)
         headline, _h_node = score_headline(doc, url, jsonld=jsonld)
-        pubdate = pick_pubdate(doc, url, horizon=horizon, jsonld=jsonld)
+        pubdate = pick_pubdate(doc, url, horizon=horizon, jsonld=jsonld,
+                               capture_ts=capture_ts)
         authors = extract_authors(doc, jsonld=jsonld)
         body = extract_text(doc)
         if headline is None and pubdate is None and not authors \

@@ -276,6 +276,35 @@ def parse_time(s: str) -> Optional[FuzzyTime]:
     return None
 
 
+_RELATIVE_RX = re.compile(
+    r"\b(?:(?P<n>\d{1,3})|an?)\s+"
+    r"(?P<unit>second|sec|minute|min|hour|hr|day|week)s?\s+ago\b", re.I)
+_REL_WORD_RX = re.compile(r"\b(just now|moments ago|yesterday|today)\b", re.I)
+_REL_UNIT_SECONDS = {"second": 1, "sec": 1, "minute": 60, "min": 60,
+                     "hour": 3600, "hr": 3600, "day": 86400,
+                     "week": 7 * 86400}
+
+
+def parse_relative(s: str) -> Optional[_dt.timedelta]:
+    """Relative date cue ("3 hours ago", "yesterday") → timedelta before
+    the reference instant (the crawl capture time in the pipeline); None
+    when no relative cue exists. Never uses the wall clock."""
+    if not s:
+        return None
+    m = _RELATIVE_RX.search(s)
+    if m:
+        n = int(m.group("n")) if m.group("n") else 1
+        return _dt.timedelta(
+            seconds=n * _REL_UNIT_SECONDS[m.group("unit").lower()])
+    m = _REL_WORD_RX.search(s)
+    if m:
+        word = m.group(1).lower()
+        if word in ("just now", "moments ago", "today"):
+            return _dt.timedelta(0)
+        return _dt.timedelta(days=1)  # yesterday
+    return None
+
+
 def parse_iso_datetime(s: str) -> Optional[_dt.datetime]:
     """Strict-ish ISO-8601 datetime → **UTC-naive** datetime (tz applied then
     dropped), for meta tags like article:published_time (E7)."""

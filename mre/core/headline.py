@@ -82,9 +82,12 @@ def headline_candidates(doc: Node,
             continue
         is_heading = node.tag in ("h1", "h2", "h3", "h4")
         classed = bool(_POS_CLASS_RX.search(node.class_id))
-        if not (is_heading or classed):
+        # schema.org microdata: itemprop="headline" is an explicit label
+        itemprop = (node.get("itemprop") or "").lower() == "headline"
+        if not (is_heading or classed or itemprop):
             continue
-        cands.append(Candidate(node, txt, 0.0, order))
+        cands.append(Candidate(node, txt, 0.0, order,
+                               base=2.0 if itemprop else 0.0))
         order += 1
     mt = meta_title(doc)
     if mt:
@@ -118,7 +121,7 @@ def score_headline(doc: Node, url: str,
 
     best: Optional[Candidate] = None
     for c in cands:
-        score = 0.0
+        score = c.base  # node-less cue strength / itemprop bonus
         if c.node is not None:
             score += _TAG_SCORE.get(c.node.tag, 0.0)
             cid = c.node.class_id
@@ -130,8 +133,8 @@ def score_headline(doc: Node, url: str,
                 if _NEG_CLASS_RX.search(anc.class_id):
                     score -= 2.0
                     break
-        else:
-            score += c.base  # og:title 2.5 / JSON-LD 3.0 editorial cues
+        # (node-less cues — og:title 2.5 / JSON-LD 3.0 — carry their
+        # strength entirely in c.base, already added above)
 
         sim = max((_similarity(c.value, v) for v in variants), default=0.0)
         score += 3.0 * sim

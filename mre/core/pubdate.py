@@ -156,6 +156,24 @@ def elem_dates(doc: Node) -> list[DateCand]:
                     7.0, order, "hatom"))
                 order += 1
             continue
+        itemprop = (node.get("itemprop") or "").lower()
+        if itemprop in ("datepublished", "datecreated"):
+            # microdata on a non-<time> element: content attr, then text
+            src = node.get("content") or collapse_ws(node.text_content())
+            dt = parse_iso_datetime(src)
+            if dt is not None:
+                out.append(DateCand(
+                    FuzzyDate(dt.year, dt.month, dt.day),
+                    FuzzyTime(dt.hour, dt.minute, dt.second, 0),
+                    8.0, order, "microdata"))
+                order += 1
+                continue
+            fd = parse_date(src)
+            if fd is not None and not fd.empty():
+                out.append(DateCand(fd, parse_time(src), 6.0, order,
+                                    "microdata"))
+                order += 1
+                continue
         if _DATE_CLASS_RX.search(node.class_id):
             txt = collapse_ws(node.text_content())
             if len(txt) > 120:  # long text blobs aren't datelines
@@ -176,9 +194,28 @@ _MIN_DATE = _dt.date(1990, 1, 1)
 _DEFAULT_HORIZON = _dt.date(2999, 12, 31)
 
 
+def relative_pubdate(doc: Node,
+                     capture_ts: _dt.datetime) -> Optional[_dt.datetime]:
+    """Lowest-trust cue: a relative dateline ("3 hours ago") resolved
+    against the crawl capture time. Deterministic — anchored to warc_ts,
+    never the wall clock; first matching date-classed element wins."""
+    from .fuzzydate import parse_relative
+    for node in doc.iter():
+        if node.tag == "time" or _DATE_CLASS_RX.search(node.class_id):
+            txt = collapse_ws(node.text_content())
+            if len(txt) > 80:
+                continue
+            delta = parse_relative(txt)
+            if delta is not None:
+                return capture_ts - delta
+    return None
+
+
 def pick_pubdate(doc: Node, url: str,
                  horizon: Optional[_dt.date] = None,
-                 jsonld=None) -> Optional[_dt.datetime]:
+                 jsonld=None,
+                 capture_ts: Optional[_dt.datetime] = None
+                 ) -> Optional[_dt.datetime]:
     """E6→E11 composed: best publication datetime for the document."""
     horizon = horizon or _DEFAULT_HORIZON
     udate = url_date(url)
@@ -212,6 +249,8 @@ def pick_pubdate(doc: Node, url: str,
             merged = udate.merge(FuzzyDate(None, None, 1))  # partial → 1st
             if merged.complete() and in_range(merged):
                 return to_datetime_utc(merged, None)
+        if capture_ts is not None:
+            return relative_pubdate(doc, capture_ts)
         return None
 
     best: Optional[DateCand] = None
@@ -238,8 +277,11 @@ def pick_pubdate(doc: Node, url: str,
             best_score = score
             best = DateCand(fd, c.ft, c.weight, c.order, c.source)
     if best is None:
+        if capture_ts is not None:
+            return relative_pubdate(doc, capture_ts)
         return None
     return to_datetime_utc(best.fd, best.ft)
 
 
-__all__ = ["url_date", "meta_dates", "elem_dates", "pick_pubdate", "DateCand"]
+__all__ = ["url_date", "meta_dates", "elem_dates", "pick_pubdate",
+           "relative_pubdate", "DateCand"]

@@ -70,8 +70,8 @@ EPOCH = dt.datetime(2024, 1, 1, 0, 0, 0)
 
 _FAMILY_BANDS = [
     (15, "F1"), (25, "F2"), (35, "F3"), (45, "F4"), (50, "F5"),
-    (55, "F12"), (70, "F6"), (75, "F7"), (85, "F8"), (95, "F9"),
-    (98, "F10"), (100, "F11"),
+    (55, "F12"), (65, "F6"), (70, "F13"), (75, "F7"), (85, "F8"),
+    (95, "F9"), (98, "F10"), (100, "F11"),
 ]
 
 
@@ -142,6 +142,10 @@ def pub_dt_of(doc_id: int) -> Optional[dt.datetime]:
         return dt.datetime(d.year, d.month, d.day, local_h - 2, minute)
     if fam in ("F6", "F11"):
         return dt.datetime(d.year, d.month, d.day, doc_id % 24, doc_id % 60)
+    if fam == "F13":
+        # relative dateline resolved against the capture time
+        hours = 1 + doc_id % 12
+        return warc_ts_of(doc_id) - dt.timedelta(hours=hours)
     if fam == "F7":
         # dd/mm/yy text needs day ≤ 28 and an unambiguous golden under
         # dayfirst; hour written as 1..9pm
@@ -272,6 +276,10 @@ def render_html(doc_id: int) -> str:
         byline_block = f"<p>By {authors[0]} and {authors[1]}</p>"
     elif fam == "F10":
         head_meta.append(f'<meta name="author" content="{authors[0]}">')
+    elif fam == "F13":
+        hours = 1 + doc_id % 12
+        dateline_block = (f'<div class="timestamp">{hours} hours ago'
+                          "</div>")
     elif fam == "F12":
         iso = (pub + dt.timedelta(hours=2)).strftime(
             "%Y-%m-%dT%H:%M:%S+02:00")

@@ -118,12 +118,18 @@ def _extract_chunk(pdf: pd.DataFrame) -> pd.DataFrame:
     htmls = pdf["html"].tolist()
     salts = pdf["salt_bucket"].tolist() if "salt_bucket" in pdf.columns \
         else [0] * len(urls)
+    if "warc_ts" in pdf.columns:
+        captures = [t.to_pydatetime() if t is not None else None
+                    for t in pdf["warc_ts"]]
+    else:
+        captures = [None] * len(urls)
     out = {k: [] for k in ("url", "headline", "pubdate", "authors",
                            "extracted_text", "ok", "n_bytes_html",
                            "wall_us", "salt_bucket")}
-    for url, html, salt in zip(urls, htmls, salts):
+    for url, html, salt, cap in zip(urls, htmls, salts, captures):
         t0 = time.perf_counter_ns()
-        r = extract_one(url, bytes(html) if html is not None else None)
+        r = extract_one(url, bytes(html) if html is not None else None,
+                        capture_ts=cap)
         wall_us = (time.perf_counter_ns() - t0) // 1000
         out["url"].append(url)
         out["headline"].append(r.headline)
@@ -190,6 +196,9 @@ def extract_batch_arrow(batches, byte_cap: int = DEFAULT_BYTE_CAP):
             urls = batch.column("url").to_pylist()
             htmls = batch.column("html").to_pylist()
             salts = batch.column("salt_bucket").to_pylist()
+            names = batch.schema.names
+            captures = (batch.column("warc_ts").to_pylist()
+                        if "warc_ts" in names else [None] * len(urls))
             n = len(urls)
             start = 0
             while start < n:
@@ -205,7 +214,8 @@ def extract_batch_arrow(batches, byte_cap: int = DEFAULT_BYTE_CAP):
                 for i in range(start, end):
                     html = htmls[i]
                     t0 = time.perf_counter_ns()
-                    r = extract_one(urls[i], html)
+                    r = extract_one(urls[i], html,
+                                    capture_ts=captures[i])
                     cols["wu"].append(
                         (time.perf_counter_ns() - t0) // 1000)
                     cols["headline"].append(r.headline)
@@ -250,7 +260,7 @@ def run_extract_df(pages: DataFrame, buckets: int,
     pages = pages.repartition(buckets, F.col("url"))
     if dedup:
         pages = dedup_latest_in_bucket(pages)
-    pages = pages.select("url", "html", "salt_bucket")
+    pages = pages.select("url", "warc_ts", "html", "salt_bucket")
     return pages.mapInArrow(
         lambda it: extract_batch_arrow(it, byte_cap), EXTRACT_FULL_SCHEMA)
 
@@ -324,7 +334,7 @@ def run_extract(spark: SparkSession, src: str, dst: str, lineage_dst: str,
     # dedup_latest_in_bucket)
     pages = pages.repartition(buckets, F.col("url"))  # partition==bucket
     pages = dedup_latest_in_bucket(pages)
-    pages = pages.select("url", "html", "salt_bucket")
+    pages = pages.select("url", "warc_ts", "html", "salt_bucket")
     extracted = (pages
                  .mapInArrow(lambda it: extract_batch_arrow(it, byte_cap),
                              EXTRACT_FULL_SCHEMA)

@@ -45,7 +45,7 @@ def streaming_extract(pages: DataFrame, buckets: int = 32,
                .dropDuplicatesWithinWatermark(["url"]))
     salted = with_salt_bucket(deduped, buckets)
     return (salted
-            .select("url", "html", "salt_bucket")
+            .select("url", "warc_ts", "html", "salt_bucket")
             .mapInPandas(extract_batch, EXTRACT_FULL_SCHEMA))
 
 

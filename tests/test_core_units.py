@@ -241,3 +241,37 @@ def test_content_link_density_penalty():
 
 def test_content_none_on_empty():
     assert extract_text(parse_doc("<body><div>tiny</div></body>")) is None
+
+
+# --- microdata (schema.org itemprop) -----------------------------------------
+
+
+def test_microdata_headline():
+    doc = parse_doc(_page('<div itemprop="headline">Big Story</div>'
+                          "<p>body text here long enough</p>"))
+    h, node = score_headline(doc, "https://x.example/a/1")
+    assert h == "Big Story"
+    assert node is not None
+
+
+def test_microdata_author():
+    doc = parse_doc('<body><span itemprop="author">'
+                    '<span itemprop="name">Radia Perlman</span></span>'
+                    "</body>")
+    assert extract_authors(doc) == ["Radia Perlman"]
+
+
+def test_microdata_author_content_attr():
+    doc = parse_doc('<body><div itemprop="author" content="Barbara Liskov">'
+                    "</div></body>")
+    assert extract_authors(doc) == ["Barbara Liskov"]
+
+
+def test_microdata_date_published():
+    import datetime as dt
+    from mre.core.pubdate import pick_pubdate
+    doc = parse_doc('<body><span itemprop="datePublished" '
+                    'content="2024-03-15T10:30:00Z">15 March 2024</span>'
+                    "</body>")
+    assert pick_pubdate(doc, "https://x.example/a/1") == \
+        dt.datetime(2024, 3, 15, 10, 30)

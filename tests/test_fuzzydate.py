@@ -137,3 +137,24 @@ def test_to_datetime_utc_tz_applied():
 
 def test_to_datetime_partial_time_midnight():
     assert to_datetime_utc(D(2024, 3, 15), None) == dt.datetime(2024, 3, 15)
+
+
+RELATIVE_CASES = [
+    ("3 hours ago", dt.timedelta(hours=3)),
+    ("posted 45 minutes ago", dt.timedelta(minutes=45)),
+    ("an hour ago", dt.timedelta(hours=1)),
+    ("a minute ago", dt.timedelta(minutes=1)),
+    ("2 days ago", dt.timedelta(days=2)),
+    ("1 week ago", dt.timedelta(weeks=1)),
+    ("just now", dt.timedelta(0)),
+    ("yesterday", dt.timedelta(days=1)),
+    ("15 March 2024", None),
+    ("ages ago", None),
+    ("", None),
+]
+
+
+@pytest.mark.parametrize("s,expected", RELATIVE_CASES)
+def test_parse_relative(s, expected):
+    from mre.core.fuzzydate import parse_relative
+    assert parse_relative(s) == expected

@@ -8,7 +8,7 @@ import pytest
 
 from mre.core.extract import extract_one
 from mre.fixtures import (family_of, gen_golden, golden_row, html_bytes_of,
-                          is_truncated, url_of)
+                          is_truncated, url_of, warc_ts_of)
 
 N = 300  # covers all families (period 100) and all size classes
 
@@ -16,7 +16,8 @@ N = 300  # covers all families (period 100) and all size classes
 @pytest.mark.parametrize("doc_id", range(N))
 def test_golden_byte_identical(doc_id):
     g = golden_row(doc_id)
-    r = extract_one(url_of(doc_id), html_bytes_of(doc_id))
+    r = extract_one(url_of(doc_id), html_bytes_of(doc_id),
+                    capture_ts=warc_ts_of(doc_id))
     assert r.url == g["url"]
     assert r.headline == g["headline"]
     assert r.pubdate == g["pubdate"]
@@ -35,7 +36,7 @@ def test_truncated_rows_are_all_null_and_failed():
 
 def test_every_family_covered():
     fams = {family_of(i) for i in range(100)}
-    assert fams == {f"F{i}" for i in range(1, 13)}
+    assert fams == {f"F{i}" for i in range(1, 14)}
 
 
 def test_never_raises_on_fuzz():
