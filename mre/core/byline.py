@@ -96,7 +96,7 @@ def byline_candidates(doc: Node) -> list[tuple[str, float, int]]:
                 order += 1
             continue
         # schema.org microdata: itemprop="author" (Person), name nested
-        if (node.get("itemprop") or "").lower() == "author":
+        if node.attrib and (node.get("itemprop") or "").lower() == "author":
             names = [collapse_ws(f.text_content()) for f in node.iter()
                      if f is not node
                      and (f.get("itemprop") or "").lower() == "name"]

@@ -83,7 +83,8 @@ def headline_candidates(doc: Node,
         is_heading = node.tag in ("h1", "h2", "h3", "h4")
         classed = bool(_POS_CLASS_RX.search(node.class_id))
         # schema.org microdata: itemprop="headline" is an explicit label
-        itemprop = (node.get("itemprop") or "").lower() == "headline"
+        itemprop = bool(node.attrib) and \
+            (node.get("itemprop") or "").lower() == "headline"
         if not (is_heading or classed or itemprop):
             continue
         cands.append(Candidate(node, txt, 0.0, order,

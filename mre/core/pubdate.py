@@ -156,7 +156,8 @@ def elem_dates(doc: Node) -> list[DateCand]:
                     7.0, order, "hatom"))
                 order += 1
             continue
-        itemprop = (node.get("itemprop") or "").lower()
+        itemprop = ((node.get("itemprop") or "").lower()
+                    if node.attrib else "")
         if itemprop in ("datepublished", "datecreated"):
             # microdata on a non-<time> element: content attr, then text
             src = node.get("content") or collapse_ws(node.text_content())
