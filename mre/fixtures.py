@@ -3,15 +3,16 @@ a pure function of ``doc_id``), plus golden expected outputs computed from
 the *template parameters* — NOT by running the extractor — so byte-level
 golden comparison is a real test.
 
-Template families F1–F11 (FIXTURES.md §3) each isolate one heuristic from
+Template families F1–F13 (FIXTURES.md §3) each isolate one heuristic from
 SURVEY.md §2A. doc_id % 100 → family band:
 
-  F1 0-14  plain h1            F7 70-74 fuzzy text date
-  F2 15-24 classed div         F8 75-84 hAtom byline
-  F3 25-34 og:title            F9 85-94 "By X and Y"
-  F4 35-44 slug-date url       F10 95-97 charset (iso-8859-1)
-  F5 45-54 meta pubdate        F11 98-99 malformed markup
-  F6 55-69 time element
+  F1  0-14  plain h1            F13 65-69 relative dateline (vs warc_ts)
+  F2  15-24 classed div         F7  70-74 fuzzy text date
+  F3  25-34 og:title            F8  75-84 hAtom byline
+  F4  35-44 slug-date url       F9  85-94 "By X and Y"
+  F5  45-49 meta pubdate        F10 95-97 charset (iso-8859-1)
+  F12 50-54 JSON-LD             F11 98-99 malformed markup
+  F6  55-64 time element
 
 Size classes ((doc_id*37+11) % 100): <97 small ~4KB, 97-98 medium ~64KB
 filler, 99 large ~1MB filler. Filler is link-only ``<div class="related">``
