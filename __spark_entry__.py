@@ -72,7 +72,13 @@ def q_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     _prep(spark)
     pages = _pages_from_documents(spark, sf_dir)
     out = run_extract_df(pages, buckets=32)
-    return out.select("url", "headline", "pubdate", "authors",
+    # authors is ArrayType in the pipeline (EXTRACT_SCHEMA); the driver's
+    # pandas canonicalizer can't sort list cells, so the DRIVER-FACING
+    # projection joins it to a unit-separated scalar (null stays null —
+    # extract_one emits `authors or None`, never []). The oracle joins the
+    # golden parquet's list column with the same separator.
+    return out.select("url", "headline", "pubdate",
+                      F.array_join("authors", chr(31)).alias("authors"),
                       "extracted_text")
 
 
@@ -368,7 +374,23 @@ _STOPWORDS_SQL = "'the', 'a', 'of', 'and', 'in', 'to', 'is'"
 
 
 def oracle_sql() -> dict[str, str]:
+    # Flagship oracle: the golden extraction table is a pure function of
+    # doc_id (mre/fixtures.py golden_row — same spec the 300-doc pytest
+    # sweep checks byte-for-byte), materialized as a doc_id-keyed parquet
+    # DuckDB reads directly and restricts to the sf's documents view.
+    from mre.fixtures import write_oracle_golden
+    golden = write_oracle_golden(
+        os.path.join(_REPO, "dist", "extract_oracle_golden_v3_n5000.parquet"))
+    extract_oracle = f"""
+            SELECT g.url, g.headline, g.pubdate,
+                   array_to_string(g.authors, chr(31)) AS authors,
+                   g.extracted_text
+            FROM read_parquet('{golden}') g
+            JOIN (SELECT DISTINCT doc_id FROM documents) d
+              ON g.doc_id = d.doc_id
+        """
     return {
+        "extract_flagship": extract_oracle,
         "filter_project": """
             SELECT l_orderkey, l_linenumber, l_quantity,
                    round(l_extendedprice * (1 - l_discount), 4) AS net_price
@@ -424,7 +446,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "rollup_docs": """
             SELECT lang, source, count(*) AS n_docs,
-                   sum(n_chars) AS total_chars
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars
             FROM documents GROUP BY ROLLUP (lang, source)
         """,
         "cube_docs": """
@@ -433,8 +455,9 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY CUBE (lang, source)
         """,
         "anti_join": """
-            SELECT doc_id, lang, n_chars FROM documents
-            WHERE doc_id NOT IN (SELECT DISTINCT user_id FROM events)
+            SELECT doc_id, lang, n_chars FROM documents d
+            WHERE NOT EXISTS (SELECT 1 FROM events e
+                              WHERE e.user_id = d.doc_id)
         """,
         "set_except": """
             SELECT DISTINCT doc_id FROM documents
@@ -643,7 +666,7 @@ def oracle_sql() -> dict[str, str]:
                    1 AS ok
             FROM t
         """,
-        # extract_flagship, minhash_near_dups, simhash_near_dups, ann_lsh:
-        # non-SQL-expressible (DOM heuristics / xxhash64-based signatures /
-        # approximate search) → rows-only driver check.
+        # minhash_near_dups, simhash_near_dups, ann_lsh, winnow_dup_pairs:
+        # see the golden-parquet oracles added below (deterministic given
+        # the fixed params, so they ARE exactly checkable).
     }

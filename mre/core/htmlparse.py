@@ -360,6 +360,13 @@ class _FastScanner(_SinkMixin):
             tag = m.group(1).lower()
             attr_str = m.group(2)
             selfclose = bool(m.group(3))
+            if selfclose and attr_str and not attr_str[-1].isspace() \
+                    and attr_str[-1] not in "\"'":
+                # html.parser recovery: a '/' immediately after an unquoted
+                # attribute value is part of the VALUE, not a self-close
+                # (<a href=/staff/jane/> keeps href="/staff/jane/", open).
+                attr_str += "/"
+                selfclose = False
             if attr_str and not attr_str.isspace():
                 attrib = attr_memo.get(attr_str)
                 if attrib is None:

@@ -398,6 +398,40 @@ def gen_golden(n: int) -> list[dict]:
 # parquet writing (pyarrow — no Spark needed to generate fixtures)
 
 
+def write_oracle_golden(path: str, n: int = 5000) -> str:
+    """Materialize the golden extraction table (doc_id-keyed, so a DuckDB
+    oracle can JOIN it against any sf's ``documents`` view) at ``path``.
+    Pure function of doc_id → idempotent; regenerated only when missing or
+    under-sized. Timestamps naive == UTC, matching EXTRACT_SCHEMA under a
+    UTC session."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    if os.path.exists(path):
+        try:
+            if pq.read_metadata(path).num_rows >= n:
+                return path
+        except Exception:
+            pass
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    schema = pa.schema([
+        pa.field("doc_id", pa.int64(), nullable=False),
+        pa.field("url", pa.string(), nullable=False),
+        pa.field("headline", pa.string()),
+        pa.field("pubdate", pa.timestamp("us")),
+        pa.field("authors", pa.list_(pa.string())),
+        pa.field("extracted_text", pa.string()),
+    ])
+    rows = [dict(golden_row(i), doc_id=i) for i in range(n)]
+    tmp = path + ".tmp"
+    with pq.ParquetWriter(tmp, schema) as w:
+        for s in range(0, len(rows), 5000):
+            w.write_table(pa.Table.from_pylist(rows[s:s + 5000],
+                                               schema=schema))
+    os.replace(tmp, path)
+    return path
+
+
 def write_fixture_parquet(out_dir: str, n: int = 200) -> tuple[str, str]:
     """Write pages.parquet + golden.parquet under ``out_dir``; returns the
     two paths. Timestamps are stored naive == UTC (sessions pin UTC)."""
@@ -440,5 +474,6 @@ __all__ = [
     "family_of", "headline_of", "authors_of", "pub_dt_of", "url_of",
     "paragraphs_of", "render_html", "html_bytes_of", "page_row",
     "golden_row", "gen_pages", "gen_golden", "write_fixture_parquet",
+    "write_oracle_golden",
     "is_truncated", "has_duplicate", "size_class", "warc_ts_of", "lang_of",
 ]

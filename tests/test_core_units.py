@@ -89,6 +89,34 @@ def test_parse_attr_first_occurrence_wins():
     assert next(doc.iter("div")).get("class") == "a"
 
 
+@pytest.mark.parametrize("html", [
+    '<a rel=author href=/staff/jane/>Jane Doe</a>',
+    '<img src=/x//>',
+    '<a href=/x / >y</a>',
+    '<div class=c/><p>t</p>',
+    '<input value=a/b/>',
+    '<a href=/a/ rel=me>t</a>',
+])
+def test_parse_unquoted_value_trailing_slash_matches_stdlib(html):
+    # A '/' ending an unquoted attribute value is part of the VALUE, not a
+    # self-close; fast scanner must match html.parser recovery exactly.
+    from mre.core.htmlparse import Node, parse_doc_stdlib
+
+    def dump(n):
+        return [(n.tag, dict(n.attrib))] + [
+            dump(c) if isinstance(c, Node) else c for c in n.content
+        ]
+
+    assert dump(parse_doc(html)) == dump(parse_doc_stdlib(html))
+
+
+def test_parse_unquoted_trailing_slash_keeps_element_open():
+    doc = parse_doc('<a rel=author href=/staff/jane/>Jane Doe</a>')
+    a = next(doc.iter("a"))
+    assert a.get("href") == "/staff/jane/"
+    assert collapse_ws(a.text_content()) == "Jane Doe"
+
+
 # --- E3 render --------------------------------------------------------------
 
 
