@@ -51,22 +51,33 @@ def _session(cpus: int):
                      shuffle_partitions=max(cpus, 8))
 
 
+BENCH_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+
+
 def run_bench(spark, sf_dir: str) -> dict:
     import __spark_entry__ as entrymod
     qs = entrymod.queries()
     times: dict[str, float] = {}
     extra: dict[str, float] = {}
-    # warm-up: spawn python workers + JIT before any query is timed
-    qs["extract_flagship"](spark, "/root/testdata/sf0.001").count()
+    # warm-up AT THE BENCH SF (not sf0.001): python worker spawn, JIT, and
+    # first-touch of this SF's parquet files all land here, not in the
+    # first timed query (round-1 lesson: exact_dedup reported 12s of which
+    # 11.5s was first-touch).
+    qs["extract_flagship"](spark, sf_dir).count()
     for name in BENCH_QUERIES:
-        t0 = time.perf_counter()
-        df = qs[name](spark, sf_dir)
-        n = df.count()
-        dt = time.perf_counter() - t0
-        times[name] = round(dt, 3)
+        best = float("inf")
+        n = 0
+        for _ in range(BENCH_RUNS):
+            t0 = time.perf_counter()
+            df = qs[name](spark, sf_dir)
+            n = df.count()
+            best = min(best, time.perf_counter() - t0)
+        # best-of-N: shared-VM interference is one-sided (only ever slows
+        # a run), so min is the low-noise estimator (BENCH/BASELINE.md)
+        times[name] = round(best, 3)
         if name == "extract_flagship":
             extra["extract_docs"] = n
-            extra["extract_docs_per_sec"] = round(n / dt, 1)
+            extra["extract_docs_per_sec"] = round(n / best, 1)
     return {"times": times, **extra}
 
 

@@ -173,9 +173,12 @@ def winnow_fingerprints(docs: DataFrame, k: int = 8,
 def winnow_dup_pairs(docs: DataFrame, k: int = 8, window: int = 4,
                      min_shared: int = 3) -> DataFrame:
     """Docs sharing ≥ min_shared winnowing fingerprints (passage-level
-    near-dup) via explode + equi-join."""
+    near-dup) via explode + equi-join; the exploded frame is persisted so
+    the rolling-hash transform runs once, not once per join side."""
+    from pyspark import StorageLevel
     fps = winnow_fingerprints(docs, k, window).select(
-        "doc_id", F.explode("fingerprints").alias("fp"))
+        "doc_id", F.explode("fingerprints").alias("fp")).persist(
+        StorageLevel.MEMORY_AND_DISK)
     a, b = fps.alias("a"), fps.alias("b")
     return (a.join(b, (F.col("a.fp") == F.col("b.fp"))
                    & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -214,8 +217,11 @@ def jaccard_pairs(docs: DataFrame, n: int = 3,
     """Exact n-gram Jaccard over pairs sharing ≥1 shingle.
 
     Inverted-index equi-join — fine at verification scale; quadratic in the
-    worst case, so at 10^12 docs this runs only on LSH candidate pairs."""
-    sh = shingles(docs, n)
+    worst case, so at 10^12 docs this runs only on LSH candidate pairs.
+    The shingle frame feeds three branches (both join sides + sizes) —
+    persisted so the shingle transform runs once."""
+    from pyspark import StorageLevel
+    sh = shingles(docs, n).persist(StorageLevel.MEMORY_AND_DISK)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -284,8 +290,15 @@ def minhash_near_dups(docs: DataFrame, k: int = 32, n: int = 3,
                       bands: int = 8,
                       threshold: float = 0.5) -> DataFrame:
     """Candidates via banding, verified by signature agreement (estimated
-    Jaccard = fraction of equal signature positions)."""
-    sigs = minhash_signatures(docs, k, n)
+    Jaccard = fraction of equal signature positions).
+
+    The signature frame feeds four plan branches (both band-join sides +
+    both verifier joins); without a persist Spark recomputes the 32-hash
+    transform and rescans the corpus 4×. MEMORY_AND_DISK keeps it to one
+    scan and spills per-executor at scale (sig row ≈ doc_id + k longs)."""
+    from pyspark import StorageLevel
+    sigs = minhash_signatures(docs, k, n).persist(
+        StorageLevel.MEMORY_AND_DISK)
     cands = minhash_candidates(sigs, bands)
     sa = sigs.select(F.col("doc_id").alias("doc_a"),
                      F.col("sig").alias("sig_a"))
