@@ -381,6 +381,44 @@ def oracle_sql() -> dict[str, str]:
     from mre.fixtures import write_oracle_golden
     golden = write_oracle_golden(
         os.path.join(_REPO, "dist", "extract_oracle_golden_v3_n5000.parquet"))
+    # MinHash/SimHash/winnowing are deterministic given their fixed params;
+    # mre/oracle_replay.py recomputes their expected pairs independently
+    # (from-scratch XXH64 + algorithm replay, no Spark) into per-corpus
+    # golden parquets keyed by sum(length(text)) — the sf tables differ in
+    # content, so the SQL picks its corpus at runtime from the view.
+    from mre.oracle_replay import write_dedup_goldens
+    dedup = write_dedup_goldens(os.path.join(_REPO, "dist", "dedup_goldens"))
+    _CK = "(SELECT CAST(sum(length(text)) AS BIGINT) FROM documents)"
+    # ann_lsh IS SQL-expressible: the hyperplanes are deterministic
+    # constants (xorshift64 stream, mre/textops.py _hyperplanes), inlined
+    # below; sign margins are ≥1e-4 on this data, far above any FP
+    # accumulation-order noise, so the bucket bits agree across engines.
+    from mre.textops import _hyperplanes
+    bucket_terms = " + ".join(
+        f"(CASE WHEN list_dot_product(embedding::DOUBLE[], "
+        f"[{', '.join(repr(x) for x in p)}]) >= 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(_hyperplanes(8, 64)))
+    ann_lsh_oracle = f"""
+            WITH b AS (
+                SELECT vec_id, embedding, {bucket_terms} AS bucket
+                FROM embeddings),
+            q AS (SELECT vec_id AS query_id, embedding AS q_emb,
+                         bucket AS q_bucket
+                  FROM b WHERE vec_id < 5)
+            SELECT query_id, neighbor_id, cosine, rank FROM (
+                SELECT q.query_id, e.vec_id AS neighbor_id,
+                       round(list_cosine_similarity(q.q_emb::DOUBLE[],
+                           e.embedding::DOUBLE[]), 4) AS cosine,
+                       row_number() OVER (
+                           PARTITION BY q.query_id
+                           ORDER BY round(list_cosine_similarity(
+                               q.q_emb::DOUBLE[], e.embedding::DOUBLE[]), 4)
+                               DESC, e.vec_id ASC) AS rank
+                FROM b e JOIN q ON e.bucket = q.q_bucket
+                              AND e.vec_id != q.query_id)
+            WHERE rank <= 10
+        """
     extract_oracle = f"""
             SELECT g.url, g.headline, g.pubdate,
                    array_to_string(g.authors, chr(31)) AS authors,
@@ -391,6 +429,22 @@ def oracle_sql() -> dict[str, str]:
         """
     return {
         "extract_flagship": extract_oracle,
+        "ann_lsh": ann_lsh_oracle,
+        "minhash_near_dups": f"""
+            SELECT doc_a, doc_b, est_jaccard
+            FROM read_parquet('{dedup["minhash_near_dups"]}')
+            WHERE corpus_key = {_CK}
+        """,
+        "simhash_near_dups": f"""
+            SELECT doc_a, doc_b, hamming
+            FROM read_parquet('{dedup["simhash_near_dups"]}')
+            WHERE corpus_key = {_CK}
+        """,
+        "winnow_dup_pairs": f"""
+            SELECT doc_a, doc_b, n_shared
+            FROM read_parquet('{dedup["winnow_dup_pairs"]}')
+            WHERE corpus_key = {_CK}
+        """,
         "filter_project": """
             SELECT l_orderkey, l_linenumber, l_quantity,
                    round(l_extendedprice * (1 - l_discount), 4) AS net_price
