@@ -323,6 +323,25 @@ def q_winnow_dups(spark, sf_dir):
     return winnow_dup_pairs(_t(spark, sf_dir, "documents"))
 
 
+def q_lineage_rollup(spark, sf_dir):
+    """P7+P8+P9 end-to-end, driver-checkable: write the synthetic pages,
+    run the full run_extract (salt → shuffle → extract → dynamic-overwrite
+    sink → lineage append) into a fresh temp dir, return the deterministic
+    lineage columns (wall_ms/completed_at dropped). partition_id ==
+    salt_bucket is part of the contract (salt == HashPartitioning)."""
+    import tempfile
+    from mre.io import read_table
+    from mre.pipeline import run_extract
+    _prep(spark)
+    base = tempfile.mkdtemp(prefix="mre_lineage_q_")
+    _pages_from_documents(spark, sf_dir).write.parquet(f"{base}/pages")
+    run_extract(spark, f"{base}/pages", f"{base}/out", f"{base}/lineage",
+                run_id="driver_check", buckets=32)
+    return read_table(spark, f"{base}/lineage").select(
+        "run_id", "partition_id", "salt_bucket",
+        "n_rows", "n_ok", "n_failed", "bytes_html")
+
+
 def q_pdf_extract(spark, sf_dir):
     """north_rule "PDF/layout parse": documents → real Flate-compressed
     PDFs → pure-stdlib text extraction; exact SQL oracle re-creates the
@@ -364,6 +383,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_brute_force": q_ann_brute_force,
         "ann_lsh": q_ann_lsh,
         "pdf_extract": q_pdf_extract,
+        "lineage_rollup": q_lineage_rollup,
         "gopher_quality": q_gopher_quality,
         "winnow_dup_pairs": q_winnow_dups,
         "cosine_dup_pairs": q_cosine_dup_pairs,
@@ -386,8 +406,10 @@ def oracle_sql() -> dict[str, str]:
     # (from-scratch XXH64 + algorithm replay, no Spark) into per-corpus
     # golden parquets keyed by sum(length(text)) — the sf tables differ in
     # content, so the SQL picks its corpus at runtime from the view.
-    from mre.oracle_replay import write_dedup_goldens
+    from mre.oracle_replay import write_dedup_goldens, write_lineage_golden
     dedup = write_dedup_goldens(os.path.join(_REPO, "dist", "dedup_goldens"))
+    lineage_golden = write_lineage_golden(
+        os.path.join(_REPO, "dist", "lineage_golden.parquet"))
     _CK = "(SELECT CAST(sum(length(text)) AS BIGINT) FROM documents)"
     # ann_lsh IS SQL-expressible: the hyperplanes are deterministic
     # constants (xorshift64 stream, mre/textops.py _hyperplanes), inlined
@@ -444,6 +466,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_a, doc_b, n_shared
             FROM read_parquet('{dedup["winnow_dup_pairs"]}')
             WHERE corpus_key = {_CK}
+        """,
+        "lineage_rollup": f"""
+            SELECT run_id, partition_id, salt_bucket,
+                   n_rows, n_ok, n_failed, bytes_html
+            FROM read_parquet('{lineage_golden}')
+            WHERE n_corpus = (SELECT count(*) FROM documents)
         """,
         "filter_project": """
             SELECT l_orderkey, l_linenumber, l_quantity,

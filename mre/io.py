@@ -67,9 +67,24 @@ def write_append(df: DataFrame, dst: str) -> None:
         df.write.mode("append").parquet(dst)
 
 
+def write_overwrite_partitions(df: DataFrame, dst: str,
+                               partition_col: str) -> None:
+    """P7 sink, dynamic-partition-overwrite semantics (idempotent re-write
+    of exactly the partitions present in ``df``). Iceberg target must be
+    partitioned by ``partition_col``."""
+    if dst.startswith(ICEBERG_PREFIX):
+        df.writeTo(dst[len(ICEBERG_PREFIX):]).overwritePartitions()
+    else:
+        (df.write
+         .mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy(partition_col)
+         .parquet(dst))
+
+
 def read_table(spark: SparkSession, path: str) -> DataFrame:
     return read_pages(spark, path)
 
 
-__all__ = ["get_spark", "read_pages", "write_append", "read_table",
-           "ICEBERG_PREFIX"]
+__all__ = ["get_spark", "read_pages", "write_append",
+           "write_overwrite_partitions", "read_table", "ICEBERG_PREFIX"]

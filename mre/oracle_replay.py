@@ -97,6 +97,52 @@ def xxh64_str(s: str) -> int:
     return xxh64(s.encode("utf-8"))
 
 
+# --------------------------------------------------------------------------
+# Spark's Murmur3_x86_32 (F.hash default seed 42). Tail handling follows
+# Spark's hashUnsafeBytes: each remaining byte gets a FULL mixK1+mixH1
+# round with the byte sign-extended — this deliberately differs from
+# canonical murmur3's tail, so a stock murmur3 library would NOT match.
+
+_MASK32 = (1 << 32) - 1
+
+
+def _mix_k1(k1: int) -> int:
+    k1 = (k1 * 0xCC9E2D51) & _MASK32
+    k1 = ((k1 << 15) | (k1 >> 17)) & _MASK32
+    return (k1 * 0x1B873593) & _MASK32
+
+
+def _mix_h1(h1: int, k1: int) -> int:
+    h1 ^= k1
+    h1 = ((h1 << 13) | (h1 >> 19)) & _MASK32
+    return (h1 * 5 + 0xE6546B64) & _MASK32
+
+
+def murmur3_32(data: bytes, seed: int = 42) -> int:
+    h1 = seed & _MASK32
+    aligned = len(data) - len(data) % 4
+    for i in range(0, aligned, 4):
+        h1 = _mix_h1(h1, _mix_k1(
+            int.from_bytes(data[i:i + 4], "little")))
+    for i in range(aligned, len(data)):
+        b = data[i]
+        if b >= 128:
+            b -= 256  # sign-extended byte, masked back to 32 bits
+        h1 = _mix_h1(h1, _mix_k1(b & _MASK32))
+    h1 ^= len(data)
+    h1 ^= h1 >> 16
+    h1 = (h1 * 0x85EBCA6B) & _MASK32
+    h1 ^= h1 >> 13
+    h1 = (h1 * 0xC2B2AE35) & _MASK32
+    h1 ^= h1 >> 16
+    return h1 - (1 << 32) if h1 >= (1 << 31) else h1
+
+
+def spark_pmod_bucket(s: str, buckets: int) -> int:
+    """pmod(hash(s), buckets) — with_salt_bucket's bucket function."""
+    return murmur3_32(s.encode("utf-8")) % buckets
+
+
 # Java's \s (non-UNICODE_CHARACTER_CLASS) — what Spark's split uses
 _JAVA_WS = re.compile(r"[ \t\n\x0b\f\r]+")
 
@@ -248,6 +294,69 @@ def winnow_pairs_expected(texts: dict[int, str], k: int = 8,
 
 
 # --------------------------------------------------------------------------
+# Lineage rollup replay (P7/P8 driver check). The flagship's pages are a
+# pure function of the sf's doc_id set (0..n-1), so the expected lineage
+# table is a pure function of n: bucket = pmod(murmur3(url), B) (identical
+# to with_salt_bucket AND to HashPartitioning, hence partition_id ==
+# salt_bucket), ok = 0 only for the truncated-html fixture band, and
+# bytes_html sums the rendered page sizes.
+
+
+def lineage_expected(n: int, buckets: int = 32,
+                     run_id: str = "driver_check") -> list[dict]:
+    from mre import fixtures as FX
+    agg: dict[int, list[int]] = {}
+    for i in range(n):
+        b = spark_pmod_bucket(FX.url_of(i), buckets)
+        ok = 0 if FX.is_truncated(i) else 1
+        nb = len(FX.html_bytes_of(i))
+        row = agg.setdefault(b, [0, 0, 0, 0])
+        row[0] += 1
+        row[1] += ok
+        row[2] += 1 - ok
+        row[3] += nb
+    return [{"run_id": run_id, "partition_id": b, "salt_bucket": b,
+             "n_rows": v[0], "n_ok": v[1], "n_failed": v[2],
+             "bytes_html": v[3]}
+            for b, v in sorted(agg.items())]
+
+
+def write_lineage_golden(path: str,
+                         ns: tuple[int, ...] = (500, 5000)) -> str:
+    """Golden lineage parquet keyed by n_corpus (= count of documents)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    if os.path.exists(path):
+        try:
+            got = set(pq.read_table(path, columns=["n_corpus"])
+                      ["n_corpus"].to_pylist())
+            if set(ns) <= got:
+                return path
+        except Exception:
+            pass
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    rows = []
+    for n in ns:
+        for r in lineage_expected(n):
+            rows.append(dict(r, n_corpus=n))
+    schema = pa.schema([
+        pa.field("n_corpus", pa.int64()),
+        pa.field("run_id", pa.string()),
+        pa.field("partition_id", pa.int64()),
+        pa.field("salt_bucket", pa.int64()),
+        pa.field("n_rows", pa.int64()),
+        pa.field("n_ok", pa.int64()),
+        pa.field("n_failed", pa.int64()),
+        pa.field("bytes_html", pa.int64()),
+    ])
+    tmp = path + ".tmp"
+    pq.write_table(pa.Table.from_pylist(rows, schema=schema), tmp)
+    os.replace(tmp, path)
+    return path
+
+
+# --------------------------------------------------------------------------
 # golden parquet materialization (one file per query, corpus_key-keyed)
 
 _SF_DIRS = ("/root/testdata/sf0.001", "/root/testdata/sf0.01")
@@ -315,6 +424,7 @@ def write_dedup_goldens(out_dir: str,
     return paths
 
 
-__all__ = ["xxh64", "xxh64_str", "minhash_pairs_expected",
-           "simhash_pairs_expected", "winnow_pairs_expected",
-           "write_dedup_goldens"]
+__all__ = ["xxh64", "xxh64_str", "murmur3_32", "spark_pmod_bucket",
+           "minhash_pairs_expected", "simhash_pairs_expected",
+           "winnow_pairs_expected", "write_dedup_goldens",
+           "lineage_expected", "write_lineage_golden"]

@@ -40,7 +40,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .core.extract import extract_one
-from .io import read_pages, read_table
+from .io import read_pages, read_table, write_append, \
+    write_overwrite_partitions
 from .schema import EXTRACT_SCHEMA
 
 # mapInPandas output: extraction columns + per-row bookkeeping + echoed salt
@@ -291,8 +292,11 @@ def lineage_rollup(results: DataFrame, run_id: str) -> DataFrame:
 def completed_buckets(spark: SparkSession, lineage_dst: str,
                       run_id: str) -> Optional[DataFrame]:
     # cheap existence probe first: avoids a scary (but harmless)
-    # FileNotFoundException WARN in the Spark log on the very first run
-    if not lineage_dst.startswith("iceberg:"):
+    # FileNotFoundException WARN in the Spark log on the very first run.
+    # Local scheme-less paths only — for hdfs://, s3a://, iceberg: etc the
+    # probe would be always-False (silently disabling resume), so those
+    # rely on the try/except below instead.
+    if "://" not in lineage_dst and not lineage_dst.startswith("iceberg:"):
         import os
         if not os.path.exists(lineage_dst):
             return None
@@ -341,24 +345,21 @@ def run_extract(spark: SparkSession, src: str, dst: str, lineage_dst: str,
                  .withColumn("partition_id", F.spark_partition_id()))
 
     # write-then-commit: results land partitioned by bucket (idempotent via
-    # dynamic overwrite), lineage append marks the buckets done
-    (extracted.write
-     .mode("overwrite")
-     .option("partitionOverwriteMode", "dynamic")
-     .partitionBy("salt_bucket")
-     .parquet(dst))
+    # dynamic overwrite), lineage append marks the buckets done; both sinks
+    # route through mre.io so dst/lineage_dst may be iceberg: URIs
+    write_overwrite_partitions(extracted, dst, "salt_bucket")
 
-    results = spark.read.parquet(dst)
+    results = read_table(spark, dst)
     done = completed_buckets(spark, lineage_dst, run_id)
     if done is not None:
         results = results.join(F.broadcast(done), "salt_bucket", "left_anti")
     lineage = lineage_rollup(results, run_id)
-    lineage.write.mode("append").parquet(lineage_dst)
+    write_append(lineage, lineage_dst)
 
 
 def read_results(spark: SparkSession, dst: str) -> DataFrame:
-    """The EXTRACT_SCHEMA view of a results sink."""
-    return spark.read.parquet(dst).select(*RESULT_COLS)
+    """The EXTRACT_SCHEMA view of a results sink (parquet or iceberg:)."""
+    return read_table(spark, dst).select(*RESULT_COLS)
 
 
 # --------------------------------------------------------------------------
