@@ -36,14 +36,17 @@ _FAILED = (None, None, None, None)
 
 def extract_one(url: str, html: Optional[bytes],
                 horizon: Optional[_dt.date] = None,
-                capture_ts: Optional[_dt.datetime] = None) -> ExtractResult:
+                capture_ts: Optional[_dt.datetime] = None,
+                content_type: Optional[str] = None) -> ExtractResult:
     """One page → (headline, pubdate, authors, extracted_text); never
     raises. ``capture_ts`` (the crawl's warc_ts) anchors relative
-    datelines ("3 hours ago") — never the wall clock."""
+    datelines ("3 hours ago") — never the wall clock. ``content_type``
+    (HTTP header, when the source table carries it) feeds the E1 charset
+    decode order."""
     if html is None or len(html) == 0:
         return ExtractResult(url, *_FAILED, ok=False)
     try:
-        text = decode_html(html)
+        text = decode_html(html, content_type)
         doc = parse_doc(text)
         # sanity: a usable page has a <body>-ish amount of structure
         if not doc.content:

@@ -53,9 +53,30 @@ def sniff_charset(b: bytes) -> Optional[str]:
     return None
 
 
-def decode_html(b: bytes) -> str:
-    """Bytes → str; never raises. Decode order: BOM, declared charset,
-    utf-8, latin-1 (latin-1 maps every byte, so this always succeeds)."""
+_CT_CHARSET_RX = re.compile(r"charset\s*=\s*[\"']?([a-zA-Z0-9_\-]+)", re.I)
+
+
+def charset_from_content_type(content_type: Optional[str]) -> Optional[str]:
+    """Charset from an HTTP Content-Type header value
+    (e.g. ``text/html; charset=ISO-8859-1``), normalized; None if absent."""
+    if not content_type:
+        return None
+    m = _CT_CHARSET_RX.search(content_type)
+    if not m:
+        return None
+    name = m.group(1).lower()
+    return _CHARSET_ALIASES.get(name, name)
+
+
+def decode_html(b: bytes, content_type: Optional[str] = None) -> str:
+    """Bytes → str; never raises. Decode order: BOM, HTTP Content-Type
+    charset hint, declared (meta/xml) charset, utf-8, latin-1 (latin-1
+    maps every byte, so this always succeeds).
+
+    ``content_type`` is the transport-layer hint (HTTP header / WARC
+    record); PAGES_SCHEMA carries no headers column, so the batch pipeline
+    never passes it — the seam exists for prod page tables that do. BOM
+    still outranks it (byte-level certainty beats a server config)."""
     if not b:
         return ""
     for bom, enc in _BOMS:
@@ -64,6 +85,12 @@ def decode_html(b: bytes) -> str:
                 return b.decode(enc, errors="replace")
             except LookupError:  # pragma: no cover
                 break
+    header = charset_from_content_type(content_type)
+    if header:
+        try:
+            return b.decode(header, errors="replace")
+        except LookupError:
+            pass
     declared = sniff_charset(b)
     if declared:
         try:

@@ -2,10 +2,12 @@
 
 The extraction core is stateless per row, so streaming is a thin wrapper:
 ``readStream`` over a pages source → watermark + streaming dedup on url →
-the same ``extract_batch`` mapInPandas → sink. Late duplicate captures
-inside the watermark are dropped exactly like the batch window dedup; the
-watermark bounds the dedup state (at 10^12-doc scale the state store would
-otherwise grow without bound).
+the same ``extract_batch`` mapInPandas → sink. The watermark bounds the
+dedup state (at 10^12-doc scale the state store would otherwise grow
+without bound). Dedup semantics are selectable at the API:
+``keep="first"`` (immediate emit, first capture wins) or ``keep="latest"``
+(batch-parity within the watermark window via max_by) — see
+``streaming_extract``.
 
 Not on the byte-parity bar (the reference has no streaming); covered by
 tests/test_streaming.py with a file source and one micro-batch.
@@ -32,17 +34,43 @@ def read_pages_stream(spark: SparkSession, src_dir: str,
 
 
 def streaming_extract(pages: DataFrame, buckets: int = 32,
-                      watermark: str = "1 hour") -> DataFrame:
+                      watermark: str = "1 hour",
+                      keep: str = "first") -> DataFrame:
     """pages stream → extraction stream.
 
-    dropDuplicates on url within the watermark replaces the batch
-    row_number window (streaming can't rank retroactively; first capture
-    wins, late re-captures within the watermark are dropped, older ones
-    age out of state)."""
-    deduped = (pages
-               .filter(F.col("html").isNotNull())
-               .withWatermark("warc_ts", watermark)
-               .dropDuplicatesWithinWatermark(["url"]))
+    DEDUP SEMANTICS (API contract — pick per use case):
+
+    * ``keep="first"`` (default): ``dropDuplicatesWithinWatermark`` — the
+      FIRST capture per url wins and every kept row emits immediately
+      (lowest latency, bounded state). NOTE this differs from the batch
+      pipeline, which keeps the LATEST capture per url: a re-crawl with
+      changed html inside the watermark is DROPPED here.
+    * ``keep="latest"``: batch-parity within the watermark — per
+      (event-time window of the watermark size, url), keep the capture
+      with max warc_ts via ``max_by``. Rows emit only once the watermark
+      passes their window end (append-mode aggregation): higher latency,
+      same bounded state, and agreement with the batch window dedup for
+      duplicates landing in the same window.
+
+    True global latest-wins is unbounded state in a stream; the watermark
+    is the horizon in both modes."""
+    pages = pages.filter(F.col("html").isNotNull())
+    if keep == "latest":
+        deduped = (pages
+                   .withWatermark("warc_ts", watermark)
+                   .groupBy(F.window("warc_ts", watermark).alias("_w"),
+                            "url")
+                   .agg(F.max_by(F.struct("warc_ts", "html"),
+                                 "warc_ts").alias("_latest"))
+                   .select("url",
+                           F.col("_latest.warc_ts").alias("warc_ts"),
+                           F.col("_latest.html").alias("html")))
+    elif keep == "first":
+        deduped = (pages
+                   .withWatermark("warc_ts", watermark)
+                   .dropDuplicatesWithinWatermark(["url"]))
+    else:
+        raise ValueError(f"keep must be 'first' or 'latest', got {keep!r}")
     salted = with_salt_bucket(deduped, buckets)
     return (salted
             .select("url", "warc_ts", "html", "salt_bucket")
@@ -119,11 +147,14 @@ def sessionize_events(events: DataFrame, gap_minutes: int = 10,
 
 
 def start_extract_stream(spark: SparkSession, src_dir: str, dst_dir: str,
-                         checkpoint_dir: str, buckets: int = 32):
+                         checkpoint_dir: str, buckets: int = 32,
+                         keep: str = "first", watermark: str = "1 hour",
+                         max_files_per_trigger: int = 16):
     """End-to-end streaming job; exactly-once via checkpoint + file sink.
-    Returns the StreamingQuery (caller awaits/stops)."""
-    pages = read_pages_stream(spark, src_dir)
-    extracted = streaming_extract(pages, buckets)
+    Returns the StreamingQuery (caller awaits/stops). ``keep`` selects the
+    dedup semantics — see streaming_extract."""
+    pages = read_pages_stream(spark, src_dir, max_files_per_trigger)
+    extracted = streaming_extract(pages, buckets, watermark, keep)
     return (extracted.writeStream
             .format("parquet")
             .option("path", dst_dir)

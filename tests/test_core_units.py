@@ -34,6 +34,20 @@ def test_decode_bom():
     assert decode_html(b"\xef\xbb\xbfhi") == "hi"
 
 
+def test_decode_content_type_header_beats_meta():
+    # header says latin-1, meta says utf-8; the bytes are latin-1 — the
+    # transport hint must win over the (wrong) in-document declaration
+    body = '<meta charset="utf-8"><p>café</p>'.encode("iso-8859-1")
+    assert "café" in decode_html(body, "text/html; charset=ISO-8859-1")
+    # without the hint, the meta declaration is used (mojibake expected)
+    assert "café" not in decode_html(body)
+
+
+def test_decode_bom_beats_content_type_header():
+    body = b"\xef\xbb\xbf" + "café".encode("utf-8")  # utf-8 BOM prefix
+    assert decode_html(body, "text/html; charset=ISO-8859-1") == "café"
+
+
 def test_decode_invalid_utf8_falls_back():
     # bare 0xE9 is invalid utf-8; latin-1 fallback maps it to é
     assert decode_html(b"caf\xe9 plain") == "café plain"

@@ -37,6 +37,52 @@ def test_streaming_extract_matches_batch(spark, fixture_dir, tmp_path):
         ~(F.col("headline").eqNullSafe(F.col("g")))).count() == 0
 
 
+def _page(url, ts, headline):
+    html = (f"<html><head><title>{headline}</title></head>"
+            f"<body><h1>{headline}</h1>"
+            f"<p>Alpha beta gamma delta epsilon zeta eta theta.</p>"
+            f"<p>Iota kappa lambda mu nu xi omicron pi rho sigma.</p>"
+            f"</body></html>").encode()
+    return (url, ts, html, None, "en")
+
+
+def test_streaming_keep_semantics(spark, tmp_path):
+    """first-wins vs latest-wins on duplicate urls with DIFFERING html
+    (the fixture corpus can't distinguish them — its dups share bytes)."""
+    import datetime as dt
+
+    from mre.schema import PAGES_SCHEMA
+    from mre.streaming import start_extract_stream
+
+    t0 = dt.datetime(2021, 3, 1, 12, 0, 0)
+    rows = [_page("http://ex.com/a", t0, "Version One"),
+            _page("http://ex.com/a", t0 + dt.timedelta(minutes=10),
+                  "Version Two")]
+    # sentinel far in the future: pushes the watermark past A's window so
+    # append-mode aggregation (keep="latest") actually emits
+    sentinel = [_page("http://ex.com/z", t0 + dt.timedelta(days=10),
+                      "Sentinel")]
+    for keep, expect in (("first", "Version One"),
+                         ("latest", "Version Two")):
+        src = str(tmp_path / f"src_{keep}")
+        spark.createDataFrame(rows, PAGES_SCHEMA) \
+            .coalesce(1).write.mode("overwrite").parquet(src)
+        spark.createDataFrame(sentinel, PAGES_SCHEMA) \
+            .coalesce(1).write.mode("append").parquet(src)
+        q = start_extract_stream(
+            spark, src, str(tmp_path / f"out_{keep}"),
+            str(tmp_path / f"ckpt_{keep}"), buckets=4, keep=keep,
+            max_files_per_trigger=1)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        out = spark.read.parquet(str(tmp_path / f"out_{keep}"))
+        got = {r.headline for r in
+               out.filter(F.col("url") == "http://ex.com/a").collect()}
+        assert got == {expect}, f"keep={keep}: {got}"
+
+
 def test_synth_media_and_features(spark):
     from mre.multimodal import extract_media_features, synth_media
 
