@@ -323,6 +323,80 @@ def q_winnow_dups(spark, sf_dir):
     return winnow_dup_pairs(_t(spark, sf_dir, "documents"))
 
 
+def q_json_props(spark, sf_dir):
+    """Semi-structured extraction: JSON props column → typed field, agg."""
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (ev.groupBy("event_type")
+            .agg(F.sum(k).alias("sum_k"),
+                 F.round(F.avg(k), 3).alias("avg_k"),
+                 F.count("*").alias("n_events")))
+
+
+def q_semi_join(spark, sf_dir):
+    _prep(spark)
+    d = _t(spark, sf_dir, "documents")
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("doc_id"))
+    return (d.join(ev, "doc_id", "left_semi")
+            .select("doc_id", "lang", "n_chars"))
+
+
+def q_grouping_sets(spark, sf_dir):
+    _prep(spark)
+    d = _t(spark, sf_dir, "documents")
+    d.createOrReplaceTempView("documents_gs")
+    return spark.sql("""
+        SELECT lang, source, count(*) AS n_docs,
+               sum(n_chars) AS total_chars
+        FROM documents_gs
+        GROUP BY GROUPING SETS ((lang), (source), ())
+    """)
+
+
+def q_sessionize_batch(spark, sf_dir):
+    """Batch twin of the streaming sessionize (gap > 10 min starts a new
+    session): lag → session-start flags → running count → per-session agg.
+    SQL-oracle-able, so the sessionization semantics get a driver check
+    the streaming operator can't have."""
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    gap_us = 600 * 1_000_000  # exact integer microseconds on both engines
+    # ts is TIMESTAMP_NTZ in the parquet; session TZ is pinned UTC, so the
+    # cast to TIMESTAMP is exact and unix_micros stays integer-precise
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    prev = F.lag(us).over(w)
+    new_s = F.when(prev.isNull() | ((us - prev) > gap_us), 1).otherwise(0)
+    sess = (ev.withColumn("new_s", new_s)
+            .withColumn("session_id", F.sum("new_s").over(
+                w.rowsBetween(Window.unboundedPreceding,
+                              Window.currentRow))))
+    return (sess.groupBy("user_id", "session_id")
+            .agg(F.min("ts").alias("session_start"),
+                 F.max("ts").alias("session_end"),
+                 F.count("*").alias("n_events"),
+                 F.round(F.sum("value"), 3).alias("total_value")))
+
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_pivot_events(spark, sf_dir):
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events")
+    return (ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+            .pivot("event_type", _EVENT_TYPES)
+            .agg(F.round(F.sum("value"), 3)))
+
+
+def q_ivf_ann(spark, sf_dir):
+    from mre.textops import ivf_ann
+    _prep(spark)
+    return ivf_ann(_t(spark, sf_dir, "embeddings"), n_queries=5, k=10)
+
+
 def q_lineage_rollup(spark, sf_dir):
     """P7+P8+P9 end-to-end, driver-checkable: write the synthetic pages,
     run the full run_extract (salt → shuffle → extract → dynamic-overwrite
@@ -384,6 +458,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,
         "pdf_extract": q_pdf_extract,
         "lineage_rollup": q_lineage_rollup,
+        "json_props": q_json_props,
+        "semi_join": q_semi_join,
+        "grouping_sets": q_grouping_sets,
+        "sessionize_batch": q_sessionize_batch,
+        "pivot_events": q_pivot_events,
+        "ivf_ann": q_ivf_ann,
         "gopher_quality": q_gopher_quality,
         "winnow_dup_pairs": q_winnow_dups,
         "cosine_dup_pairs": q_cosine_dup_pairs,
@@ -415,6 +495,46 @@ def oracle_sql() -> dict[str, str]:
     # constants (xorshift64 stream, mre/textops.py _hyperplanes), inlined
     # below; sign margins are ≥1e-4 on this data, far above any FP
     # accumulation-order noise, so the bucket bits agree across engines.
+    # ivf_ann oracle: same construction, inverted-file flavor — the fixed
+    # centroids are inlined and cell/probe assignment is replayed in SQL.
+    from mre.textops import _ivf_centroids
+    cent_values = ",\n                ".join(
+        f"({i + 1}, [{', '.join(repr(x) for x in c)}]::DOUBLE[])"
+        for i, c in enumerate(_ivf_centroids(16, 64)))
+    ivf_oracle = f"""
+            WITH c(cell_id, cent) AS (VALUES {cent_values}),
+            sims AS (
+                SELECT e.vec_id, e.embedding,
+                       c.cell_id,
+                       list_cosine_similarity(e.embedding::DOUBLE[],
+                                              c.cent) AS sim
+                FROM embeddings e CROSS JOIN c),
+            cells AS (
+                SELECT vec_id, embedding, cell_id AS cell FROM (
+                    SELECT *, row_number() OVER (
+                        PARTITION BY vec_id
+                        ORDER BY sim DESC, cell_id ASC) AS rn
+                    FROM sims) WHERE rn = 1),
+            probes AS (
+                SELECT vec_id AS query_id, embedding AS q_emb,
+                       cell_id AS probe_cell FROM (
+                    SELECT *, row_number() OVER (
+                        PARTITION BY vec_id
+                        ORDER BY sim DESC, cell_id ASC) AS prb
+                    FROM sims WHERE vec_id < 5) WHERE prb <= 2)
+            SELECT query_id, neighbor_id, cosine, rank FROM (
+                SELECT p.query_id, e.vec_id AS neighbor_id,
+                       round(list_cosine_similarity(p.q_emb::DOUBLE[],
+                           e.embedding::DOUBLE[]), 4) AS cosine,
+                       row_number() OVER (
+                           PARTITION BY p.query_id
+                           ORDER BY round(list_cosine_similarity(
+                               p.q_emb::DOUBLE[], e.embedding::DOUBLE[]), 4)
+                               DESC, e.vec_id ASC) AS rank
+                FROM cells e JOIN probes p ON e.cell = p.probe_cell
+                                          AND e.vec_id != p.query_id)
+            WHERE rank <= 10
+        """
     from mre.textops import _hyperplanes
     bucket_terms = " + ".join(
         f"(CASE WHEN list_dot_product(embedding::DOUBLE[], "
@@ -472,6 +592,63 @@ def oracle_sql() -> dict[str, str]:
                    n_rows, n_ok, n_failed, bytes_html
             FROM read_parquet('{lineage_golden}')
             WHERE n_corpus = (SELECT count(*) FROM documents)
+        """,
+        "ivf_ann": ivf_oracle,
+        "json_props": """
+            SELECT event_type,
+                   CAST(sum(CAST(json_extract_string(props, '$.k')
+                       AS BIGINT)) AS BIGINT) AS sum_k,
+                   round(avg(CAST(json_extract_string(props, '$.k')
+                       AS BIGINT)), 3) AS avg_k,
+                   count(*) AS n_events
+            FROM events GROUP BY event_type
+        """,
+        "semi_join": """
+            SELECT doc_id, lang, n_chars FROM documents d
+            WHERE EXISTS (SELECT 1 FROM events e
+                          WHERE e.user_id = d.doc_id)
+        """,
+        "grouping_sets": """
+            SELECT lang, source, count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars
+            FROM documents
+            GROUP BY GROUPING SETS ((lang), (source), ())
+        """,
+        "sessionize_batch": """
+            WITH x AS (
+                SELECT user_id, ts, event_id, value,
+                       CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                                 OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                                    > 600000000
+                            THEN 1 ELSE 0 END AS new_s
+                FROM events
+                WINDOW w AS (PARTITION BY user_id
+                             ORDER BY ts ASC, event_id ASC)),
+            s AS (
+                SELECT *, CAST(sum(new_s) OVER (
+                    PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS session_id
+                FROM x)
+            SELECT user_id, session_id,
+                   min(ts) AS session_start, max(ts) AS session_end,
+                   count(*) AS n_events,
+                   round(sum(value), 3) AS total_value
+            FROM s GROUP BY user_id, session_id
+        """,
+        "pivot_events": """
+            SELECT date_trunc('day', ts) AS day,
+                   round(sum(value) FILTER (event_type = 'click'), 3)
+                       AS click,
+                   round(sum(value) FILTER (event_type = 'error'), 3)
+                       AS error,
+                   round(sum(value) FILTER (event_type = 'purchase'), 3)
+                       AS purchase,
+                   round(sum(value) FILTER (event_type = 'signup'), 3)
+                       AS signup,
+                   round(sum(value) FILTER (event_type = 'view'), 3)
+                       AS view
+            FROM events GROUP BY 1
         """,
         "filter_project": """
             SELECT l_orderkey, l_linenumber, l_quantity,

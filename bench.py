@@ -39,6 +39,7 @@ BENCH_QUERIES = [
     "jaccard_pairs",
     "simhash_near_dups",
     "ann_brute_force",
+    "ivf_ann",
     "quality_score",
     "lang_id",
     "token_stats",
@@ -171,6 +172,10 @@ def _write_baseline_md(scal: dict) -> None:
     eff832 = scal["scaling_efficiency_8_to_32"]
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(f"""# BENCH/BASELINE — measured scaling numbers
+
+Corpus: `BENCH/corpus_v3_n{SCALING_N}` (fixture family F13 revision — v3;
+numbers measured on earlier corpus revisions are not comparable and are
+superseded by this file).
 
 Protocol (BASELINE.md): identical corpus ({SCALING_N} deterministic
 heavy-tailed fixture pages, FIXTURES.md spec), identical job (salted

@@ -460,20 +460,28 @@ def gopher_quality(docs: DataFrame) -> DataFrame:
     )
 
 
-def _hyperplanes(n_planes: int, dim: int) -> list[list[float]]:
-    """Deterministic pseudo-random hyperplanes (LCG; no RNG state)."""
-    planes = []
-    state = 88172645463325252
-    for _ in range(n_planes):
+def _xorshift_rows(n_rows: int, dim: int, state: int) -> list[list[float]]:
+    """Deterministic pseudo-random vectors in [-1, 1]^dim (xorshift64
+    stream; no RNG object, so every engine/run regenerates identically)."""
+    rows = []
+    for _ in range(n_rows):
         row = []
         for _ in range(dim):
-            # xorshift64
             state ^= (state << 13) & 0xFFFFFFFFFFFFFFFF
             state ^= state >> 7
             state ^= (state << 17) & 0xFFFFFFFFFFFFFFFF
             row.append(((state % 2000001) / 1000000.0) - 1.0)
-        planes.append(row)
-    return planes
+        rows.append(row)
+    return rows
+
+
+def _hyperplanes(n_planes: int, dim: int) -> list[list[float]]:
+    return _xorshift_rows(n_planes, dim, 88172645463325252)
+
+
+def _ivf_centroids(n_cells: int, dim: int) -> list[list[float]]:
+    # different seed than the LSH hyperplanes → independent partitions
+    return _xorshift_rows(n_cells, dim, 1181783497276652981)
 
 
 def ann_lsh(embeddings: DataFrame, n_queries: int = 5, k: int = 10,
@@ -507,11 +515,59 @@ def ann_lsh(embeddings: DataFrame, n_queries: int = 5, k: int = 10,
                     "cosine", "rank"))
 
 
+def ivf_ann(embeddings: DataFrame, n_queries: int = 5, k: int = 10,
+            n_cells: int = 16, nprobe: int = 2,
+            dim: int = 64) -> DataFrame:
+    """IVF-Flat ANN with a fixed deterministic coarse quantizer.
+
+    Cell assignment = argmax cosine against ``n_cells`` centroids — a pure
+    projection (no shuffle, no training job, reproducible everywhere);
+    each query probes its ``nprobe`` nearest cells; candidates come from an
+    equi-join on cell id. The 100 TB shape: write the corpus clustered by
+    ``cell`` so a probe scans only its cells' files; the broadcast side is
+    just the (tiny) probe list. Complements ``ann_lsh`` (hyperplane signs)
+    with the inverted-file family."""
+    from pyspark.sql import Window
+    cents = _ivf_centroids(n_cells, dim)
+
+    def arr(c):
+        return "array(" + ", ".join(f"{x}D" for x in c) + ")"
+
+    sims = F.array(*[_cosine_expr(arr(c), "embedding") for c in cents])
+    emb_c = (embeddings
+             .withColumn("sims", sims)
+             .withColumn("cell", F.expr(
+                 "array_position(sims, array_max(sims))").cast("int")))
+    probes = (emb_c.filter(F.col("vec_id") < n_queries)
+              .select(F.col("vec_id").alias("query_id"),
+                      F.col("embedding").alias("q_emb"),
+                      F.posexplode("sims").alias("cell0", "sim"))
+              .withColumn("probe_cell", (F.col("cell0") + 1).cast("int"))
+              .withColumn("prb", F.row_number().over(
+                  Window.partitionBy("query_id")
+                  .orderBy(F.desc("sim"), F.asc("probe_cell"))))
+              .filter(F.col("prb") <= nprobe)
+              .select("query_id", "q_emb", "probe_cell"))
+    joined = (emb_c.select("vec_id", "embedding", "cell")
+              .join(F.broadcast(probes),
+                    (F.col("cell") == F.col("probe_cell"))
+                    & (F.col("vec_id") != F.col("query_id")))
+              .withColumn("cosine",
+                          F.round(_cosine_expr("q_emb", "embedding"), 4)))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("vec_id"))
+    return (joined.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                    "cosine", "rank"))
+
+
 __all__ = [
     "token_stats", "quality_score", "lang_id", "fingerprint", "exact_dedup",
     "shingles", "jaccard_pairs", "minhash_signatures", "minhash_candidates",
     "minhash_near_dups", "simhash", "simhash_near_dups", "ann_brute_force",
-    "ann_lsh", "cosine_dup_pairs", "gopher_quality", "winnow_fingerprints",
+    "ann_lsh", "ivf_ann", "cosine_dup_pairs", "gopher_quality",
+    "winnow_fingerprints",
     "winnow_dup_pairs", "LANG_MARKERS",
     "MERSENNE31",
 ]
