@@ -323,21 +323,32 @@ def simhash(docs: DataFrame) -> DataFrame:
 
     @pandas_udf("long")
     def _fold(hashes: pd.Series) -> pd.Series:
-        out = []
+        # fully vectorized across the batch: flatten every row's hash list
+        # into one array, expand to a bits matrix once, then segment-sum
+        # per row with np.add.reduceat — no per-row Python loop.
+        n_rows = len(hashes)
+        lens = np.fromiter(
+            (0 if hs is None else len(hs) for hs in hashes),
+            dtype=np.int64, count=n_rows)
+        total = int(lens.sum())
+        if total == 0:
+            return pd.Series(np.zeros(n_rows, dtype=np.int64))
+        flat = np.concatenate(
+            [np.asarray(hs, dtype=np.int64) for hs in hashes
+             if hs is not None and len(hs)]).astype(np.uint64)
         shifts = np.arange(64, dtype=np.uint64)
-        for hs in hashes:
-            if hs is None or len(hs) == 0:
-                out.append(0)
-                continue
-            arr = np.asarray(hs, dtype=np.int64).astype(np.uint64)
-            bits = ((arr[:, None] >> shifts) & np.uint64(1))
-            maj = (bits.sum(axis=0) * 2 >= len(arr))
-            val = np.uint64(0)
-            for i in range(64):
-                if maj[i]:
-                    val |= np.uint64(1) << np.uint64(i)
-            out.append(int(val.astype(np.int64)))
-        return pd.Series(out, dtype="int64")
+        bits = ((flat[:, None] >> shifts) & np.uint64(1)).astype(np.int64)
+        starts = np.zeros(n_rows, dtype=np.int64)
+        starts[1:] = np.cumsum(lens)[:-1]
+        nonempty = lens > 0
+        # reduceat needs strictly valid offsets — run it on non-empty rows
+        sums = np.add.reduceat(bits, starts[nonempty], axis=0)
+        maj = sums * 2 >= lens[nonempty][:, None]
+        vals = (maj.astype(np.uint64) << shifts).sum(
+            axis=1, dtype=np.uint64)
+        out = np.zeros(n_rows, dtype=np.uint64)
+        out[nonempty] = vals
+        return pd.Series(out.astype(np.int64))
 
     # tokens_col (Python API) sidesteps SQL string-literal escaping of \s+
     hashed = docs.withColumn("toks", tokens_col()).withColumn(
