@@ -86,5 +86,45 @@ def read_table(spark: SparkSession, path: str) -> DataFrame:
     return read_pages(spark, path)
 
 
+def read_pages_jsonl(spark: SparkSession, src: str) -> DataFrame:
+    """P1 scan over JSONL pages (one JSON object per line; ``html`` is
+    base64 — JSON can't carry raw bytes). Yields PAGES_SCHEMA. Useful for
+    crawl exports; file-level parallelism like the WARC source."""
+    from pyspark.sql import functions as F
+    from .schema import PAGES_SCHEMA
+    from pyspark.sql.types import (StringType, StructField, StructType,
+                                   TimestampType)
+    wire = StructType([
+        StructField("url", StringType(), False),
+        StructField("warc_ts", TimestampType(), False),
+        StructField("html_b64", StringType(), True),
+        StructField("text", StringType(), True),
+        StructField("lang", StringType(), True),
+    ])
+    df = spark.read.schema(wire).json(src)
+    # same columns/types as PAGES_SCHEMA; JSON sources can't declare
+    # non-null url, so rows missing it are dropped instead
+    _ = PAGES_SCHEMA
+    return (df.filter(F.col("url").isNotNull())
+            .select("url", "warc_ts",
+                    F.unbase64("html_b64").alias("html"), "text", "lang"))
+
+
+def write_bucketed(df: DataFrame, table: str, bucket_col: str,
+                   n_buckets: int, sort_col: str | None = None) -> None:
+    """P7 variant: persist a table bucketed (and optionally sorted) by the
+    join key — Spark's sort-merge-bucket layout. Two tables bucketed the
+    same way join with NO Exchange on either side (co-located join), the
+    100 TB answer to repeated large-large joins on a stable key. Requires
+    a metastore-backed saveAsTable (local derby in the sandbox; Hive/Glue/
+    Iceberg in prod)."""
+    w = df.write.mode("overwrite").format("parquet")
+    w = w.bucketBy(n_buckets, bucket_col)
+    if sort_col is not None:
+        w = w.sortBy(sort_col)
+    w.saveAsTable(table)
+
+
 __all__ = ["get_spark", "read_pages", "write_append",
-           "write_overwrite_partitions", "read_table", "ICEBERG_PREFIX"]
+           "write_overwrite_partitions", "read_table", "read_pages_jsonl",
+           "write_bucketed", "ICEBERG_PREFIX"]

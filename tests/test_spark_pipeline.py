@@ -2,6 +2,8 @@
 local[2] must reproduce the single-process golden outputs byte-identically,
 and the resume protocol must be idempotent."""
 
+import os
+
 import pandas as pd
 import pytest
 from pyspark.sql import functions as F
@@ -131,3 +133,70 @@ def test_explain_has_pushdown_and_single_shuffle_chain(spark, fixture_dir):
                  ._jdf.queryExecution().executedPlan().toString())
     assert "PushedFilters: [IsNotNull(html)]" in scan_plan \
         or "IsNotNull(html)" in scan_plan
+
+
+def test_jsonl_source_extracts_to_golden(spark, tmp_path):
+    """read_pages_jsonl (base64 html over JSONL) feeds the pipeline and
+    reproduces the fixture golden byte-for-byte."""
+    import base64
+    import json
+
+    from mre.fixtures import golden_row, page_row
+    from mre.io import read_pages_jsonl
+
+    src = tmp_path / "pages.jsonl"
+    ids = list(range(12))
+    with open(src, "w") as f:
+        for i in ids:
+            r = page_row(i)
+            f.write(json.dumps({
+                "url": r["url"],
+                "warc_ts": r["warc_ts"].strftime("%Y-%m-%dT%H:%M:%S"),
+                "html_b64": base64.b64encode(r["html"]).decode(),
+                "text": r["text"],
+                "lang": r["lang"],
+            }) + "\n")
+    pages = read_pages_jsonl(spark, str(src))
+    out = run_extract_df(pages, buckets=4)
+    got = {r.url: (r.headline, r.authors)
+           for r in out.select("url", "headline", "authors").collect()}
+    for i in ids:
+        g = golden_row(i)
+        assert got[g["url"]][0] == g["headline"]
+        assert (list(got[g["url"]][1]) if got[g["url"]][1] else None) \
+            == g["authors"]
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """write_bucketed: two tables bucketed+sorted on the same key join
+    co-located — SortMergeJoin with ZERO Exchange in the plan."""
+    import shutil
+
+    from mre.io import write_bucketed
+
+    for t in ("bkt_left", "bkt_right"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        loc = os.path.join(spark.conf.get(
+            "spark.sql.warehouse.dir").removeprefix("file:"), t)
+        shutil.rmtree(loc, ignore_errors=True)
+    d = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("a"))
+    e = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("b"))
+    write_bucketed(d, "bkt_left", "k", 8, sort_col="k")
+    write_bucketed(e, "bkt_right", "k", 8, sort_col="k")
+    # test tables are tiny → the planner would broadcast (which also turns
+    # bucketing off); disable auto-broadcast to exercise the large-large
+    # path the layout exists for
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = (spark.table("bkt_left")
+                  .join(spark.table("bkt_right"), "k")
+                  .select("k", "a", "b"))
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan, plan
+        assert joined.count() == 1000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
