@@ -544,7 +544,18 @@ def ivf_ann(embeddings: DataFrame, n_queries: int = 5, k: int = 10,
     def arr(c):
         return "array(" + ", ".join(f"{x}D" for x in c) + ")"
 
-    sims = F.array(*[_cosine_expr(arr(c), "embedding") for c in cents])
+    # argmax_i cosine(e, c_i) == argmax_i dot(e, c_i)/||c_i||: the row norm
+    # ||e|| is constant within the row, so dividing by the COMPILE-TIME
+    # centroid norm preserves the exact ranking while skipping 2·n_cells
+    # norm folds per row. Rankings only — the output cosine below is the
+    # real normalized value.
+    import math
+    sims = F.array(*[
+        F.expr(f"aggregate(zip_with({arr(c)}, embedding,"
+               f" (x, y) -> x * double(y)), 0.0D,"
+               f" (acc, v) -> acc + v)")
+        / math.sqrt(sum(x * x for x in c))
+        for c in cents])
     emb_c = (embeddings
              .withColumn("sims", sims)
              .withColumn("cell", F.expr(
