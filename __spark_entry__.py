@@ -130,14 +130,20 @@ def q_join_nations(spark, sf_dir):
 
 
 def q_join_orders_revenue(spark, sf_dir):
+    """Manual push-agg-below-join: lineitem revenue is pre-aggregated per
+    l_orderkey BEFORE joining orders (o_orderpriority is functionally
+    dependent on o_orderkey, so results are identical) — the join input
+    shrinks from |lineitem| rows to |orderkeys| rows, which at 100 TB is
+    the difference between shuffling line items and shuffling orders."""
     _prep(spark)
-    o = _t(spark, sf_dir, "orders")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
     li = _t(spark, sf_dir, "lineitem")
-    return (o.join(li, o["o_orderkey"] == li["l_orderkey"])
-            .groupBy("o_orderkey", "o_orderpriority")
-            .agg(F.round(F.sum(F.col("l_extendedprice")
-                               * (1 - F.col("l_discount"))), 4)
-                 .alias("revenue"))
+    rev = (li.groupBy("l_orderkey")
+           .agg(F.round(F.sum(F.col("l_extendedprice")
+                              * (1 - F.col("l_discount"))), 4)
+                .alias("revenue")))
+    return (o.join(rev, o["o_orderkey"] == rev["l_orderkey"])
+            .select("o_orderkey", "o_orderpriority", "revenue")
             .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
             .limit(10))
 
@@ -391,6 +397,43 @@ def q_pivot_events(spark, sf_dir):
             .agg(F.round(F.sum("value"), 3)))
 
 
+_URL_NORM_STEPS = [
+    # (pattern, replacement) — applied in order; identical regex dialect in
+    # Spark (Java) and DuckDB (RE2) for these patterns
+    (r"#.*$", ""),                       # fragment
+    (r"([?&])utm_[a-z_]+=[^&#]*", r"$1"),  # tracking params
+    (r"[?&]+$", ""),                     # dangling separators
+    (r"^https?://(www\.)?", "https://"),   # scheme + www
+    (r"/$", ""),                          # trailing slash
+]
+
+
+def q_url_dedup(spark, sf_dir):
+    """URL canonicalization + dedup — the first operation any web-scale
+    corpus pipeline runs. Two deterministic variants per doc (clean +
+    messy with scheme-case/www/utm/fragment/trailing-slash noise) must
+    collapse to one canonical url via a pure-regex normalizer (JVM-side,
+    no UDF)."""
+    _prep(spark)
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    sid = (F.col("doc_id") % 20).cast("string")
+    did = F.col("doc_id").cast("string")
+    clean = F.concat(F.lit("https://example-"), sid,
+                     F.lit(".com/articles/"), did)
+    messy = F.concat(F.lit("HTTP://WWW.Example-"), sid,
+                     F.lit(".COM/Articles/"), did,
+                     F.lit("/?utm_source=feed#top"))
+    urls = d.select("doc_id",
+                    F.explode(F.array(clean, messy)).alias("url"))
+    norm = F.lower(F.col("url"))
+    for pat, rep in _URL_NORM_STEPS:
+        norm = F.regexp_replace(norm, pat, rep)
+    return (urls.withColumn("url_norm", norm)
+            .groupBy("url_norm")
+            .agg(F.count("*").alias("n_variants"),
+                 F.min("url").alias("sample_raw")))
+
+
 def q_ivf_ann(spark, sf_dir):
     from mre.textops import ivf_ann
     _prep(spark)
@@ -464,6 +507,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_batch": q_sessionize_batch,
         "pivot_events": q_pivot_events,
         "ivf_ann": q_ivf_ann,
+        "url_dedup": q_url_dedup,
         "gopher_quality": q_gopher_quality,
         "winnow_dup_pairs": q_winnow_dups,
         "cosine_dup_pairs": q_cosine_dup_pairs,
@@ -594,6 +638,29 @@ def oracle_sql() -> dict[str, str]:
             WHERE n_corpus = (SELECT count(*) FROM documents)
         """,
         "ivf_ann": ivf_oracle,
+        "url_dedup": r"""
+            WITH u AS (
+                SELECT doc_id, unnest([
+                    'https://example-' || (doc_id % 20)
+                        || '.com/articles/' || doc_id,
+                    'HTTP://WWW.Example-' || (doc_id % 20)
+                        || '.COM/Articles/' || doc_id
+                        || '/?utm_source=feed#top']) AS url
+                FROM documents),
+            n AS (
+                SELECT url,
+                       regexp_replace(regexp_replace(regexp_replace(
+                           regexp_replace(regexp_replace(lower(url),
+                           '#.*$', '', 'g'),
+                           '([?&])utm_[a-z_]+=[^&#]*', '\1', 'g'),
+                           '[?&]+$', '', 'g'),
+                           '^https?://(www\.)?', 'https://', 'g'),
+                           '/$', '', 'g') AS url_norm
+                FROM u)
+            SELECT url_norm, count(*) AS n_variants,
+                   min(url) AS sample_raw
+            FROM n GROUP BY url_norm
+        """,
         "json_props": """
             SELECT event_type,
                    CAST(sum(CAST(json_extract_string(props, '$.k')
