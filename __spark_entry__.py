@@ -434,6 +434,12 @@ def q_url_dedup(spark, sf_dir):
                  F.min("url").alias("sample_raw")))
 
 
+def q_profile_docs(spark, sf_dir):
+    from mre.textops import table_profile
+    _prep(spark)
+    return table_profile(_t(spark, sf_dir, "documents"))
+
+
 def q_ivf_ann(spark, sf_dir):
     from mre.textops import ivf_ann
     _prep(spark)
@@ -508,6 +514,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_events": q_pivot_events,
         "ivf_ann": q_ivf_ann,
         "url_dedup": q_url_dedup,
+        "profile_docs": q_profile_docs,
         "gopher_quality": q_gopher_quality,
         "winnow_dup_pairs": q_winnow_dups,
         "cosine_dup_pairs": q_cosine_dup_pairs,
@@ -661,6 +668,15 @@ def oracle_sql() -> dict[str, str]:
                    min(url) AS sample_raw
             FROM n GROUP BY url_norm
         """,
+        "profile_docs": " UNION ALL ".join(
+            f"""
+            SELECT '{c}' AS col_name,
+                   count(*) FILTER ({c} IS NULL) AS n_nulls,
+                   count(DISTINCT {c}) AS n_distinct,
+                   CAST(min({c}) AS VARCHAR) AS min_s,
+                   CAST(max({c}) AS VARCHAR) AS max_s
+            FROM documents
+            """ for c in ["doc_id", "text", "lang", "source", "n_chars"]),
         "json_props": """
             SELECT event_type,
                    CAST(sum(CAST(json_extract_string(props, '$.k')

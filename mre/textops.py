@@ -584,7 +584,30 @@ def ivf_ann(embeddings: DataFrame, n_queries: int = 5, k: int = 10,
                     "cosine", "rank"))
 
 
+def table_profile(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """ANALYZE-style column profile: per column → null count, exact
+    distinct count, min/max (stringified on the native-type result).
+    ONE scan for all columns (single wide aggregate, then stack-unpivot)
+    — never one pass per column."""
+    cols = cols or df.columns
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__nd"),
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
+        ]
+    row = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__nulls, {c}__nd, {c}__min, {c}__max" for c in cols)
+    return row.selectExpr(
+        f"stack({len(cols)}, {stack_args}) "
+        f"AS (col_name, n_nulls, n_distinct, min_s, max_s)")
+
+
 __all__ = [
+    "table_profile",
     "token_stats", "quality_score", "lang_id", "fingerprint", "exact_dedup",
     "shingles", "jaccard_pairs", "minhash_signatures", "minhash_candidates",
     "minhash_near_dups", "simhash", "simhash_near_dups", "ann_brute_force",
