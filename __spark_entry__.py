@@ -403,9 +403,11 @@ _URL_NORM_STEPS = [
     (r"#.*$", ""),                       # fragment
     (r"([?&])utm_[a-z_]+=[^&#]*", r"$1"),  # tracking params
     (r"[?&]+$", ""),                     # dangling separators
-    (r"^https?://(www\.)?", "https://"),   # scheme + www
-    (r"/$", ""),                          # trailing slash
+    (r"^https?://(www\.)*", "https://"),   # scheme + ALL leading www.
+    (r"([^:/])/+$", r"$1"),                # trailing slashes (not ://)
 ]
+# idempotence (norm∘norm == norm) is fuzz-tested in test_property_fuzz —
+# (www\.)* not (www\.)? and ([^:/])/+$ not /$ are what make it hold
 
 
 def q_url_dedup(spark, sf_dir):
@@ -661,8 +663,8 @@ def oracle_sql() -> dict[str, str]:
                            '#.*$', '', 'g'),
                            '([?&])utm_[a-z_]+=[^&#]*', '\1', 'g'),
                            '[?&]+$', '', 'g'),
-                           '^https?://(www\.)?', 'https://', 'g'),
-                           '/$', '', 'g') AS url_norm
+                           '^https?://(www\.)*', 'https://', 'g'),
+                           '([^:/])/+$', '\1', 'g') AS url_norm
                 FROM u)
             SELECT url_norm, count(*) AS n_variants,
                    min(url) AS sample_raw

@@ -79,3 +79,23 @@ def test_collapse_ws_idempotent(s):
     assert collapse_ws(once) == once
     assert "  " not in once and not once.startswith(" ") \
         and not once.endswith(" ")
+
+
+@given(st.text(alphabet=st.characters(min_codepoint=33, max_codepoint=126),
+               max_size=200))
+@settings(**SETTINGS)
+def test_url_normalizer_idempotent(s):
+    """norm(norm(x)) == norm(x) for the url_dedup regex chain — a
+    normalizer that isn't idempotent merges different things on re-runs."""
+    import re
+
+    import __spark_entry__ as em
+
+    def norm(u: str) -> str:
+        u = u.lower()
+        for pat, rep in em._URL_NORM_STEPS:
+            u = re.sub(pat, rep.replace("$1", r"\1"), u)
+        return u
+
+    once = norm("http://" + s)
+    assert norm(once) == once

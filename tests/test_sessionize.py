@@ -61,3 +61,51 @@ def test_sessionize_events(spark, tmp_path):
     s2 = rows[2]
     assert s2["n_events"] == 1
     assert abs(s2["total_value"] - 10.0) < 1e-9
+
+
+def test_sessionize_streaming_matches_batch(spark, tmp_path):
+    """Differential: the stateful streaming sessionizer and the
+    SQL-oracle-checked batch twin (q_sessionize_batch) must emit the same
+    (user, start, end, n, total) session set once every session closes."""
+    import __spark_entry__ as em
+    from pyspark.sql import functions as F
+    from mre.streaming import sessionize_events
+
+    sf = "/root/testdata/sf0.001"
+    ev = spark.read.parquet(f"{sf}/events.parquet") \
+        .select("user_id", "ts", "value")
+    src = str(tmp_path / "ev_src")
+    os.makedirs(src)
+    ev.coalesce(2).write.parquet(os.path.join(src, "b1"))
+    # sentinel user far in the future: watermark passes last_ts + gap for
+    # every real session, so all of them close and emit
+    far = ev.agg(F.max("ts")).first()[0] + dt.timedelta(days=30)
+    spark.createDataFrame(
+        [(999999, far, 0.0), (999999, far + dt.timedelta(minutes=1), 0.0)],
+        EVENTS_SCHEMA).coalesce(1).write.parquet(os.path.join(src, "b2"))
+
+    stream = (spark.readStream.schema(EVENTS_SCHEMA)
+              .option("maxFilesPerTrigger", 1).parquet(src + "/*"))
+    sessions = sessionize_events(stream, gap_minutes=10,
+                                 watermark="1 minute")
+    q = (sessions.writeStream.format("memory")
+         .queryName("sessions_diff").outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {(r.user_id, r.session_start, r.session_end, r.n_events,
+            round(r.total_value, 6))
+           for r in spark.sql("select * from sessions_diff").collect()
+           if r.user_id != 999999}
+    expect = {(r.user_id, r.session_start, r.session_end, r.n_events,
+               round(r.total_value, 6))
+              for r in em.q_sessionize_batch(spark, sf)
+              .withColumn("total_value", F.col("total_value")).collect()}
+    # batch rounds total_value to 3 decimals; align the comparison
+    got3 = {(u, s, e, n, round(t, 3)) for u, s, e, n, t in got}
+    exp3 = {(u, s, e, n, round(t, 3)) for u, s, e, n, t in expect}
+    assert got3 == exp3
