@@ -436,6 +436,25 @@ def q_url_dedup(spark, sf_dir):
                  F.min("url").alias("sample_raw")))
 
 
+def q_hash_sample(spark, sf_dir):
+    """Deterministic ~5% content-hash sample (md5-bucket, engine-stable)."""
+    from mre.textops import hash_sample
+    _prep(spark)
+    return hash_sample(_t(spark, sf_dir, "documents"), "text", 0.05) \
+        .select("doc_id", "lang", "n_chars")
+
+
+def q_hash_split(spark, sf_dir):
+    """Deterministic 90/10 train/test split by content hash; returns the
+    per-(split, lang) counts so the whole assignment is value-checked."""
+    from mre.textops import hash_split
+    _prep(spark)
+    return (hash_split(_t(spark, sf_dir, "documents"), "text", 0.9)
+            .groupBy("split", "lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.min("doc_id").alias("min_doc_id")))
+
+
 def q_profile_docs(spark, sf_dir):
     from mre.textops import table_profile
     _prep(spark)
@@ -517,6 +536,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_ann": q_ivf_ann,
         "url_dedup": q_url_dedup,
         "profile_docs": q_profile_docs,
+        "hash_sample": q_hash_sample,
+        "hash_split": q_hash_split,
         "gopher_quality": q_gopher_quality,
         "winnow_dup_pairs": q_winnow_dups,
         "cosine_dup_pairs": q_cosine_dup_pairs,
@@ -679,6 +700,19 @@ def oracle_sql() -> dict[str, str]:
                    CAST(max({c}) AS VARCHAR) AS max_s
             FROM documents
             """ for c in ["doc_id", "text", "lang", "source", "n_chars"]),
+        "hash_sample": """
+            SELECT doc_id, lang, n_chars FROM documents
+            WHERE CAST(('0x' || substring(md5(text), 1, 4)) AS INTEGER)
+                  < CAST(0.05 * 65536 AS INTEGER)
+        """,
+        "hash_split": """
+            SELECT CASE WHEN CAST(('0x' || substring(md5(text), 1, 4))
+                             AS INTEGER) < CAST(0.9 * 65536 AS INTEGER)
+                        THEN 'train' ELSE 'test' END AS split,
+                   lang, count(*) AS n_docs,
+                   CAST(min(doc_id) AS BIGINT) AS min_doc_id
+            FROM documents GROUP BY 1, 2
+        """,
         "json_props": """
             SELECT event_type,
                    CAST(sum(CAST(json_extract_string(props, '$.k')

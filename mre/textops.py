@@ -584,6 +584,34 @@ def ivf_ann(embeddings: DataFrame, n_queries: int = 5, k: int = 10,
                     "cosine", "rank"))
 
 
+def hash_bucket_16(col) -> "F.Column":
+    """Deterministic uniform bucket in [0, 65536) from md5's first 4 hex
+    chars — md5 hex is identical in every engine, so samples/splits are
+    reproducible across Spark, DuckDB, or anything else (unlike
+    rand(seed), which is engine- and partitioning-dependent)."""
+    return F.conv(F.substring(F.md5(col), 1, 4), 16, 10).cast("int")
+
+
+def hash_sample(df: DataFrame, key_col: str, rate: float) -> DataFrame:
+    """Deterministic ~rate sample keyed on content: keep rows whose md5
+    bucket < rate·2^16. Stable under repartitioning, re-runs, and engine
+    changes — the property a training-data eval split actually needs."""
+    thr = int(rate * 65536)
+    return df.filter(hash_bucket_16(F.col(key_col)) < thr)
+
+
+def hash_split(df: DataFrame, key_col: str,
+               train_frac: float = 0.9) -> DataFrame:
+    """Deterministic train/test assignment by content hash; adds ``split``.
+    Same key always lands in the same split — dedup-safe (a duplicated
+    document can never leak across the boundary)."""
+    thr = int(train_frac * 65536)
+    return df.withColumn(
+        "split",
+        F.when(hash_bucket_16(F.col(key_col)) < thr,
+               F.lit("train")).otherwise(F.lit("test")))
+
+
 def table_profile(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     """ANALYZE-style column profile: per column → null count, exact
     distinct count, min/max (stringified on the native-type result).
@@ -607,7 +635,7 @@ def table_profile(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
 
 
 __all__ = [
-    "table_profile",
+    "table_profile", "hash_bucket_16", "hash_sample", "hash_split",
     "token_stats", "quality_score", "lang_id", "fingerprint", "exact_dedup",
     "shingles", "jaccard_pairs", "minhash_signatures", "minhash_candidates",
     "minhash_near_dups", "simhash", "simhash_near_dups", "ann_brute_force",
