@@ -455,6 +455,12 @@ def q_hash_split(spark, sf_dir):
                  F.min("doc_id").alias("min_doc_id")))
 
 
+def q_sentence_dedup(spark, sf_dir):
+    from mre.textops import sentence_dedup_stats
+    _prep(spark)
+    return sentence_dedup_stats(_t(spark, sf_dir, "documents"))
+
+
 def q_profile_docs(spark, sf_dir):
     from mre.textops import table_profile
     _prep(spark)
@@ -538,6 +544,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_docs": q_profile_docs,
         "hash_sample": q_hash_sample,
         "hash_split": q_hash_split,
+        "sentence_dedup": q_sentence_dedup,
         "gopher_quality": q_gopher_quality,
         "winnow_dup_pairs": q_winnow_dups,
         "cosine_dup_pairs": q_cosine_dup_pairs,
@@ -700,6 +707,29 @@ def oracle_sql() -> dict[str, str]:
                    CAST(max({c}) AS VARCHAR) AS max_s
             FROM documents
             """ for c in ["doc_id", "text", "lang", "source", "n_chars"]),
+        "sentence_dedup": """
+            WITH s AS (
+                SELECT DISTINCT doc_id, sentence
+                FROM (SELECT doc_id,
+                             unnest(string_split(text, '. ')) AS sentence
+                      FROM documents)
+                WHERE length(sentence) >= 20),
+            f AS (
+                SELECT sentence,
+                       count(DISTINCT doc_id) AS n_docs_with
+                FROM s GROUP BY sentence),
+            p AS (
+                SELECT doc_id, count(*) AS n_sents,
+                       CAST(sum(CASE WHEN n_docs_with > 1
+                                     THEN 1 ELSE 0 END) AS BIGINT)
+                           AS n_dup_sents
+                FROM s JOIN f USING (sentence) GROUP BY doc_id)
+            SELECT doc_id, n_sents, n_dup_sents,
+                   (n_dup_sents * 10000) // n_sents AS dup_bp,
+                   CAST((n_dup_sents * 10000) // n_sents >= 5000 AS INT)
+                       AS flag_dup
+            FROM p
+        """,
         "hash_sample": """
             SELECT doc_id, lang, n_chars FROM documents
             WHERE CAST(('0x' || substring(md5(text), 1, 4)) AS INTEGER)

@@ -612,6 +612,34 @@ def hash_split(df: DataFrame, key_col: str,
                F.lit("train")).otherwise(F.lit("test")))
 
 
+def sentence_dedup_stats(docs: DataFrame, min_len: int = 20,
+                         dup_bp_cut: int = 5000) -> DataFrame:
+    """Passage-level dedup signal (the paragraph-dedup family): explode
+    each doc into distinct sentences, count how many of a doc's sentences
+    also appear in OTHER docs, and flag docs past ``dup_bp_cut`` basis
+    points of duplication. Ratio kept on the integer basis-point grid
+    (SURVEY §7.1 rule 5 — no cross-engine float rounding).
+
+    Scale shape: one shuffle for the sentence-frequency groupBy + one
+    equi-join back; identical to exact dedup, just one level down."""
+    sents = (docs
+             .select("doc_id", F.explode(F.array_distinct(
+                 F.split(F.col("text"), r"\. "))).alias("sentence"))
+             .filter(F.length("sentence") >= min_len))
+    freq = (sents.groupBy("sentence")
+            .agg(F.countDistinct("doc_id").alias("n_docs_with")))
+    per_doc = (sents.join(freq, "sentence")
+               .groupBy("doc_id")
+               .agg(F.count("*").alias("n_sents"),
+                    F.sum((F.col("n_docs_with") > 1).cast("long"))
+                    .alias("n_dup_sents")))
+    return per_doc.select(
+        "doc_id", "n_sents", "n_dup_sents",
+        F.expr("n_dup_sents * 10000 div n_sents").alias("dup_bp"),
+        F.expr(f"int(n_dup_sents * 10000 div n_sents >= {dup_bp_cut})")
+        .alias("flag_dup"))
+
+
 def table_profile(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     """ANALYZE-style column profile: per column → null count, exact
     distinct count, min/max (stringified on the native-type result).
@@ -636,6 +664,7 @@ def table_profile(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
 
 __all__ = [
     "table_profile", "hash_bucket_16", "hash_sample", "hash_split",
+    "sentence_dedup_stats",
     "token_stats", "quality_score", "lang_id", "fingerprint", "exact_dedup",
     "shingles", "jaccard_pairs", "minhash_signatures", "minhash_candidates",
     "minhash_near_dups", "simhash", "simhash_near_dups", "ann_brute_force",
