@@ -200,3 +200,37 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         assert joined.count() == 1000
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_new_ops_plan_shapes(spark):
+    """Plan-shape guards for the round-2 operators: no surprise shuffles,
+    filters stay JVM-side, no Python row processing."""
+    import __spark_entry__ as em
+
+    sf = "/root/testdata/sf0.001"
+
+    # url_dedup: explode + regex normalize are pure projections — exactly
+    # ONE Exchange (the groupBy on the canonical form)
+    plan = em.queries()["url_dedup"](spark, sf) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+    assert "BatchEvalPython" not in plan and "EvalPython" not in plan
+
+    # hash_sample: md5-bucket filter is JVM-side over the scan, no shuffle
+    plan = em.queries()["hash_sample"](spark, sf) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "EvalPython" not in plan
+
+    # profile_docs: single wide aggregate — the documents parquet is
+    # scanned exactly once despite profiling 5 columns
+    plan = em.queries()["profile_docs"](spark, sf) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1, plan
+
+    # ivf_ann: candidate restriction is a broadcast equi-join on cell,
+    # never a cartesian product
+    plan = em.queries()["ivf_ann"](spark, sf) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
