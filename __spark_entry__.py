@@ -709,21 +709,21 @@ def oracle_sql() -> dict[str, str]:
             """ for c in ["doc_id", "text", "lang", "source", "n_chars"]),
         "sentence_dedup": """
             WITH s AS (
-                SELECT DISTINCT doc_id, sentence
+                SELECT DISTINCT doc_id, md5(sentence) AS sent_key
                 FROM (SELECT doc_id,
                              unnest(string_split(text, '. ')) AS sentence
                       FROM documents)
                 WHERE length(sentence) >= 20),
             f AS (
-                SELECT sentence,
+                SELECT sent_key,
                        count(DISTINCT doc_id) AS n_docs_with
-                FROM s GROUP BY sentence),
+                FROM s GROUP BY sent_key),
             p AS (
                 SELECT doc_id, count(*) AS n_sents,
                        CAST(sum(CASE WHEN n_docs_with > 1
                                      THEN 1 ELSE 0 END) AS BIGINT)
                            AS n_dup_sents
-                FROM s JOIN f USING (sentence) GROUP BY doc_id)
+                FROM s JOIN f USING (sent_key) GROUP BY doc_id)
             SELECT doc_id, n_sents, n_dup_sents,
                    (n_dup_sents * 10000) // n_sents AS dup_bp,
                    CAST((n_dup_sents * 10000) // n_sents >= 5000 AS INT)

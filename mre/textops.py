@@ -267,9 +267,17 @@ def minhash_signatures(docs: DataFrame, k: int = 32,
             .select("doc_id", F.expr(f"array({mins})").alias("sig")))
 
 
-def minhash_candidates(sigs: DataFrame, bands: int = 8) -> DataFrame:
+def minhash_candidates(sigs: DataFrame, bands: int = 8,
+                       max_bucket: int | None = None) -> DataFrame:
     """LSH banding: docs agreeing on any band are candidate near-dups.
-    Join key is (band_idx, hash(band slice)) → pure equi-join shuffle."""
+    Join key is (band_idx, hash(band slice)) → pure equi-join shuffle.
+
+    ``max_bucket`` guards the self-join's quadratic worst case at corpus
+    scale: a bucket of b docs emits b² pairs, and one viral boilerplate
+    cluster (b in the millions at 10^12 docs) would dominate the whole
+    job. Buckets past the cap are whole near-identical clusters anyway —
+    route them to exact dedup, which is linear. Default None = no pruning
+    (small-sf behavior and the driver oracle are unchanged)."""
     k = bands  # r = k_total / bands rows per band
     banded = sigs.select(
         "doc_id",
@@ -277,6 +285,12 @@ def minhash_candidates(sigs: DataFrame, bands: int = 8) -> DataFrame:
             f"transform(sequence(0, {bands - 1}),"
             f" b -> hash(slice(sig, b * (size(sig) div {bands}) + 1,"
             f" size(sig) div {bands})))")).alias("band_idx", "band_hash"))
+    if max_bucket is not None:
+        sizes = (banded.groupBy("band_idx", "band_hash")
+                 .agg(F.count("*").alias("_bsz"))
+                 .filter(F.col("_bsz") <= max_bucket)
+                 .drop("_bsz"))
+        banded = banded.join(sizes, ["band_idx", "band_hash"])
     a, b = banded.alias("a"), banded.alias("b")
     return (a.join(b, (F.col("a.band_idx") == F.col("b.band_idx"))
                    & (F.col("a.band_hash") == F.col("b.band_hash"))
@@ -622,13 +636,18 @@ def sentence_dedup_stats(docs: DataFrame, min_len: int = 20,
 
     Scale shape: one shuffle for the sentence-frequency groupBy + one
     equi-join back; identical to exact dedup, just one level down."""
+    # shuffle key is md5(sentence), NOT the sentence: the frequency
+    # groupBy and the join back move a fixed-width digest instead of
+    # arbitrary-length paragraph text — at 100 TB that is the difference
+    # between shuffling digests and re-shuffling the corpus
     sents = (docs
              .select("doc_id", F.explode(F.array_distinct(
                  F.split(F.col("text"), r"\. "))).alias("sentence"))
-             .filter(F.length("sentence") >= min_len))
-    freq = (sents.groupBy("sentence")
+             .filter(F.length("sentence") >= min_len)
+             .select("doc_id", F.md5("sentence").alias("sent_key")))
+    freq = (sents.groupBy("sent_key")
             .agg(F.countDistinct("doc_id").alias("n_docs_with")))
-    per_doc = (sents.join(freq, "sentence")
+    per_doc = (sents.join(freq, "sent_key")
                .groupBy("doc_id")
                .agg(F.count("*").alias("n_sents"),
                     F.sum((F.col("n_docs_with") > 1).cast("long"))

@@ -125,3 +125,21 @@ def test_winnow_fingerprints_and_pairs(spark, docs_with_dups):
     pairs = winnow_dup_pairs(docs_with_dups, min_shared=3)
     found = {(r["doc_a"], r["doc_b"]) for r in pairs.collect()}
     assert {(i, i + 20000) for i in base_ids} <= found
+
+
+def test_minhash_bucket_cap_prunes_hot_buckets(spark):
+    """max_bucket routes giant near-identical clusters away from the
+    quadratic band self-join (they belong to exact dedup instead)."""
+    from mre.textops import minhash_candidates, minhash_signatures
+
+    rows = [(i, "the same viral boilerplate text repeated everywhere "
+             "for this entire cluster of documents")
+            for i in range(12)]
+    rows += [(100, "a unique document about gardening and soil quality"),
+             (101, "a unique document about gardening and soil quality")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    sigs = minhash_signatures(docs)
+    uncapped = minhash_candidates(sigs).count()
+    capped = minhash_candidates(sigs, max_bucket=5).count()
+    assert uncapped >= 66 + 1  # 12-cluster pairs + the gardening pair
+    assert capped == 1        # only the small bucket survives the cap
