@@ -40,6 +40,7 @@ BENCH_QUERIES = [
     "simhash_near_dups",
     "ann_brute_force",
     "ivf_ann",
+    "sentence_dedup",
     "quality_score",
     "lang_id",
     "token_stats",
