@@ -7,9 +7,12 @@ fixture templates, FIXTURES.md) and run the full extraction pipeline
 returning the EXTRACT_SCHEMA frame.
 
 ``queries()`` — one entry per implemented operator (SURVEY.md §2A/§2B +
-mre.textops); ``oracle_sql()`` gives the DuckDB-equivalent SQL for every
-SQL-expressible one (aliases match column-for-column). Extraction, MinHash/
-SimHash near-dup and LSH-ANN are non-SQL-expressible → rows-only checks.
+mre.textops); ``oracle_sql()`` covers EVERY entry (aliases match
+column-for-column): direct DuckDB SQL where expressible, and golden
+parquets for the hash-dependent ops — the flagship from the doc_id-keyed
+fixture spec (mre/fixtures.py), MinHash/SimHash/winnowing/lineage from the
+independent replay layer (mre/oracle_replay.py: from-scratch XXH64 +
+Spark-variant murmur3_32, verified against the engine's own hash fns).
 """
 
 from __future__ import annotations
@@ -1074,7 +1077,8 @@ def oracle_sql() -> dict[str, str]:
                    1 AS ok
             FROM t
         """,
-        # minhash_near_dups, simhash_near_dups, ann_lsh, winnow_dup_pairs:
-        # see the golden-parquet oracles added below (deterministic given
-        # the fixed params, so they ARE exactly checkable).
+        # Every queries() entry has an oracle above — the hash-dependent
+        # ones (extract_flagship, minhash/simhash/winnow, lineage_rollup)
+        # via golden parquets from mre/fixtures.py + mre/oracle_replay.py;
+        # everything else as direct DuckDB SQL.
     }
