@@ -15,11 +15,14 @@ import re
 from typing import Optional
 
 from .fuzzydate import parse_date
-from .htmlparse import Node
+from .htmlparse import Node, memo_search
 from .textutil import collapse_ws
 
 _AUTHOR_CLASS_RX = re.compile(r"\bbyline\b|\bauthor\b|\bvcard\b|\bby-?line\b",
                               re.I)
+_AU_MEMO: dict = {}
+_NEG_MEMO: dict = {}
+
 _NEG_AUTHOR_CLASS_RX = re.compile(
     r"comment|related|promo|footer|nav|sidebar|widget", re.I)
 _FN_CLASS_RX = re.compile(r"\bfn\b", re.I)
@@ -111,7 +114,8 @@ def byline_candidates(doc: Node) -> list[tuple[str, float, int]]:
             order += 1
             continue
         cid = node.class_id
-        if _AUTHOR_CLASS_RX.search(cid) and not _NEG_AUTHOR_CLASS_RX.search(cid):
+        if memo_search(_AUTHOR_CLASS_RX, _AU_MEMO, cid) \
+                and not memo_search(_NEG_AUTHOR_CLASS_RX, _NEG_MEMO, cid):
             # prefer an .fn descendant (hAtom) over the whole element text
             fn_texts = [collapse_ws(f.text_content())
                         for f in node.iter()

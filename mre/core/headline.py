@@ -15,7 +15,7 @@ from difflib import SequenceMatcher
 from typing import Optional
 from urllib.parse import urlparse
 
-from .htmlparse import Node
+from .htmlparse import Node, memo_search
 from .textutil import collapse_ws, slugify
 
 _POS_CLASS_RX = re.compile(
@@ -25,6 +25,9 @@ _NEG_CLASS_RX = re.compile(
     r"nav|menu|footer|comment|sidebar|side-bar|promo|related|widget|"
     r"share|social|breadcrumb|caption|byline|meta|tagline|subtitle|"
     r"sub-title|standfirst", re.I)
+
+_POS_MEMO: dict = {}
+_NEG_MEMO: dict = {}
 
 _TAG_SCORE = {"h1": 3.0, "h2": 2.0, "h3": 1.5, "h4": 1.0, "div": 0.0,
               "p": 0.0, "span": 0.0, "td": 0.0, "title": 0.0}
@@ -77,15 +80,18 @@ def headline_candidates(doc: Node,
     cands: list[Candidate] = []
     order = 0
     for node in doc.iter(*_CANDIDATE_TAGS):
-        txt = collapse_ws(node.text_content())
-        if not txt:
-            continue
+        # cheap cue checks FIRST — text_content() walks the whole subtree,
+        # so it only runs for the few nodes that pass (same candidate list
+        # and order either way: empty-text nodes are dropped in both)
         is_heading = node.tag in ("h1", "h2", "h3", "h4")
-        classed = bool(_POS_CLASS_RX.search(node.class_id))
+        classed = memo_search(_POS_CLASS_RX, _POS_MEMO, node.class_id)
         # schema.org microdata: itemprop="headline" is an explicit label
         itemprop = bool(node.attrib) and \
             (node.get("itemprop") or "").lower() == "headline"
         if not (is_heading or classed or itemprop):
+            continue
+        txt = collapse_ws(node.text_content())
+        if not txt:
             continue
         cands.append(Candidate(node, txt, 0.0, order,
                                base=2.0 if itemprop else 0.0))
@@ -126,12 +132,12 @@ def score_headline(doc: Node, url: str,
         if c.node is not None:
             score += _TAG_SCORE.get(c.node.tag, 0.0)
             cid = c.node.class_id
-            if _POS_CLASS_RX.search(cid):
+            if memo_search(_POS_CLASS_RX, _POS_MEMO, cid):
                 score += 2.0
-            if _NEG_CLASS_RX.search(cid):
+            if memo_search(_NEG_CLASS_RX, _NEG_MEMO, cid):
                 score -= 3.0
             for anc in c.node.ancestors():
-                if _NEG_CLASS_RX.search(anc.class_id):
+                if memo_search(_NEG_CLASS_RX, _NEG_MEMO, anc.class_id):
                     score -= 2.0
                     break
         # (node-less cues — og:title 2.5 / JSON-LD 3.0 — carry their

@@ -416,6 +416,20 @@ class _FastScanner(_SinkMixin):
                 self._start_node(tag, attrib)
 
 
+def memo_search(rx, memo: dict, s: str) -> bool:
+    """``rx.search(s) is not None`` with a bounded per-regex memo —
+    class/id strings are boilerplate that repeats across nodes and docs,
+    so cue regexes hit the same strings millions of times at corpus scale.
+    Pure caching: behavior is identical to the direct search."""
+    v = memo.get(s)
+    if v is None:
+        v = rx.search(s) is not None
+        if len(memo) > 50000:  # bound memory across a long-lived worker
+            memo.clear()
+        memo[s] = v
+    return v
+
+
 def parse_doc(html: str) -> Node:
     """Parse possibly-malformed HTML into a Node tree; never raises on tag
     soup. Fast regex scanner by default; stdlib html.parser as the

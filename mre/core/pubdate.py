@@ -18,7 +18,7 @@ from urllib.parse import urlparse
 
 from .fuzzydate import (FuzzyDate, FuzzyTime, parse_date, parse_iso_datetime,
                         parse_time, to_datetime_utc)
-from .htmlparse import Node
+from .htmlparse import Node, memo_search
 from .textutil import collapse_ws
 
 # --- E6: URL slug dates -----------------------------------------------------
@@ -116,6 +116,7 @@ def meta_dates(doc: Node) -> list[DateCand]:
 
 # --- E8: element dates ------------------------------------------------------
 
+_DATE_MEMO: dict = {}
 _DATE_CLASS_RX = re.compile(
     r"\bdate\b|dateline|\btime\b|timestamp|published|posted|post-date|"
     r"pub-?date|article-date|entry-date", re.I)
@@ -175,7 +176,7 @@ def elem_dates(doc: Node) -> list[DateCand]:
                                     "microdata"))
                 order += 1
                 continue
-        if _DATE_CLASS_RX.search(node.class_id):
+        if memo_search(_DATE_CLASS_RX, _DATE_MEMO, node.class_id):
             txt = collapse_ws(node.text_content())
             if len(txt) > 120:  # long text blobs aren't datelines
                 continue
@@ -202,7 +203,7 @@ def relative_pubdate(doc: Node,
     never the wall clock; first matching date-classed element wins."""
     from .fuzzydate import parse_relative
     for node in doc.iter():
-        if node.tag == "time" or _DATE_CLASS_RX.search(node.class_id):
+        if node.tag == "time" or memo_search(_DATE_CLASS_RX, _DATE_MEMO, node.class_id):
             txt = collapse_ws(node.text_content())
             if len(txt) > 80:
                 continue
