@@ -65,7 +65,8 @@ class Node:
     """One element. ``content`` interleaves str (text runs) and Node children
     in document order, like lxml's text/tail but simpler to walk."""
 
-    __slots__ = ("tag", "attrib", "content", "parent", "_flat", "_class_id")
+    __slots__ = ("tag", "attrib", "content", "parent", "_flat",
+                 "_class_id", "_iter_cache")
 
     def __init__(self, tag: str, attrib: Optional[dict] = None,
                  parent: Optional["Node"] = None):
@@ -77,6 +78,7 @@ class Node:
         self.parent = parent
         self._flat: Optional[list] = None   # doc-order cache (root only)
         self._class_id: Optional[str] = None
+        self._iter_cache: Optional[dict] = None  # tags → filtered list
 
     # -- tree walking ------------------------------------------------------
     @property
@@ -102,11 +104,19 @@ class Node:
         return out
 
     def iter(self, *tags: str) -> Iterator["Node"]:
-        """Self + descendants in document order, optionally tag-filtered."""
+        """Self + descendants in document order, optionally tag-filtered.
+        Filtered lists are cached per tag tuple — the extraction stages
+        re-scan the same tags on the same (immutable-once-built) tree."""
         if not tags:
             return iter(self._flatten())
-        tagset = tags if len(tags) > 2 else tags  # tuple membership is fast
-        return (n for n in self._flatten() if n.tag in tagset)
+        cache = self._iter_cache
+        if cache is None:
+            cache = self._iter_cache = {}
+        lst = cache.get(tags)
+        if lst is None:
+            lst = [n for n in self._flatten() if n.tag in tags]
+            cache[tags] = lst
+        return iter(lst)
 
     def find(self, *tags: str) -> Optional["Node"]:
         for n in self.iter(*tags):
