@@ -169,6 +169,7 @@ class Node:
         n: Optional[Node] = self
         while n is not None:
             n._flat = None
+            n._iter_cache = None
             n = n.parent
 
     def __repr__(self) -> str:  # pragma: no cover - debug aid
@@ -323,6 +324,13 @@ class _FastScanner(_SinkMixin):
         find = s.find
         pos = 0
         data = self.handle_data
+        # hot loop: bind the per-tag callees/matchers once (attribute
+        # lookups per element add up at ~300 elements/doc x 10^12 docs)
+        endtag = self.handle_endtag
+        start_node = self._start_node
+        starttag_match = _STARTTAG_RX.match
+        tagname_match = _TAG_NAME_RX.match
+        intern_ = _intern
         # attr strings repeat heavily (boilerplate classes) — share one
         # read-only dict per distinct string: fewer allocations = less
         # memory-bandwidth pressure at high worker counts (SURVEY §7.1)
@@ -338,12 +346,12 @@ class _FastScanner(_SinkMixin):
                 data(unescape(chunk) if "&" in chunk else chunk)
             c = s[lt + 1:lt + 2]
             if c == "/":
-                m = _TAG_NAME_RX.match(s, lt + 2)
+                m = tagname_match(s, lt + 2)
                 if m:
                     gt = find(">", m.end())
                     if gt < 0:
                         return
-                    self.handle_endtag(m.group(1).lower())
+                    endtag(m.group(1).lower())
                     pos = gt + 1
                 else:  # bogus end tag → skip to '>'
                     gt = find(">", lt)
@@ -364,7 +372,7 @@ class _FastScanner(_SinkMixin):
                 data("<")
                 pos = lt + 1
                 continue
-            m = _STARTTAG_RX.match(s, lt + 1)
+            m = starttag_match(s, lt + 1)
             if m is None:
                 return  # truncated inside a tag
             tag = m.group(1).lower()
@@ -382,7 +390,7 @@ class _FastScanner(_SinkMixin):
                 if attrib is None:
                     attrib = {}
                     for am in _ATTR_RX.finditer(attr_str):
-                        k = _intern(am.group(1).lower())
+                        k = intern_(am.group(1).lower())
                         if k in attrib:
                             continue  # first occurrence wins
                         v = am.group(2)
@@ -401,7 +409,7 @@ class _FastScanner(_SinkMixin):
                     attr_memo[attr_str] = attrib
             else:
                 attrib = None
-            tag = _intern(tag)
+            tag = intern_(tag)
             pos = m.end()
             raw = _RAW_END_RX.get(tag)
             if raw is not None and not selfclose:
@@ -411,19 +419,19 @@ class _FastScanner(_SinkMixin):
                 body_end = em.start() if em else n
                 if tag == "script" and attrib \
                         and "ld+json" in (attrib.get("type") or "").lower():
-                    self._start_node(tag, attrib)
-                    self.handle_data(s[pos:body_end])
-                    self.handle_endtag(tag)
+                    start_node(tag, attrib)
+                    data(s[pos:body_end])
+                    endtag(tag)
                 pos = em.end() if em else n
                 continue
             if selfclose:
                 if tag in _DROP_SUBTREES:
                     continue  # self-closed script/style etc: nothing kept
-                self._start_node(tag, attrib)
+                start_node(tag, attrib)
                 if tag not in VOID_ELEMENTS:
-                    self.handle_endtag(tag)
+                    endtag(tag)
             else:
-                self._start_node(tag, attrib)
+                start_node(tag, attrib)
 
 
 def memo_search(rx, memo: dict, s: str) -> bool:

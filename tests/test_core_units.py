@@ -124,6 +124,15 @@ def test_parse_unquoted_value_trailing_slash_matches_stdlib(html):
     assert dump(parse_doc(html)) == dump(parse_doc_stdlib(html))
 
 
+def test_iter_cache_invalidated_by_remove_child():
+    doc = parse_doc("<div><p>a</p><p>b</p></div>")
+    assert len(list(doc.iter("p"))) == 2  # primes the tag-filtered cache
+    div = next(doc.iter("div"))
+    p_first = div.children[0]
+    div.remove_child(p_first)
+    assert len(list(doc.iter("p"))) == 1  # cache must not serve stale list
+
+
 def test_parse_unquoted_trailing_slash_keeps_element_open():
     doc = parse_doc('<a rel=author href=/staff/jane/>Jane Doe</a>')
     a = next(doc.iter("a"))
