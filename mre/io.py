@@ -51,10 +51,23 @@ def get_spark(app: str = "mre", master: str | None = None,
     return spark
 
 
+_FORMAT_PREFIXES = ("orc:", "csv:", "json:")
+
+
 def read_pages(spark: SparkSession, src: str) -> DataFrame:
-    """P1 scan. ``src``: parquet path (file or dir) or iceberg:db.table."""
+    """P1 scan. ``src``: parquet path (file or dir, the default),
+    ``iceberg:db.table``, or ``orc:``/``csv:``/``json:`` + path for the
+    other columnar/text formats Spark reads natively (csv/json sources
+    carry html as base64 — see read_pages_jsonl for the typed variant)."""
     if src.startswith(ICEBERG_PREFIX):
         return spark.read.format("iceberg").load(src[len(ICEBERG_PREFIX):])
+    for p in _FORMAT_PREFIXES:
+        if src.startswith(p):
+            fmt = p[:-1]
+            reader = spark.read
+            if fmt == "csv":
+                reader = reader.option("header", "true")
+            return reader.format(fmt).load(src[len(p):])
     return spark.read.parquet(src)
 
 
