@@ -372,8 +372,14 @@ def simhash(docs: DataFrame) -> DataFrame:
 
 def simhash_near_dups(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     """Near-dups by SimHash: band the 64 bits into 4×16-bit keys (any equal
-    band ⇒ candidate), verify by popcount(xor) ≤ max_hamming."""
-    sh = simhash(docs)
+    band ⇒ candidate), verify by popcount(xor) ≤ max_hamming.
+
+    The simhash frame (one pandas-UDF fold over the corpus) feeds BOTH
+    self-join sides — persisted so the fold runs once. The hamming filter
+    runs BEFORE the pair-dedup distinct (same result; the distinct's
+    shuffle then carries only surviving pairs)."""
+    from pyspark import StorageLevel
+    sh = simhash(docs).persist(StorageLevel.MEMORY_AND_DISK)
     banded = sh.select(
         "doc_id", "simhash",
         F.posexplode(F.expr(
@@ -388,8 +394,8 @@ def simhash_near_dups(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
                     F.col("b.doc_id").alias("doc_b"),
                     F.expr("bit_count(a.simhash ^ b.simhash)")
                     .alias("hamming"))
-            .distinct()
-            .filter(F.col("hamming") <= max_hamming))
+            .filter(F.col("hamming") <= max_hamming)
+            .distinct())
 
 
 # --------------------------------------------------------------------------
