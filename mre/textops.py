@@ -219,9 +219,14 @@ def jaccard_pairs(docs: DataFrame, n: int = 3,
     Inverted-index equi-join — fine at verification scale; quadratic in the
     worst case, so at 10^12 docs this runs only on LSH candidate pairs.
     The shingle frame feeds three branches (both join sides + sizes) —
-    persisted so the shingle transform runs once."""
+    persisted so the shingle transform runs once, and keyed by
+    xxhash64(shingle) so the inverted-index shuffle moves 8-byte keys
+    instead of n-gram strings (collisions are ~n²/2^64 — immaterial, and
+    the exact-SQL oracle would catch one)."""
     from pyspark import StorageLevel
-    sh = shingles(docs, n).persist(StorageLevel.MEMORY_AND_DISK)
+    sh = (shingles(docs, n)
+          .select("doc_id", F.xxhash64("shingle").alias("shingle"))
+          .persist(StorageLevel.MEMORY_AND_DISK))
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
