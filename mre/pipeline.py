@@ -66,6 +66,34 @@ def dedup_latest(pages: DataFrame) -> DataFrame:
             .filter(F.col("_rn") == 1).drop("_rn"))
 
 
+def dedup_first_latest(pages: DataFrame) -> DataFrame:
+    """Skew-resilient url dedup for HIGH duplicate-capture rates.
+
+    The window dedup shuffles every capture's html to its url's bucket
+    first — a viral url with millions of captures becomes one hot task
+    carrying all of them. This two-phase variant instead:
+
+    1. aggregates (url, max(warc_ts)) — a METADATA-only shuffle with
+       map-side partial aggregation, so the hot url contributes one row
+       per input partition, never a hot reduce task;
+    2. equi-joins back on url — the html-carrying shuffle then moves only
+       rows whose warc_ts ties the max (≈1 per url);
+    3. removes residual exact ties with a window INSIDE the join's
+       url-partitioning (no further exchange — same trick as
+       dedup_latest_in_bucket).
+
+    Same keep-the-latest semantics as dedup_latest. Use it when the
+    dup-capture rate is high or url-skewed; the default single-shuffle
+    window path is cheaper at low dup rates (§7.1 rule 2 untouched)."""
+    latest = pages.groupBy("url").agg(F.max("warc_ts").alias("_max_ts"))
+    kept = (pages.join(latest, "url")
+            .filter(F.col("warc_ts") == F.col("_max_ts"))
+            .drop("_max_ts"))
+    w = Window.partitionBy("url").orderBy(F.desc("warc_ts"))
+    return (kept.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1).drop("_rn"))
+
+
 def dedup_latest_in_bucket(pages: DataFrame) -> DataFrame:
     """Same semantics as dedup_latest for a frame already salted: window
     over (salt_bucket, url). salt_bucket is a pure function of url, so the
@@ -378,7 +406,8 @@ def golden_diff(actual: DataFrame, expected: DataFrame) -> DataFrame:
 
 
 __all__ = [
-    "dedup_latest", "dedup_latest_in_bucket", "extract_batch_arrow",
+    "dedup_latest", "dedup_latest_in_bucket", "dedup_first_latest",
+    "extract_batch_arrow",
     "with_salt_bucket", "extract_batch", "run_extract_df",
     "run_extract", "read_results", "lineage_rollup", "completed_buckets",
     "golden_diff", "EXTRACT_FULL_SCHEMA", "RESULT_COLS", "DEFAULT_BYTE_CAP",

@@ -254,3 +254,26 @@ def test_read_table_format_dispatch(spark, tmp_path):
     d.write.option("header", "true").csv(csv)
     got = read_table(spark, f"csv:{csv}")
     assert got.count() == 50  # csv types are strings; row count suffices
+
+
+def test_dedup_first_latest_matches_window_dedup(spark, fixture_dir):
+    """Two-phase skew-resilient dedup == window dedup on the fixture
+    corpus, and it keeps exactly one row per viral url."""
+    from mre.pipeline import dedup_first_latest
+
+    pages = spark.read.parquet(f"{fixture_dir}/pages.parquet")
+    a = dedup_latest(pages).select("url", "warc_ts")
+    b = dedup_first_latest(pages).select("url", "warc_ts")
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+
+    # viral-url skew: 500 captures of one url (including exact-tie ts)
+    import datetime as dt
+    t0 = dt.datetime(2021, 1, 1)
+    rows = [("http://hot.example/x", t0 + dt.timedelta(minutes=m % 100),
+             b"<html><p>v</p></html>", None, "en") for m in range(500)]
+    from mre.schema import PAGES_SCHEMA
+    hot = spark.createDataFrame(rows, PAGES_SCHEMA)
+    out = dedup_first_latest(hot)
+    assert out.count() == 1
+    assert out.first().warc_ts == t0 + dt.timedelta(minutes=99)
