@@ -575,6 +575,21 @@ def oracle_sql() -> dict[str, str]:
     lineage_golden = write_lineage_golden(
         os.path.join(_REPO, "dist", "lineage_golden.parquet"))
     _CK = "(SELECT CAST(sum(length(text)) AS BIGINT) FROM documents)"
+    # Loud coverage guard (ADVICE r2): a corpus the goldens were never
+    # computed for must ERROR, not silently match zero expected rows —
+    # zero golden pairs for a covered corpus is a legitimate result, so
+    # coverage is probed from the dedicated coverage parquet (dedup) /
+    # the golden itself (lineage always has >=1 row per covered corpus).
+    _COV = (f"(SELECT CASE WHEN {_CK} IN (SELECT corpus_key FROM "
+            f"read_parquet('{dedup['coverage']}')) THEN 1 ELSE error("
+            f"'corpus not covered by dedup goldens; set MRE_ORACLE_SF to "
+            f"this sf dir and remove dist/dedup_goldens to materialize') "
+            f"END)")
+    _LCOV = (f"(SELECT CASE WHEN (SELECT count(*) FROM documents) IN "
+             f"(SELECT n_corpus FROM read_parquet('{lineage_golden}')) "
+             f"THEN 1 ELSE error('corpus not covered by lineage golden; "
+             f"remove dist/lineage_golden.parquet to re-derive from the "
+             f"testdata layout') END)")
     # ann_lsh IS SQL-expressible: the hyperplanes are deterministic
     # constants (xorshift64 stream, mre/textops.py _hyperplanes), inlined
     # below; sign margins are ≥1e-4 on this data, far above any FP
@@ -659,23 +674,24 @@ def oracle_sql() -> dict[str, str]:
         "minhash_near_dups": f"""
             SELECT doc_a, doc_b, est_jaccard
             FROM read_parquet('{dedup["minhash_near_dups"]}')
-            WHERE corpus_key = {_CK}
+            WHERE corpus_key = {_CK} AND 1 = {_COV}
         """,
         "simhash_near_dups": f"""
             SELECT doc_a, doc_b, hamming
             FROM read_parquet('{dedup["simhash_near_dups"]}')
-            WHERE corpus_key = {_CK}
+            WHERE corpus_key = {_CK} AND 1 = {_COV}
         """,
         "winnow_dup_pairs": f"""
             SELECT doc_a, doc_b, n_shared
             FROM read_parquet('{dedup["winnow_dup_pairs"]}')
-            WHERE corpus_key = {_CK}
+            WHERE corpus_key = {_CK} AND 1 = {_COV}
         """,
         "lineage_rollup": f"""
             SELECT run_id, partition_id, salt_bucket,
                    n_rows, n_ok, n_failed, bytes_html
             FROM read_parquet('{lineage_golden}')
             WHERE n_corpus = (SELECT count(*) FROM documents)
+              AND 1 = {_LCOV}
         """,
         "ivf_ann": ivf_oracle,
         "url_dedup": r"""

@@ -303,12 +303,126 @@ class _TreeBuilder(_SinkMixin, HTMLParser):
 # speed AND multi-core scaling (memory bandwidth is the shared resource).
 
 _TAG_NAME_RX = re.compile(r"([a-zA-Z][^\t\n\r\f\s/>\x00]*)")
-# one C-level match per start tag: name + quote-aware attr region + '/'
+# one C-level match per start tag: name + attr region + '/'. The attr region
+# is html.parser's locatestarttagend_tolerant body wrapped in an ATOMIC
+# group (3.11+): the locator consumes greedily exactly as the stdlib does,
+# then either the '>' / '/>' terminator follows directly (stdlib's "locate
+# end, then check next char" happy path) or the match fails in linear time
+# and _starttag_tolerant replays the full stdlib recovery. Because the bare-
+# value branch eats any '/' it touches, a '/' terminating an unquoted value
+# folds into the VALUE (<a href=/staff/jane/> stays open), while '/' after a
+# bare attribute name or quoted value self-closes — with no special-casing.
 _STARTTAG_RX = re.compile(
     r"""([a-zA-Z][^\t\n\r\f\s/>\x00]*)"""
-    r"""((?:[^>"']|"[^"]*"|'[^']*')*?)(/?)>""")
+    r"""((?>(?:(?:\s|/(?!>))*(?:(?<=['"\s/])[^\s/>][^\s/=>]*"""
+    r"""(?:\s*=+\s*(?>'[^']*'|"[^"]*"|(?!['"])[^>\s]*)\s*)?"""
+    r"""(?:\s|/(?!>))*)*)?\s*))"""
+    r"""(/?)>""")
+# tier-1 shape covering ~99.99% of real start tags (ASCII names, quoted or
+# bare attributes, plain separators). A strict SUBSET of what the locator
+# accepts, with no whitespace-around-'=' or unquoted values, so whenever it
+# matches the parse provably agrees with html.parser — but matches ~15%
+# faster (no lookbehind, no atomic-group machinery per tag).
+_SIMPLE_TAG_RX = re.compile(
+    r"""([a-zA-Z][a-zA-Z0-9-]*)"""
+    r"""((?:\s+[a-zA-Z_:][-a-zA-Z0-9_:.]*(?:="[^"]*"|='[^']*')?)*)\s*"""
+    r"""(/?)>""")
+# name/value grammar mirrors stdlib attrfind_tolerant: a name may START with
+# '=' (but not contain it later); '=+' runs are a single value indicator
 _ATTR_RX = re.compile(
-    r"""[\s/]*([^\s/>=]+)(?:\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>]*)))?""")
+    r"""[\s/]*([^\s/>][^\s/=>]*)"""
+    r"""(?:\s*=+\s*(?:"([^"]*)"|'([^']*)'|((?!["'])[^\s>]*)))?""")
+# --- exact html.parser recovery for tags the fast regex rejects -----------
+# The three patterns below are verbatim from CPython's public stdlib
+# html.parser (tagfind_tolerant / attrfind_tolerant /
+# locatestarttagend_tolerant) so the fallback scan is bit-identical to
+# parse_doc_stdlib on malformed start tags (unterminated quotes, quotes or
+# '<' inside unquoted values / attribute names).
+_TAGFIND_TOL_RX = re.compile(r"([a-zA-Z][^\t\n\r\f />\x00]*)(?:\s|/(?!>))*")
+_ENDTAG_RX = re.compile(r"</\s*([a-zA-Z][-.a-zA-Z0-9:_]*)\s*>")  # endtagfind
+_ATTRFIND_TOL_RX = re.compile(
+    r"((?<=['\"\s/])[^\s/>][^\s/=>]*)(\s*=+\s*"
+    r"('[^']*'|\"[^\"]*\"|(?!['\"])[^>\s]*))?(?:\s|/(?!>))*")
+_LOCATE_STARTTAG_END_RX = re.compile(r"""
+  <[a-zA-Z][^\t\n\r\f />\x00]*       # tag name
+  (?:[\s/]*                          # optional whitespace before attribute name
+    (?:(?<=['"\s/])[^\s/>][^\s/=>]*  # attribute name
+      (?:\s*=+\s*                    # value indicator
+        (?:'[^']*'                   # LITA-enclosed value
+          |"[^"]*"                   # LIT-enclosed value
+          |(?!['"])[^>\s]*           # bare value
+         )
+        \s*                          # possibly followed by a space
+       )?(?:\s|/(?!>))*
+     )*
+   )?
+  \s*                                # trailing whitespace
+""", re.VERBOSE)
+_INCOMPLETE_NEXT = frozenset("abcdefghijklmnopqrstuvwxyz"
+                             "ABCDEFGHIJKLMNOPQRSTUVWXYZ=/")
+
+
+def _starttag_tolerant(s: str, i: int):
+    """Recovery scan for a start tag at ``s[i] == '<'`` that the fast
+    ``_STARTTAG_RX`` rejected. Mirrors html.parser's
+    ``check_for_whole_start_tag`` + ``parse_starttag`` (and ``goahead``'s
+    at-EOF bogus-tag recovery) exactly, so the fast scanner stays
+    tree-identical to ``parse_doc_stdlib`` instead of truncating the
+    document at the first stray quote.
+
+    Returns ``(tag, attrib, selfclose, newpos, text, unesc)``:
+    ``tag is None`` means no element — emit ``text`` (unescaped iff
+    ``unesc``) and resume scanning at ``newpos``.
+    """
+    n = len(s)
+    j = _LOCATE_STARTTAG_END_RX.match(s, i).end()
+    nxt = s[j:j + 1]
+    if nxt == ">":
+        endpos = j + 1
+    elif nxt == "/" and s.startswith("/>", j):
+        endpos = j + 2
+    elif nxt == "" or nxt in _INCOMPLETE_NEXT:
+        # incomplete at end of input: html.parser emits up to and including
+        # the next '>' (else up to the next '<', else one char), entity-
+        # unescaped, and rescans after it
+        k = s.find(">", i + 1)
+        if k < 0:
+            k = s.find("<", i + 1)
+            if k < 0:
+                k = i + 1
+        else:
+            k += 1
+        return None, None, False, k, s[i:k], True
+    else:
+        endpos = j if j > i else i + 1  # bogus input
+    m = _TAGFIND_TOL_RX.match(s, i + 1)
+    tag = m.group(1).lower()
+    k = m.end()
+    attrib = {}
+    while k < endpos:
+        am = _ATTRFIND_TOL_RX.match(s, k)
+        if am is None:
+            break
+        name, rest, value = am.group(1, 2, 3)
+        if not rest:
+            value = ""
+        else:
+            if value[:1] == "'" == value[-1:] or \
+                    value[:1] == '"' == value[-1:]:
+                value = value[1:-1]
+            if value and "&" in value:
+                value = unescape(value)
+        name = _intern(name.lower())
+        if name not in attrib:  # first occurrence wins, like the sink
+            attrib[name] = value
+        k = am.end()
+    end = s[k:endpos].strip()
+    if end not in (">", "/>"):
+        # bogus tag: html.parser emits the RAW slice (no unescape) as data
+        return None, None, False, endpos, s[i:endpos], False
+    return tag, (attrib or None), end == "/>", endpos, None, False
+
+
 _RAW_END_RX = {
     "script": re.compile(r"</script[^>]*>", re.I),
     "style": re.compile(r"</style[^>]*>", re.I),
@@ -329,6 +443,7 @@ class _FastScanner(_SinkMixin):
         endtag = self.handle_endtag
         start_node = self._start_node
         starttag_match = _STARTTAG_RX.match
+        simple_tag_match = _SIMPLE_TAG_RX.match
         tagname_match = _TAG_NAME_RX.match
         intern_ = _intern
         # attr strings repeat heavily (boilerplate classes) — share one
@@ -346,18 +461,33 @@ class _FastScanner(_SinkMixin):
                 data(unescape(chunk) if "&" in chunk else chunk)
             c = s[lt + 1:lt + 2]
             if c == "/":
+                # mirror html.parser parse_endtag recovery exactly
+                if find(">", lt + 2) < 0:
+                    # incomplete end tag at EOF: goahead emits '<' (up to
+                    # the next '<' if any) as data and rescans after it
+                    k = find("<", lt + 1)
+                    if k < 0:
+                        k = lt + 1
+                    chunk = s[lt:k]
+                    data(unescape(chunk) if "&" in chunk else chunk)
+                    pos = k
+                    continue
+                m = _ENDTAG_RX.match(s, lt)  # </ ws? name ws? >
+                if m:
+                    endtag(m.group(1).lower())
+                    pos = m.end()
+                    continue
                 m = tagname_match(s, lt + 2)
                 if m:
-                    gt = find(">", m.end())
-                    if gt < 0:
-                        return
+                    # name matched; other stuff before '>' is ignored
                     endtag(m.group(1).lower())
-                    pos = gt + 1
-                else:  # bogus end tag → skip to '>'
-                    gt = find(">", lt)
-                    if gt < 0:
-                        return
-                    pos = gt + 1
+                    pos = find(">", m.end()) + 1
+                    continue
+                if s.startswith("</>", lt):
+                    pos = lt + 3  # '</>' is silently dropped
+                    continue
+                # bogus end tag → comment up to '>' (comments are dropped)
+                pos = find(">", lt + 2) + 1
                 continue
             if c == "!" or c == "?":
                 if s.startswith("<!--", lt):
@@ -367,50 +497,56 @@ class _FastScanner(_SinkMixin):
                     gt = find(">", lt)
                     pos = (gt + 1) if gt >= 0 else n
                 continue
-            if not c or not c.isalpha():
+            if not ("a" <= c <= "z" or "A" <= c <= "Z"):
                 # stray '<' → literal text, like the stdlib recovery
+                # (ASCII-only test: html.parser's starttagopen is <[a-zA-Z],
+                # so '<é' is text there too — str.isalpha would diverge)
                 data("<")
                 pos = lt + 1
                 continue
-            m = starttag_match(s, lt + 1)
+            m = simple_tag_match(s, lt + 1) or starttag_match(s, lt + 1)
             if m is None:
-                return  # truncated inside a tag
-            tag = m.group(1).lower()
-            attr_str = m.group(2)
-            selfclose = bool(m.group(3))
-            if selfclose and attr_str and not attr_str[-1].isspace() \
-                    and attr_str[-1] not in "\"'":
-                # html.parser recovery: a '/' immediately after an unquoted
-                # attribute value is part of the VALUE, not a self-close
-                # (<a href=/staff/jane/> keeps href="/staff/jane/", open).
-                attr_str += "/"
-                selfclose = False
-            if attr_str and not attr_str.isspace():
-                attrib = attr_memo.get(attr_str)
-                if attrib is None:
-                    attrib = {}
-                    for am in _ATTR_RX.finditer(attr_str):
-                        k = intern_(am.group(1).lower())
-                        if k in attrib:
-                            continue  # first occurrence wins
-                        v = am.group(2)
-                        if v is None:
-                            v = am.group(3)
-                        if v is None:
-                            v = am.group(4)
-                        if v:
-                            if "&" in v:
-                                v = unescape(v)
-                        else:
-                            v = ""
-                        attrib[k] = v
-                    if len(attr_memo) > 8192:  # bound per-doc memo memory
-                        attr_memo.clear()
-                    attr_memo[attr_str] = attrib
+                # fast regex rejects tags html.parser recovers from
+                # (unterminated quote, quote/'<' inside an unquoted value
+                # or attribute name): exact stdlib-mirror recovery
+                tag, attrib, selfclose, pos, text, unesc = \
+                    _starttag_tolerant(s, lt)
+                if tag is None:
+                    if text:
+                        data(unescape(text)
+                             if unesc and "&" in text else text)
+                    continue
+                tag = intern_(tag)
             else:
-                attrib = None
-            tag = intern_(tag)
-            pos = m.end()
+                tag = m.group(1).lower()
+                attr_str = m.group(2)
+                selfclose = bool(m.group(3))
+                if attr_str and not attr_str.isspace():
+                    attrib = attr_memo.get(attr_str)
+                    if attrib is None:
+                        attrib = {}
+                        for am in _ATTR_RX.finditer(attr_str):
+                            k = intern_(am.group(1).lower())
+                            if k in attrib:
+                                continue  # first occurrence wins
+                            v = am.group(2)
+                            if v is None:
+                                v = am.group(3)
+                            if v is None:
+                                v = am.group(4)
+                            if v:
+                                if "&" in v:
+                                    v = unescape(v)
+                            else:
+                                v = ""
+                            attrib[k] = v
+                        if len(attr_memo) > 8192:  # bound per-doc memo memory
+                            attr_memo.clear()
+                        attr_memo[attr_str] = attrib
+                else:
+                    attrib = None
+                tag = intern_(tag)
+                pos = m.end()
             raw = _RAW_END_RX.get(tag)
             if raw is not None and not selfclose:
                 # raw-text element: usually skipped, but JSON-LD scripts

@@ -116,9 +116,12 @@ def read_pages_jsonl(spark: SparkSession, src: str) -> DataFrame:
     ])
     df = spark.read.schema(wire).json(src)
     # same columns/types as PAGES_SCHEMA; JSON sources can't declare
-    # non-null url, so rows missing it are dropped instead
+    # non-null columns, so rows missing either non-null field (url,
+    # warc_ts) are dropped — downstream dedup windows / watermarks /
+    # dedup_first_latest all assume warc_ts is never null
     _ = PAGES_SCHEMA
-    return (df.filter(F.col("url").isNotNull())
+    return (df.filter(F.col("url").isNotNull()
+                      & F.col("warc_ts").isNotNull())
             .select("url", "warc_ts",
                     F.unbase64("html_b64").alias("html"), "text", "lang"))
 

@@ -322,11 +322,19 @@ def lineage_expected(n: int, buckets: int = 32,
 
 
 def write_lineage_golden(path: str,
-                         ns: tuple[int, ...] = (500, 5000)) -> str:
-    """Golden lineage parquet keyed by n_corpus (= count of documents)."""
+                         ns: tuple[int, ...] | None = None) -> str:
+    """Golden lineage parquet keyed by n_corpus (= count of documents).
+    ``ns`` defaults to the document counts of every discovered sf dir
+    (the replay is a cheap O(n) pass, so no size cap here — ADVICE r2:
+    derive coverage from the layout, don't hardcode it)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    if ns is None:
+        ns = tuple(sorted({
+            pq.ParquetFile(os.path.join(d, "documents.parquet"))
+            .metadata.num_rows
+            for d in testdata_sf_dirs(max_docs=1 << 40)}))
     if os.path.exists(path):
         try:
             got = set(pq.read_table(path, columns=["n_corpus"])
@@ -359,7 +367,31 @@ def write_lineage_golden(path: str,
 # --------------------------------------------------------------------------
 # golden parquet materialization (one file per query, corpus_key-keyed)
 
-_SF_DIRS = ("/root/testdata/sf0.001", "/root/testdata/sf0.01")
+def testdata_sf_dirs(root: str = "/root/testdata",
+                     max_docs: int = 2000) -> tuple[str, ...]:
+    """Discover documents corpora from the testdata layout at call time
+    (ADVICE r2: never hardcode sf dirs). Corpora above ``max_docs`` are
+    skipped by default — the pure-Python winnow replay emits ~10.5M golden
+    rows in ~80s at 5000 docs — but the corpus named by ``$MRE_ORACLE_SF``
+    is ALWAYS included, so running the oracle harness at a bigger sf just
+    needs that env var (plus a one-time golden materialization)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    out = []
+    for d in sorted(glob.glob(os.path.join(root, "sf*"))):
+        p = os.path.join(d, "documents.parquet")
+        if os.path.exists(p) \
+                and pq.ParquetFile(p).metadata.num_rows <= max_docs:
+            out.append(os.path.abspath(d))
+    forced = os.environ.get("MRE_ORACLE_SF")
+    if forced:
+        fa = os.path.abspath(forced)
+        if os.path.exists(os.path.join(fa, "documents.parquet")) \
+                and fa not in out:
+            out.append(fa)
+    return tuple(out)
 
 
 def _read_texts(sf_dir: str) -> tuple[int, dict[int, str]]:
@@ -372,14 +404,21 @@ def _read_texts(sf_dir: str) -> tuple[int, dict[int, str]]:
 
 
 def write_dedup_goldens(out_dir: str,
-                        sf_dirs: tuple[str, ...] = _SF_DIRS) -> dict:
+                        sf_dirs: tuple[str, ...] | None = None) -> dict:
     """Materialize the three golden pair tables under ``out_dir``; skipped
     when already present with every corpus_key covered. Returns
-    {query_name: parquet_path}."""
+    {query_name: parquet_path} plus a ``"coverage"`` entry — a parquet
+    listing every corpus_key the goldens were computed for, so oracle SQL
+    can fail LOUDLY on an uncovered corpus instead of matching empty
+    (a corpus may legitimately have zero pairs, so absence of rows in the
+    golden itself is not evidence of non-coverage)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    if sf_dirs is None:
+        sf_dirs = testdata_sf_dirs()
     os.makedirs(out_dir, exist_ok=True)
+    cov_path = os.path.join(out_dir, "coverage.parquet")
     specs = {
         "minhash_near_dups": (
             lambda texts: minhash_pairs_expected(texts, threshold=0.2),
@@ -392,17 +431,14 @@ def write_dedup_goldens(out_dir: str,
             "n_shared", pa.int64()),
     }
     paths = {q: os.path.join(out_dir, f"{q}_golden.parquet") for q in specs}
-    keys = None
-    if all(os.path.exists(p) for p in paths.values()):
+    if os.path.exists(cov_path) \
+            and all(os.path.exists(p) for p in paths.values()):
         try:
             keys = [_read_texts(d)[0] for d in sf_dirs]
-            ok = True
-            for p in paths.values():
-                got = set(pq.read_table(p, columns=["corpus_key"])
-                          ["corpus_key"].to_pylist())
-                ok = ok and set(keys) <= got
-            if ok:
-                return paths
+            got = set(pq.read_table(cov_path, columns=["corpus_key"])
+                      ["corpus_key"].to_pylist())
+            if set(keys) <= got:
+                return dict(paths, coverage=cov_path)
         except Exception:
             pass
     corpora = [_read_texts(d) for d in sf_dirs]
@@ -421,10 +457,16 @@ def write_dedup_goldens(out_dir: str,
         tmp = paths[q] + ".tmp"
         pq.write_table(pa.Table.from_pylist(rows, schema=schema), tmp)
         os.replace(tmp, paths[q])
-    return paths
+    cov = pa.Table.from_pylist(
+        [{"corpus_key": key} for key, _ in corpora],
+        schema=pa.schema([pa.field("corpus_key", pa.int64())]))
+    tmp = cov_path + ".tmp"
+    pq.write_table(cov, tmp)
+    os.replace(tmp, cov_path)
+    return dict(paths, coverage=cov_path)
 
 
 __all__ = ["xxh64", "xxh64_str", "murmur3_32", "spark_pmod_bucket",
            "minhash_pairs_expected", "simhash_pairs_expected",
            "winnow_pairs_expected", "write_dedup_goldens",
-           "lineage_expected", "write_lineage_golden"]
+           "lineage_expected", "write_lineage_golden", "testdata_sf_dirs"]

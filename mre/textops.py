@@ -342,9 +342,14 @@ def simhash(docs: DataFrame) -> DataFrame:
 
     @pandas_udf("long")
     def _fold(hashes: pd.Series) -> pd.Series:
-        # fully vectorized across the batch: flatten every row's hash list
-        # into one array, expand to a bits matrix once, then segment-sum
-        # per row with np.add.reduceat — no per-row Python loop.
+        # vectorized with BOUNDED memory (ADVICE r2): the bits matrix costs
+        # 64 cells per token hash, so expanding the whole Arrow batch at
+        # once (as round 2 did, in int64 = 512 B/hash) can allocate GBs for
+        # large-document batches. Expand in row-aligned chunks of ~2^16
+        # hashes instead (uint32 cells → ≤~17 MB scratch; uint32 is safe:
+        # a chunk segment sums at most 2^16 ones, and an oversized single
+        # row forms its own chunk whose length stays far below 2^32),
+        # segment-summing each chunk with np.add.reduceat as before.
         n_rows = len(hashes)
         lens = np.fromiter(
             (0 if hs is None else len(hs) for hs in hashes),
@@ -356,17 +361,32 @@ def simhash(docs: DataFrame) -> DataFrame:
             [np.asarray(hs, dtype=np.int64) for hs in hashes
              if hs is not None and len(hs)]).astype(np.uint64)
         shifts = np.arange(64, dtype=np.uint64)
-        bits = ((flat[:, None] >> shifts) & np.uint64(1)).astype(np.int64)
         starts = np.zeros(n_rows, dtype=np.int64)
         starts[1:] = np.cumsum(lens)[:-1]
-        nonempty = lens > 0
-        # reduceat needs strictly valid offsets — run it on non-empty rows
-        sums = np.add.reduceat(bits, starts[nonempty], axis=0)
-        maj = sums * 2 >= lens[nonempty][:, None]
-        vals = (maj.astype(np.uint64) << shifts).sum(
-            axis=1, dtype=np.uint64)
         out = np.zeros(n_rows, dtype=np.uint64)
-        out[nonempty] = vals
+        chunk_cap = 1 << 16
+        row = 0
+        while row < n_rows:
+            end, seg = row, 0
+            while end < n_rows and (seg == 0
+                                    or seg + lens[end] <= chunk_cap):
+                seg += int(lens[end])
+                end += 1
+            if seg == 0:
+                row = end
+                continue
+            lo = int(starts[row])
+            bits = ((flat[lo:lo + seg, None] >> shifts)
+                    & np.uint64(1)).astype(np.uint32)
+            lens_g = lens[row:end]
+            ne = lens_g > 0
+            sums = np.add.reduceat(
+                bits, (starts[row:end] - lo)[ne], axis=0).astype(np.int64)
+            maj = sums * 2 >= lens_g[ne][:, None]
+            out[np.flatnonzero(ne) + row] = (
+                maj.astype(np.uint64) << shifts).sum(
+                    axis=1, dtype=np.uint64)
+            row = end
         return pd.Series(out.astype(np.int64))
 
     # tokens_col (Python API) sidesteps SQL string-literal escaping of \s+

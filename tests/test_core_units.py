@@ -110,6 +110,26 @@ def test_parse_attr_first_occurrence_wins():
     '<div class=c/><p>t</p>',
     '<input value=a/b/>',
     '<a href=/a/ rel=me>t</a>',
+    # bare (valueless) attribute + '/>' stays a SELF-CLOSE in html.parser —
+    # only a '/' terminating an unquoted VALUE folds into the value
+    '<a foo/>text',
+    '<div hidden/><p>x</p>',
+    '<a foo bar/>y',
+    '<a bar=baz foo/>y',
+    '<a foo="q" bar/>y',
+    '<a bar="b=c" foo/>y',
+    # quoted value then '/>' self-closes
+    '<a foo="q"/>y',
+    # '=' seen, value empty or whitespace-separated: '/' IS the value
+    '<a foo=/>y',
+    '<a foo= />y',
+    '<a foo = />y',
+    '<a foo = bar/>y',
+    '<a x=1 foo = bar/>y',
+    '<img src=x.png alt=hi/>',
+    '<a foo=b"c/>y',
+    '<a bar=baz />y',
+    '<a foo />y',
 ])
 def test_parse_unquoted_value_trailing_slash_matches_stdlib(html):
     # A '/' ending an unquoted attribute value is part of the VALUE, not a

@@ -81,6 +81,70 @@ def test_collapse_ws_idempotent(s):
         and not once.endswith(" ")
 
 
+# --- targeted tag-soup differential (VERDICT r2 item 6) ---------------------
+# Generators biased toward the malformation family the round-2 ADVICE bug
+# came from: bare attributes, unquoted values containing / < > " ', spaced
+# '=', trailing-slash soup, bare '</'. The fast scanner must stay
+# TREE-IDENTICAL to html.parser recovery on every generated document.
+
+_SOUP_TAG = st.sampled_from(["a", "div", "p", "span", "img", "b"])
+_SOUP_ANAME = st.sampled_from(["href", "class", "foo", "hidden", "rel",
+                               "data-x"])
+_SOUP_VAL = st.text(alphabet="ab/<>\"'=& ;.", max_size=8)
+_SOUP_WS = st.sampled_from([" ", "  ", "\t"])
+
+
+@st.composite
+def _soup_attr(draw):
+    name = draw(_SOUP_ANAME)
+    kind = draw(st.integers(0, 3))
+    if kind == 0:
+        return name  # bare attribute
+    if kind == 1:
+        return name + "=" + draw(_SOUP_VAL)  # unquoted, dangerous chars
+    if kind == 2:
+        return name + '="' + draw(_SOUP_VAL) + '"'
+    return name + " = " + draw(_SOUP_VAL)  # whitespace around '='
+
+
+@st.composite
+def _soup_chunk(draw):
+    kind = draw(st.integers(0, 5))
+    if kind == 0:
+        return draw(st.text(alphabet="xy &;<.", max_size=6))
+    if kind == 1:
+        return "</" + draw(st.sampled_from(["", " x>", "a>", "a", ">", "/>"]))
+    tag = draw(_SOUP_TAG)
+    attrs = draw(st.lists(_soup_attr(), max_size=3))
+    tail = draw(st.sampled_from([">", "/>", " />", "/ >", "", " >", "/"]))
+    return "<" + tag + "".join(draw(_SOUP_WS) + a for a in attrs) + tail
+
+
+def _tree_dump(n):
+    """tag + attrs + children, with adjacent text chunks merged (chunk
+    boundaries are not behavior — text_content concatenates)."""
+    from mre.core.htmlparse import Node
+
+    out = [(n.tag, dict(n.attrib) if n.attrib else {})]
+    for c in n.content:
+        if isinstance(c, Node):
+            out.append(_tree_dump(c))
+        elif out and isinstance(out[-1], str):
+            out[-1] += c
+        elif c:
+            out.append(c)
+    return out
+
+
+@given(st.lists(_soup_chunk(), max_size=8))
+@settings(max_examples=500, deadline=None)
+def test_parse_doc_tag_soup_matches_stdlib(chunks):
+    from mre.core.htmlparse import parse_doc_stdlib
+
+    html = "".join(chunks)
+    assert _tree_dump(parse_doc(html)) == _tree_dump(parse_doc_stdlib(html))
+
+
 @given(st.text(alphabet=st.characters(min_codepoint=33, max_codepoint=126),
                max_size=200))
 @settings(**SETTINGS)
