@@ -73,10 +73,11 @@ def decode_html(b: bytes, content_type: Optional[str] = None) -> str:
     charset hint, declared (meta/xml) charset, utf-8, latin-1 (latin-1
     maps every byte, so this always succeeds).
 
-    ``content_type`` is the transport-layer hint (HTTP header / WARC
-    record); PAGES_SCHEMA carries no headers column, so the batch pipeline
-    never passes it — the seam exists for prod page tables that do. BOM
-    still outranks it (byte-level certainty beats a server config)."""
+    ``content_type`` is the transport-layer hint (HTTP header). The WARC
+    source captures it as a nullable ``content_type`` side column and the
+    extraction map threads it here; parquet page tables without that
+    column simply pass None. BOM still outranks it (byte-level certainty
+    beats a server config)."""
     if not b:
         return ""
     for bom, enc in _BOMS:

@@ -152,13 +152,16 @@ def _extract_chunk(pdf: pd.DataFrame) -> pd.DataFrame:
                     for t in pdf["warc_ts"]]
     else:
         captures = [None] * len(urls)
+    ctypes = pdf["content_type"].tolist() \
+        if "content_type" in pdf.columns else [None] * len(urls)
     out = {k: [] for k in ("url", "headline", "pubdate", "authors",
                            "extracted_text", "ok", "n_bytes_html",
                            "wall_us", "salt_bucket")}
-    for url, html, salt, cap in zip(urls, htmls, salts, captures):
+    for url, html, salt, cap, ct in zip(urls, htmls, salts, captures,
+                                        ctypes):
         t0 = time.perf_counter_ns()
         r = extract_one(url, bytes(html) if html is not None else None,
-                        capture_ts=cap)
+                        capture_ts=cap, content_type=ct)
         wall_us = (time.perf_counter_ns() - t0) // 1000
         out["url"].append(url)
         out["headline"].append(r.headline)
@@ -228,6 +231,8 @@ def extract_batch_arrow(batches, byte_cap: int = DEFAULT_BYTE_CAP):
             names = batch.schema.names
             captures = (batch.column("warc_ts").to_pylist()
                         if "warc_ts" in names else [None] * len(urls))
+            ctypes = (batch.column("content_type").to_pylist()
+                      if "content_type" in names else [None] * len(urls))
             n = len(urls)
             start = 0
             while start < n:
@@ -244,7 +249,8 @@ def extract_batch_arrow(batches, byte_cap: int = DEFAULT_BYTE_CAP):
                     html = htmls[i]
                     t0 = time.perf_counter_ns()
                     r = extract_one(urls[i], html,
-                                    capture_ts=captures[i])
+                                    capture_ts=captures[i],
+                                    content_type=ctypes[i])
                     cols["wu"].append(
                         (time.perf_counter_ns() - t0) // 1000)
                     cols["headline"].append(r.headline)
@@ -281,15 +287,20 @@ def run_extract_df(pages: DataFrame, buckets: int,
     the UDF's input. Salting comes FIRST and the dedup window runs inside
     the salted partitioning, so the corpus shuffles exactly once.
     """
+    # keep: minimal shuffle payload (P3) + the optional content_type side
+    # column (WARC sources carry the HTTP header; it feeds E1's decode)
+    keep = ["url", "warc_ts", "html"]
+    if "content_type" in pages.columns:
+        keep.append("content_type")
     pages = pages.filter(F.col("html").isNotNull())
-    pages = pages.select("url", "warc_ts", "html")
+    pages = pages.select(*keep)
     pages = with_salt_bucket(pages, buckets)
     # repartition by url: HashPartitioning places each row at
     # pmod(hash(url), B) == its salt_bucket -> bucket == physical partition
     pages = pages.repartition(buckets, F.col("url"))
     if dedup:
         pages = dedup_latest_in_bucket(pages)
-    pages = pages.select("url", "warc_ts", "html", "salt_bucket")
+    pages = pages.select(*keep, "salt_bucket")
     return pages.mapInArrow(
         lambda it: extract_batch_arrow(it, byte_cap), EXTRACT_FULL_SCHEMA)
 
@@ -339,19 +350,36 @@ def completed_buckets(spark: SparkSession, lineage_dst: str,
 def run_extract(spark: SparkSession, src: str, dst: str, lineage_dst: str,
                 run_id: str, buckets: Optional[int] = None,
                 byte_cap: int = DEFAULT_BYTE_CAP,
-                resume: bool = True) -> None:
+                resume: bool = True, dedup: str = "window") -> None:
     """Flagship pipeline with checkpoint/resume (SURVEY.md §3.2).
 
     Parquet sinks only in the sandbox; swap ``dst``/``lineage_dst`` for
     ``iceberg:`` URIs in prod (mre.io handles both).
+
+    ``dedup`` picks the url-dedup strategy (same keep-latest semantics):
+
+    * ``"window"`` (default) — single full-corpus shuffle; the dedup
+      window runs inside the salt partitioning with no extra exchange.
+      Cheapest at low duplicate-capture rates.
+    * ``"two-phase"`` — ``dedup_first_latest`` BEFORE the salt shuffle: a
+      metadata-only (url, max warc_ts) aggregate with map-side combine,
+      then a join-back, so a viral url with millions of captures never
+      lands on one hot task and dropped captures never shuffle their
+      html. Costs extra (cheap) exchanges; wins when the dup rate is
+      high or url-skewed.
     """
+    if dedup not in ("window", "two-phase"):
+        raise ValueError(f"dedup must be 'window' or 'two-phase': {dedup!r}")
     if buckets is None:
         cores = spark.sparkContext.defaultParallelism
         buckets = max(4 * cores, 8)
 
     pages = read_pages(spark, src)
+    keep = ["url", "warc_ts", "html"]
+    if "content_type" in pages.columns:
+        keep.append("content_type")  # HTTP charset hint → E1 decode
     pages = pages.filter(F.col("html").isNotNull())
-    pages = pages.select("url", "warc_ts", "html")
+    pages = pages.select(*keep)
     pages = with_salt_bucket(pages, buckets)
 
     if resume:
@@ -361,12 +389,16 @@ def run_extract(spark: SparkSession, src: str, dst: str, lineage_dst: str,
             # shuffle: completed buckets never shuffle their html at all
             pages = pages.join(F.broadcast(done), "salt_bucket", "left_anti")
 
-    # single full-corpus shuffle: salt repartition; the dedup window then
-    # runs inside that partitioning (no second exchange — see
-    # dedup_latest_in_bucket)
+    if dedup == "two-phase":
+        # skew-resilient path: dedup before the html-carrying shuffle
+        pages = dedup_first_latest(pages)
+    # single full-corpus shuffle of the KEPT captures: salt repartition;
+    # under "window" the dedup then runs inside that partitioning (no
+    # second exchange — see dedup_latest_in_bucket)
     pages = pages.repartition(buckets, F.col("url"))  # partition==bucket
-    pages = dedup_latest_in_bucket(pages)
-    pages = pages.select("url", "warc_ts", "html", "salt_bucket")
+    if dedup == "window":
+        pages = dedup_latest_in_bucket(pages)
+    pages = pages.select(*keep, "salt_bucket")
     extracted = (pages
                  .mapInArrow(lambda it: extract_batch_arrow(it, byte_cap),
                              EXTRACT_FULL_SCHEMA)
@@ -377,6 +409,11 @@ def run_extract(spark: SparkSession, src: str, dst: str, lineage_dst: str,
     # route through mre.io so dst/lineage_dst may be iceberg: URIs
     write_overwrite_partitions(extracted, dst, "salt_bucket")
 
+    # INVARIANT: this read-back is cheap at 100 TB ONLY because the rollup
+    # touches the small bookkeeping columns (salt_bucket, ok, n_bytes_html,
+    # wall_us, partition_id) — parquet/iceberg columnar pruning never reads
+    # the extracted_text/headline pages. Do NOT add a wide column to
+    # lineage_rollup without rethinking this pass.
     results = read_table(spark, dst)
     done = completed_buckets(spark, lineage_dst, run_id)
     if done is not None:

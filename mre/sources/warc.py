@@ -69,14 +69,23 @@ def iter_warc_records(raw: bytes) -> Iterator[tuple[dict[str, str], bytes]]:
             pos += 2
 
 
-def _http_body(payload: bytes) -> Optional[bytes]:
-    """Strip HTTP response headers from a response record payload."""
+def _http_body(payload: bytes) -> tuple[Optional[bytes], Optional[str]]:
+    """Strip HTTP response headers from a response record payload.
+    Returns (body, content_type) — the Content-Type header is the ONE
+    real charset hint a crawl source has (VERDICT r2 #2: it feeds E1's
+    decode order ahead of <meta charset> sniffing)."""
     if payload.startswith(b"HTTP/"):
         sep = payload.find(_CRLF2)
         if sep < 0:
-            return None
-        return payload[sep + 4:]
-    return payload
+            return None, None
+        ct = None
+        for line in payload[:sep].split(b"\r\n")[1:]:
+            k, _, v = line.partition(b":")
+            if k.strip().lower() == b"content-type":
+                ct = v.strip().decode("latin-1") or None
+                break
+        return payload[sep + 4:], ct
+    return payload, None
 
 
 def _warc_ts(value: str) -> Optional[_dt.datetime]:
@@ -98,20 +107,26 @@ def pages_from_warc_bytes(name: str, data: bytes) -> list[dict]:
         ts = _warc_ts(headers.get("warc-date", ""))
         if not url or ts is None:
             continue
-        body = _http_body(payload)
+        body, ct = _http_body(payload)
         rows.append({"url": url, "warc_ts": ts, "html": body,
-                     "text": None, "lang": None})
+                     "text": None, "lang": None, "content_type": ct})
     return rows
 
 
 def read_warc(spark: SparkSession, path_glob: str) -> DataFrame:
-    """WARC(.gz) files → pages DataFrame. File-level parallelism; record
-    splitting runs distributed inside mapInPandas."""
+    """WARC(.gz) files → pages DataFrame (PAGES_SCHEMA plus a nullable
+    ``content_type`` side column carrying the HTTP header — the pipeline
+    threads it to the E1 charset decode when present). File-level
+    parallelism; record splitting runs distributed inside mapInPandas."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
     files = (spark.read.format("binaryFile").load(path_glob)
              .select("path", "content"))
+    schema = StructType(PAGES_SCHEMA.fields
+                        + [StructField("content_type", StringType(), True)])
 
     def split(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cols = [f.name for f in PAGES_SCHEMA.fields]
+        cols = [f.name for f in schema.fields]
         for pdf in batches:
             for _, row in pdf.iterrows():
                 rows = pages_from_warc_bytes(row["path"],
@@ -119,7 +134,7 @@ def read_warc(spark: SparkSession, path_glob: str) -> DataFrame:
                 if rows:
                     yield pd.DataFrame(rows, columns=cols)
 
-    return files.mapInPandas(split, PAGES_SCHEMA)
+    return files.mapInPandas(split, schema)
 
 
 # ---------------------------------------------------------------------------

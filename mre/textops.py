@@ -247,6 +247,57 @@ def jaccard_pairs(docs: DataFrame, n: int = 3,
             .select("doc_a", "doc_b", "jaccard"))
 
 
+def doc_shingle_sets(docs: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, sh_set) — each doc's distinct word n-grams as ONE array
+    column. A pure projection: no explode, no shuffle, one corpus scan.
+    String shingles (not hashes) so an exact SQL oracle can replicate the
+    set algebra verbatim."""
+    joined = " || ' ' || ".join(f"toks[i + {j}]" for j in range(n))
+    return (docs
+            .withColumn("toks", tokens_col())
+            .filter(F.size("toks") >= n)
+            .select("doc_id", F.expr(
+                f"array_distinct(transform(sequence(0, size(toks) - {n}),"
+                f" i -> {joined}))").alias("sh_set")))
+
+
+def jaccard_on_candidates(pairs: DataFrame, docs: DataFrame,
+                          n: int = 3) -> DataFrame:
+    """Exact n-gram Jaccard restricted to a candidate-pair frame — the
+    scale path for exact verification (VERDICT r2 #1). ``pairs`` is
+    (doc_a, doc_b), e.g. ``minhash_candidates`` output.
+
+    Unlike ``jaccard_pairs``' corpus-wide inverted-index self-join (whose
+    output is Σ df(shingle)² — one viral boilerplate shingle shared by k
+    docs yields k²/2 join rows), this costs O(|pairs|) plus two hash
+    joins: per-doc shingle SETS are a pure projection, pruned to docs that
+    appear in a candidate pair (left-semi), and each pair's intersection
+    is computed with array_intersect on its own two rows. No shape here
+    grows faster than the candidate list itself at 10^12 docs.
+
+    Precondition: every doc referenced by ``pairs`` has ≥ n tokens (true
+    by construction for MinHash/LSH candidates, which require a
+    signature). Pairs with no shared shingles come back with jaccard 0.0,
+    not dropped."""
+    from pyspark import StorageLevel
+    ids = (pairs.select(F.col("doc_a").alias("doc_id"))
+           .union(pairs.select(F.col("doc_b").alias("doc_id")))
+           .distinct())
+    # persisted: the pruned set frame feeds both join sides
+    sets = (doc_shingle_sets(docs, n)
+            .join(ids, "doc_id", "left_semi")
+            .persist(StorageLevel.MEMORY_AND_DISK))
+    sa = sets.select(F.col("doc_id").alias("doc_a"),
+                     F.col("sh_set").alias("sh_a"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"),
+                     F.col("sh_set").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    return (pairs.join(sa, "doc_a").join(sb, "doc_b")
+            .withColumn("jaccard", F.round(
+                inter / (F.size("sh_a") + F.size("sh_b") - inter), 4))
+            .select("doc_a", "doc_b", "jaccard"))
+
+
 # --------------------------------------------------------------------------
 # MinHash + LSH near-dup (sub-quadratic scale path)
 
@@ -676,12 +727,22 @@ def sentence_dedup_stats(docs: DataFrame, min_len: int = 20,
                  F.split(F.col("text"), r"\. "))).alias("sentence"))
              .filter(F.length("sentence") >= min_len)
              .select("doc_id", F.md5("sentence").alias("sent_key")))
-    freq = (sents.groupBy("sent_key")
-            .agg(F.countDistinct("doc_id").alias("n_docs_with")))
-    per_doc = (sents.join(freq, "sent_key")
+    # skew hardening (VERDICT r2 #3): the join-back right side is reduced
+    # to DUPLICATED keys only, carrying a constant marker instead of a
+    # count row. A viral boilerplate sentence ("All rights reserved.")
+    # still fans out to millions of left rows, but each hot key now
+    # carries one boolean; and because dup keys are a small fraction of
+    # all sentences, the reduced side is broadcast-eligible — then the
+    # full sentence frame never shuffles for this join at all (AQE
+    # skew-join remains the backstop when it must shuffle).
+    dup_keys = (sents.groupBy("sent_key")
+                .agg(F.countDistinct("doc_id").alias("n_docs_with"))
+                .filter(F.col("n_docs_with") > 1)
+                .select("sent_key", F.lit(1).alias("_dup")))
+    per_doc = (sents.join(dup_keys, "sent_key", "left")
                .groupBy("doc_id")
                .agg(F.count("*").alias("n_sents"),
-                    F.sum((F.col("n_docs_with") > 1).cast("long"))
+                    F.coalesce(F.sum("_dup").cast("long"), F.lit(0))
                     .alias("n_dup_sents")))
     return per_doc.select(
         "doc_id", "n_sents", "n_dup_sents",

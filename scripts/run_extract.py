@@ -44,6 +44,11 @@ def main() -> None:
     ap.add_argument("--byte-cap", type=int, default=64 << 20,
                     help="max html bytes per pandas chunk")
     ap.add_argument("--no-resume", action="store_true")
+    ap.add_argument("--dedup", choices=["window", "two-phase"],
+                    default="window",
+                    help="url-dedup strategy: single-shuffle window "
+                         "(default) or skew-resilient two-phase "
+                         "aggregate+join for viral-url capture skew")
     args = ap.parse_args()
 
     from mre.io import get_spark
@@ -53,7 +58,8 @@ def main() -> None:
     try:
         run_extract(spark, args.src, args.dst, args.lineage,
                     run_id=args.run_id, buckets=args.buckets,
-                    byte_cap=args.byte_cap, resume=not args.no_resume)
+                    byte_cap=args.byte_cap, resume=not args.no_resume,
+                    dedup=args.dedup)
     finally:
         spark.stop()
 

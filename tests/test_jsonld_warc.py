@@ -112,3 +112,56 @@ def test_warc_malformed_bytes():
     assert pages_from_warc_bytes("x", b"") == []
     assert pages_from_warc_bytes("x", b"garbage" * 100) == []
     assert pages_from_warc_bytes("x", b"WARC/1.0\r\nbroken") == []
+
+
+def test_warc_content_type_charset_wins_over_meta(spark, tmp_path):
+    """VERDICT r2 #2: the HTTP Content-Type charset must reach E1 from the
+    WARC source and OUTRANK a lying <meta charset> declaration."""
+    import gzip
+    import io as _io
+
+    from mre.sources.warc import pages_from_warc_bytes, read_warc
+    from mre.pipeline import run_extract_df
+
+    # body really ISO-8859-1; meta claims utf-8 (é = 0xE9 is invalid utf-8
+    # as a lone byte, so a utf-8 decode mangles it to U+FFFD)
+    body_txt = ('<html><head><meta charset="utf-8">'
+                '<title>Café récit</title></head>'
+                '<body><h1>Café récit</h1>'
+                '<div id="article"><p>Un récit de café, écrit é é é, long '
+                'enough to be the main content block of this page.</p>'
+                '</div></body></html>')
+    body = body_txt.encode("iso-8859-1")
+    http = (b"HTTP/1.1 200 OK\r\n"
+            b"Content-Type: text/html; charset=ISO-8859-1\r\n"
+            b"Content-Length: " + str(len(body)).encode() + b"\r\n\r\n"
+            + body)
+    hdr = ("WARC/1.0\r\n"
+           "WARC-Type: response\r\n"
+           "WARC-Target-URI: https://ct.example/cafe\r\n"
+           "WARC-Date: 2024-05-01T06:00:00Z\r\n"
+           f"Content-Length: {len(http)}\r\n"
+           "Content-Type: application/http; msgtype=response\r\n"
+           ).encode("latin-1")
+    record = hdr + b"\r\n" + http + b"\r\n\r\n"
+    buf = _io.BytesIO()
+    with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as gz:
+        gz.write(record)
+    p = str(tmp_path / "ct.warc.gz")
+    open(p, "wb").write(buf.getvalue())
+
+    # pure layer: the header is captured
+    rows = pages_from_warc_bytes(p, open(p, "rb").read())
+    assert rows[0]["content_type"] == "text/html; charset=ISO-8859-1"
+
+    # spark layer: header charset wins end-to-end (no U+FFFD, é intact)
+    out = run_extract_df(read_warc(spark, p), buckets=2).collect()
+    assert len(out) == 1
+    assert out[0]["headline"] == "Café récit"
+    assert "é é é" in out[0]["extracted_text"]
+    assert "�" not in out[0]["extracted_text"]
+
+    # control: without the header hint the lying meta wins and mangles
+    from mre.core.extract import extract_one
+    r = extract_one("https://ct.example/cafe", body)
+    assert "�" in (r.extracted_text or "")

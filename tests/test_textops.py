@@ -143,3 +143,53 @@ def test_minhash_bucket_cap_prunes_hot_buckets(spark):
     capped = minhash_candidates(sigs, max_bucket=5).count()
     assert uncapped >= 66 + 1  # 12-cluster pairs + the gardening pair
     assert capped == 1        # only the small bucket survives the cap
+
+
+def test_jaccard_on_candidates_matches_corpus_wide(spark, docs_with_dups):
+    """The candidate-restricted exact Jaccard must equal the corpus-wide
+    inverted-index result on every pair it is given, and must keep
+    zero-overlap candidate pairs at 0.0 instead of dropping them."""
+    from mre.textops import (jaccard_on_candidates, jaccard_pairs,
+                             minhash_near_dups)
+
+    cands = minhash_near_dups(docs_with_dups, threshold=0.3) \
+        .select("doc_a", "doc_b")
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+           for r in jaccard_on_candidates(cands, docs_with_dups).collect()}
+    assert set(got) == {(r["doc_a"], r["doc_b"]) for r in cands.collect()}
+    ref = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+           for r in jaccard_pairs(docs_with_dups, threshold=0.0).collect()}
+    for pair, j in got.items():
+        # pairs sharing no shingle don't appear in the inverted index
+        assert j == ref.get(pair, 0.0)
+
+
+def test_jaccard_on_candidates_zero_overlap_pair(spark):
+    from mre.textops import jaccard_on_candidates
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "epsilon zeta eta theta"),
+         (3, "alpha beta gamma nine")],
+        ["doc_id", "text"])
+    pairs = spark.createDataFrame([(1, 2), (1, 3)], ["doc_a", "doc_b"])
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+           for r in jaccard_on_candidates(pairs, docs).collect()}
+    assert got[(1, 2)] == 0.0            # kept, not dropped
+    assert got[(1, 3)] == 0.3333         # 1 shared 3-gram of 3 total
+
+
+def test_sentence_dedup_hot_key(spark):
+    """One viral boilerplate sentence shared by 500 docs (the skew case
+    the reduced join-back side exists for) must still count correctly."""
+    from mre.textops import sentence_dedup_stats
+
+    viral = "All rights reserved by the publisher of this fine website."
+    rows = [(i, f"Document {i} body sentence number {i} padded out. "
+             + viral) for i in range(500)]
+    rows.append((1000, "A unique document with one lonely sentence here."))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: (r["n_sents"], r["n_dup_sents"], r["flag_dup"])
+           for r in sentence_dedup_stats(docs).collect()}
+    assert got[7] == (2, 1, 1)      # own sentence + viral one → 50% dup
+    assert got[1000] == (1, 0, 0)   # unique doc untouched
+    assert sum(v[1] for v in got.values()) == 500  # viral counted once/doc
