@@ -307,6 +307,57 @@ def q_lsh_jaccard_verify(spark, sf_dir):
     return jaccard_on_candidates(cands, docs, n=3)
 
 
+def q_contamination(spark, sf_dir):
+    """Benchmark decontamination: word 5-gram overlap of every corpus doc
+    against a small eval set (deterministically drawn as every 97th doc),
+    broadcast-joined so the corpus never shuffles."""
+    from mre.textops import benchmark_contamination
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    evals = (docs.filter(F.col("doc_id") % 97 == 0)
+             .select(F.col("doc_id").alias("eval_id"), "text"))
+    return benchmark_contamination(docs, evals, n=5)
+
+
+def q_top_ngrams(spark, sf_dir):
+    """Corpus-wide top-50 word bigrams with doc frequency (vocab /
+    stop-shingle discovery); deterministic count-then-lexical order."""
+    from mre.textops import top_ngrams
+    _prep(spark)
+    return top_ngrams(_t(spark, sf_dir, "documents"), n=2, k=50)
+
+
+def q_source_stats(spark, sf_dir):
+    """Per-source curation rollup incl. exact-dup-doc counts — the
+    domain-weighting table of a corpus pipeline."""
+    from mre.textops import source_stats
+    _prep(spark)
+    return source_stats(_t(spark, sf_dir, "documents"))
+
+
+def q_dup_clusters(spark, sf_dir):
+    """pairs → groups: connected components (min-label propagation with
+    pointer jumping) over the MinHash near-dup pairs. The step that turns
+    a near-dup PAIR list into per-document cluster ids a dedup keeper
+    policy can act on."""
+    from mre.textops import dup_clusters, minhash_near_dups
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_near_dups(docs, threshold=0.2).select("doc_a", "doc_b")
+    return dup_clusters(pairs)
+
+
+def q_split_leakage(spark, sf_dir):
+    """Dedup-aware train/test leakage audit: near-dup pairs whose members
+    land on opposite sides of a deterministic content-hash split."""
+    from mre.textops import hash_split, minhash_near_dups, split_leakage
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_near_dups(docs, threshold=0.2).select("doc_a", "doc_b")
+    splits = hash_split(docs, "text", 0.5).select("doc_id", "split")
+    return split_leakage(pairs, splits)
+
+
 def q_simhash_near_dups(spark, sf_dir):
     from mre.textops import simhash_near_dups
     _prep(spark)
@@ -547,6 +598,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_pairs": q_jaccard_pairs,
         "lsh_jaccard_verify": q_lsh_jaccard_verify,
         "minhash_near_dups": q_minhash_near_dups,
+        "dup_clusters": q_dup_clusters,
+        "split_leakage": q_split_leakage,
+        "contamination": q_contamination,
+        "top_ngrams": q_top_ngrams,
+        "source_stats": q_source_stats,
         "simhash_near_dups": q_simhash_near_dups,
         "ann_brute_force": q_ann_brute_force,
         "ann_lsh": q_ann_lsh,
@@ -731,6 +787,91 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_a, doc_b, hamming
             FROM read_parquet('{dedup["simhash_near_dups"]}')
             WHERE corpus_key = {_CK} AND 1 = {_COV}
+        """,
+        # connected components via recursive CTE over the replay golden:
+        # min reachable doc_id per node == min-label-propagation fixpoint
+        "dup_clusters": f"""
+            WITH RECURSIVE cand AS (
+                SELECT doc_a, doc_b
+                FROM read_parquet('{dedup["minhash_near_dups"]}')
+                WHERE corpus_key = {_CK} AND 1 = {_COV}),
+            edges AS (
+                SELECT doc_a AS a, doc_b AS b FROM cand
+                UNION SELECT doc_b, doc_a FROM cand),
+            reach(node, label) AS (
+                SELECT a, a FROM edges
+                UNION
+                SELECT e.a, r.label FROM edges e JOIN reach r
+                  ON r.node = e.b)
+            SELECT node AS doc_id, min(label) AS cluster_id
+            FROM reach GROUP BY node
+        """,
+        "contamination": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       regexp_split_to_array(lower(trim(text)), '\s+') AS t
+                FROM documents),
+            sh AS (
+                SELECT doc_id,
+                       unnest(list_distinct(list_transform(
+                           range(1, len(t) - 3),
+                           i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]
+                                || ' ' || t[i + 3] || ' ' || t[i + 4])))
+                           AS shingle
+                FROM toks WHERE len(t) >= 5),
+            ev AS (
+                SELECT doc_id AS eval_id, shingle FROM sh
+                WHERE doc_id % 97 = 0)
+            SELECT s.doc_id, e.eval_id, count(*) AS n_shared
+            FROM sh s JOIN ev e ON s.shingle = e.shingle
+            GROUP BY 1, 2
+        """,
+        "top_ngrams": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       regexp_split_to_array(lower(trim(text)), '\s+') AS t
+                FROM documents),
+            sh AS (
+                SELECT doc_id,
+                       unnest(list_distinct(list_transform(
+                           range(1, len(t)),
+                           i -> t[i] || ' ' || t[i + 1]))) AS shingle
+                FROM toks WHERE len(t) >= 2)
+            SELECT shingle, count(*) AS n_docs
+            FROM sh GROUP BY shingle
+            ORDER BY n_docs DESC, shingle ASC LIMIT 50
+        """,
+        "source_stats": r"""
+            WITH fp AS (
+                SELECT doc_id, source, lang, n_chars,
+                       md5(lower(trim(text))) AS f
+                FROM documents),
+            freq AS (SELECT f, count(*) AS c FROM fp GROUP BY f)
+            SELECT fp.source, count(*) AS n_docs,
+                   CAST(sum(fp.n_chars) AS BIGINT) AS total_chars,
+                   count(DISTINCT fp.lang) AS n_langs,
+                   CAST(sum(CASE WHEN freq.c > 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_dup_docs
+            FROM fp JOIN freq ON freq.f = fp.f
+            GROUP BY 1
+        """,
+        "split_leakage": f"""
+            WITH cand AS (
+                SELECT doc_a, doc_b
+                FROM read_parquet('{dedup["minhash_near_dups"]}')
+                WHERE corpus_key = {_CK} AND 1 = {_COV}),
+            sp AS (
+                SELECT doc_id,
+                       CASE WHEN CAST(('0x' || substring(md5(text), 1, 4))
+                                AS INTEGER) < CAST(0.5 * 65536 AS INTEGER)
+                            THEN 'train' ELSE 'test' END AS split
+                FROM documents)
+            SELECT c.doc_a, c.doc_b,
+                   a.split AS split_a, b.split AS split_b
+            FROM cand c
+            JOIN sp a ON a.doc_id = c.doc_a
+            JOIN sp b ON b.doc_id = c.doc_b
+            WHERE a.split <> b.split
         """,
         "winnow_dup_pairs": f"""
             SELECT doc_a, doc_b, n_shared

@@ -44,6 +44,9 @@ BENCH_QUERIES = [
     "quality_score",
     "lang_id",
     "token_stats",
+    # round-3 additions: candidate-restricted exact verify + pairs→groups
+    "lsh_jaccard_verify",
+    "dup_clusters",
 ]
 
 

@@ -382,6 +382,125 @@ def minhash_near_dups(docs: DataFrame, k: int = 32, n: int = 3,
             .select("doc_a", "doc_b", "est_jaccard"))
 
 
+def benchmark_contamination(docs: DataFrame, evals: DataFrame,
+                            n: int = 5) -> DataFrame:
+    """Decontamination scan (the step every training corpus runs against
+    its eval benchmarks): which corpus docs share ≥1 word n-gram with a
+    benchmark text, and how many. ``evals`` is a small (eval_id, text)
+    frame. Returns (doc_id, eval_id, n_shared).
+
+    Scale shape: the eval side is tiny → explicit broadcast, so the
+    corpus-side n-gram explode feeds a broadcast hash join with NO corpus
+    shuffle; only matching (doc, eval) gram rows reach the final groupBy.
+    Cost is one linear corpus scan regardless of corpus size."""
+    corpus = shingles(docs, n)
+    ev = (shingles(evals.select(F.col("eval_id").alias("doc_id"), "text"),
+                   n)
+          .select(F.col("doc_id").alias("eval_id"),
+                  F.col("shingle").alias("ev_shingle")))
+    return (corpus.join(F.broadcast(ev),
+                        corpus.shingle == ev.ev_shingle)
+            .groupBy("doc_id", "eval_id")
+            .agg(F.count("*").alias("n_shared")))
+
+
+def top_ngrams(docs: DataFrame, n: int = 2, k: int = 50) -> DataFrame:
+    """Corpus-wide top-k word n-grams with document frequency — the vocab
+    / stop-shingle discovery pass (also what feeds a df-cutoff for
+    inverted-index joins). Deterministic tiebreak: count DESC, ngram ASC.
+    Partial aggregation makes the groupBy map-side-combined; only
+    (ngram, count) rows shuffle."""
+    return (shingles(docs, n)
+            .groupBy("shingle")
+            .agg(F.count("*").alias("n_docs"))
+            .orderBy(F.desc("n_docs"), F.asc("shingle"))
+            .limit(k))
+
+
+def source_stats(docs: DataFrame) -> DataFrame:
+    """Per-source (domain-level) curation stats: doc/char counts, language
+    spread, and how many of the source's docs are exact duplicates of
+    ANOTHER doc in the corpus (corpus-wide fingerprint frequency, then a
+    digest-keyed join back — the per-domain dedup-rate table that drives
+    source weighting/blocklisting). Two digest shuffles, no text moves."""
+    fp = docs.select(
+        "doc_id", "source", "lang", "n_chars",
+        F.md5(F.lower(F.trim(F.col("text")))).alias("fingerprint"))
+    freq = (fp.groupBy("fingerprint")
+            .agg(F.count("*").alias("n_copies")))
+    dup = freq.filter(F.col("n_copies") > 1).select("fingerprint")
+    flagged = fp.join(dup.withColumn("_dup", F.lit(1)), "fingerprint",
+                      "left")
+    return (flagged.groupBy("source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_chars").alias("total_chars"),
+                 F.countDistinct("lang").alias("n_langs"),
+                 F.coalesce(F.sum("_dup"), F.lit(0)).cast("long")
+                 .alias("n_dup_docs")))
+
+
+def dup_clusters(pairs: DataFrame, max_iter: int = 30) -> DataFrame:
+    """Connected components over a near-dup pair frame: (doc_id,
+    cluster_id) with cluster_id = min doc_id in the component — the final
+    step of every dedup family (pairs → groups → keep one per group).
+
+    DataFrame-only min-label propagation with POINTER JUMPING: each round
+    a node adopts min(own label, neighbors' labels, its label's label).
+    The label-of-label hop roughly squares reach per round, so rounds are
+    O(log diameter); at corpus scale each round is one equi-join plus one
+    partially-aggregated groupBy over (doc_id, long) rows — tiny shuffles
+    independent of document bytes, the standard DataFrame-only CC shape.
+    Convergence is an exact changed-row count (one action per round, as
+    any iterative algorithm on Spark needs). Only docs appearing in
+    ``pairs`` are returned; absent docs are singletons by definition."""
+    from pyspark import StorageLevel
+    e = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    edges = (e.union(e.select(F.col("b").alias("a"),
+                              F.col("a").alias("b")))
+             .distinct().persist(StorageLevel.MEMORY_AND_DISK))
+    labels = (edges.select(F.col("a").alias("node")).distinct()
+              .withColumn("label", F.col("node"))
+              .persist(StorageLevel.MEMORY_AND_DISK))
+    for _ in range(max_iter):
+        nb = (edges.join(labels.select(F.col("node").alias("b"), "label"),
+                         "b")
+              .groupBy(F.col("a").alias("node"))
+              .agg(F.min("label").alias("nb_min")))
+        jump = labels.select(F.col("node").alias("label"),
+                             F.col("label").alias("lbl_of_lbl"))
+        new = (labels.join(nb, "node", "left").join(jump, "label", "left")
+               .select("node", F.least(
+                   F.col("label"),
+                   F.coalesce("nb_min", F.col("label")),
+                   F.coalesce("lbl_of_lbl", F.col("label"))).alias("label"))
+               .persist(StorageLevel.MEMORY_AND_DISK))
+        changed = (new.join(labels.withColumnRenamed("label", "old"),
+                            "node")
+                   .filter(F.col("label") != F.col("old")).count())
+        labels.unpersist()
+        labels = new
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("node").alias("doc_id"),
+                         F.col("label").alias("cluster_id"))
+
+
+def split_leakage(pairs: DataFrame, splits: DataFrame) -> DataFrame:
+    """Near-dup pairs that CROSS a train/test boundary — the dedup-aware
+    leakage audit run before any training job (a test doc with a near-dup
+    in train silently inflates eval numbers). ``splits`` is (doc_id,
+    split), e.g. ``hash_split`` output. Two equi-joins on the pair frame:
+    cost O(|pairs|), never corpus-shaped."""
+    sa = splits.select(F.col("doc_id").alias("doc_a"),
+                       F.col("split").alias("split_a"))
+    sb = splits.select(F.col("doc_id").alias("doc_b"),
+                       F.col("split").alias("split_b"))
+    return (pairs.join(sa, "doc_a").join(sb, "doc_b")
+            .filter(F.col("split_a") != F.col("split_b"))
+            .select("doc_a", "doc_b", "split_a", "split_b"))
+
+
 # --------------------------------------------------------------------------
 # SimHash (pandas-UDF bit fold over JVM-hashed tokens)
 

@@ -193,3 +193,28 @@ def test_sentence_dedup_hot_key(spark):
     assert got[7] == (2, 1, 1)      # own sentence + viral one → 50% dup
     assert got[1000] == (1, 0, 0)   # unique doc untouched
     assert sum(v[1] for v in got.values()) == 500  # viral counted once/doc
+
+
+def test_dup_clusters_chain_and_islands(spark):
+    """Min-label propagation must label whole components (including a
+    5-node chain, the worst case for per-round reach) with the min id."""
+    from mre.textops import dup_clusters
+
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22)],
+        ["doc_a", "doc_b"])
+    got = {r["doc_id"]: r["cluster_id"] for r in dup_clusters(pairs).collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 0,
+                   10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_split_leakage_flags_only_crossers(spark):
+    from mre.textops import split_leakage
+
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (1, 3)],
+                                  ["doc_a", "doc_b"])
+    splits = spark.createDataFrame(
+        [(1, "train"), (2, "test"), (3, "train")], ["doc_id", "split"])
+    got = {(r["doc_a"], r["doc_b"]) for r in
+           split_leakage(pairs, splits).collect()}
+    assert got == {(1, 2), (2, 3)}  # (1,3) is train/train — no leak
