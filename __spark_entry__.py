@@ -335,6 +335,39 @@ def q_source_stats(spark, sf_dir):
     return source_stats(_t(spark, sf_dir, "documents"))
 
 
+def q_media_meta(spark, sf_dir):
+    """Multimodal metadata extraction with REAL container parsing (no
+    decode libs): deterministic PNG/JPEG/GIF/WAV payloads are built per
+    doc_id inside the executors, then format + dimensions / sample rate
+    are sniffed back out of the BYTES (PNG IHDR, JPEG SOF marker scan,
+    GIF screen descriptor, WAV fmt chunk). The builders and the sniffer
+    meet only at the container byte layout, so the arithmetic oracle
+    value-checks genuine header parsing."""
+    from mre.multimodal import (make_gif, make_jpeg, make_png, make_wav,
+                                media_meta)
+    _prep(spark)
+    ids = _t(spark, sf_dir, "documents") \
+        .select(F.col("doc_id").alias("media_id"))
+
+    def gen(batches):
+        import pandas as pd
+        builders = [make_png, make_jpeg, make_gif]
+        for pdf in batches:
+            rows = []
+            for mid in pdf["media_id"]:
+                i = int(mid)
+                if i % 4 == 3:
+                    payload = make_wav(8000 + (i % 8) * 1000)
+                else:
+                    payload = builders[i % 4](16 + i % 317, 16 + i % 211)
+                rows.append({"media_id": i, "payload": payload})
+            yield pd.DataFrame(rows)
+
+    media = ids.mapInPandas(gen, "media_id bigint, payload binary")
+    return media_meta(media).select("media_id", "fmt", "width", "height",
+                                    "sample_rate_hz")
+
+
 def q_dup_clusters(spark, sf_dir):
     """pairs → groups: connected components (min-label propagation with
     pointer jumping) over the MinHash near-dup pairs. The step that turns
@@ -603,6 +636,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination": q_contamination,
         "top_ngrams": q_top_ngrams,
         "source_stats": q_source_stats,
+        "media_meta": q_media_meta,
         "simhash_near_dups": q_simhash_near_dups,
         "ann_brute_force": q_ann_brute_force,
         "ann_lsh": q_ann_lsh,
@@ -805,6 +839,21 @@ def oracle_sql() -> dict[str, str]:
                   ON r.node = e.b)
             SELECT node AS doc_id, min(label) AS cluster_id
             FROM reach GROUP BY node
+        """,
+        "media_meta": """
+            SELECT doc_id AS media_id,
+                   CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+                        WHEN 2 THEN 'gif' ELSE 'wav' END AS fmt,
+                   CASE WHEN doc_id % 4 < 3
+                        THEN CAST(16 + doc_id % 317 AS INTEGER) END
+                       AS width,
+                   CASE WHEN doc_id % 4 < 3
+                        THEN CAST(16 + doc_id % 211 AS INTEGER) END
+                       AS height,
+                   CASE WHEN doc_id % 4 = 3
+                        THEN CAST(8000 + (doc_id % 8) * 1000 AS INTEGER)
+                        END AS sample_rate_hz
+            FROM documents
         """,
         "contamination": r"""
             WITH toks AS (

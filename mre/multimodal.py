@@ -1,11 +1,14 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata (training-data pipeline requirement).
 
-The container has no image/audio libraries, so the *decode* step is a
-clearly-marked stub (``decode_media`` raises NotImplementedError unless a
-deterministic fake is requested); everything Spark-side — schema, salted
-partitioning, mapInPandas batch shape, size-capped chunking — is real and
-tested. Swapping in Pillow/librosa in prod changes only ``_decode_real``.
+The container has no image/audio libraries, so the *pixel/sample decode*
+step is a clearly-marked stub (``decode_media`` raises NotImplementedError
+unless a deterministic fake is requested). Everything else is REAL:
+container-format sniffing + header metadata (``sniff_media_meta`` /
+``media_meta`` — PNG IHDR, JPEG SOF scan, GIF screen descriptor, WAV fmt
+chunk, pure stdlib) and the Spark plumbing (schema, salted partitioning,
+mapInPandas batch shape, size-capped chunking). Swapping in
+Pillow/librosa in prod changes only the decode body.
 """
 
 from __future__ import annotations
@@ -59,6 +62,135 @@ def synth_media(spark, n: int = 64) -> DataFrame:
 
     base = spark.range(n).select(F.col("id").alias("media_id"))
     return base.repartition(4).mapInPandas(gen, MEDIA_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# REAL (pure-stdlib) container-format sniffing — no Pillow/ffmpeg needed.
+# Pixel/sample decode stays stubbed (decode_media below), but format
+# detection and header metadata (dimensions, sample rate) come straight
+# from the byte layout of each container, which is exactly the metadata a
+# corpus pipeline wants before it ever decodes anything (size/aspect
+# filters, format routing, corrupt-file triage).
+
+
+def sniff_media_meta(payload: bytes | None):
+    """(fmt, width, height, sample_rate_hz) from magic bytes + headers.
+    PNG (IHDR), JPEG (SOF marker scan), GIF (logical screen descriptor),
+    WAV (RIFF fmt chunk walk). Unknown/truncated → (None, None, None,
+    None); never raises."""
+    try:
+        if payload is None or len(payload) < 10:
+            return (None, None, None, None)
+        if payload[:8] == b"\x89PNG\r\n\x1a\n":
+            if len(payload) >= 24 and payload[12:16] == b"IHDR":
+                return ("png",
+                        int.from_bytes(payload[16:20], "big"),
+                        int.from_bytes(payload[20:24], "big"), None)
+            return ("png", None, None, None)
+        if payload[:3] == b"\xff\xd8\xff":
+            i = 2
+            n = len(payload)
+            while i + 9 < n:
+                if payload[i] != 0xFF:
+                    i += 1
+                    continue
+                marker = payload[i + 1]
+                if marker in (0xFF, 0x01) or 0xD0 <= marker <= 0xD9:
+                    i += 2
+                    continue
+                seglen = int.from_bytes(payload[i + 2:i + 4], "big")
+                if 0xC0 <= marker <= 0xCF \
+                        and marker not in (0xC4, 0xC8, 0xCC):
+                    return ("jpeg",
+                            int.from_bytes(payload[i + 7:i + 9], "big"),
+                            int.from_bytes(payload[i + 5:i + 7], "big"),
+                            None)
+                i += 2 + seglen
+            return ("jpeg", None, None, None)
+        if payload[:6] in (b"GIF87a", b"GIF89a"):
+            return ("gif",
+                    int.from_bytes(payload[6:8], "little"),
+                    int.from_bytes(payload[8:10], "little"), None)
+        if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+            i = 12
+            n = len(payload)
+            while i + 8 <= n:
+                cid = payload[i:i + 4]
+                clen = int.from_bytes(payload[i + 4:i + 8], "little")
+                if cid == b"fmt " and i + 16 <= n:
+                    return ("wav", None, None,
+                            int.from_bytes(payload[i + 12:i + 16],
+                                           "little"))
+                i += 8 + clen + (clen & 1)  # chunks are 2-byte aligned
+            return ("wav", None, None, None)
+        return (None, None, None, None)
+    except Exception:
+        return (None, None, None, None)
+
+
+def make_png(width: int, height: int) -> bytes:
+    """Minimal VALID PNG header (signature + IHDR with real CRC + IEND) —
+    deterministic test payloads with true container structure."""
+    import struct
+    import zlib
+
+    ihdr = struct.pack(">II5B", width, height, 8, 2, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n"
+            + struct.pack(">I", 13) + b"IHDR" + ihdr
+            + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr))
+            + struct.pack(">I", 0) + b"IEND"
+            + struct.pack(">I", zlib.crc32(b"IEND")))
+
+
+def make_jpeg(width: int, height: int) -> bytes:
+    """Minimal JPEG: SOI + JFIF APP0 + SOF0 carrying the dimensions."""
+    import struct
+
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01" \
+        + b"\x00" + struct.pack(">HH", 1, 1) + b"\x00\x00"
+    sof0 = b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, height, width, 1) \
+        + b"\x01\x11\x00"
+    return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+
+
+def make_gif(width: int, height: int) -> bytes:
+    import struct
+
+    return b"GIF89a" + struct.pack("<HH", width, height) \
+        + b"\x00\x00\x00" + b"\x3b"
+
+
+def make_wav(sample_rate: int, n_samples: int = 8) -> bytes:
+    import struct
+
+    data = b"\x00\x00" * n_samples
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    body = (b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+MEDIA_META_SCHEMA = ("media_id bigint, fmt string, width int, height int, "
+                     "sample_rate_hz int, n_bytes bigint")
+
+
+def media_meta(media: DataFrame) -> DataFrame:
+    """Typed header metadata per payload via the REAL sniffing above —
+    mapInPandas over the binary column, same batch discipline as the
+    extraction map (metadata out, payload never re-emitted)."""
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                p = bytes(payload) if payload is not None else None
+                fmt, w, h, sr = sniff_media_meta(p)
+                rows.append({"media_id": mid, "fmt": fmt, "width": w,
+                             "height": h, "sample_rate_hz": sr,
+                             "n_bytes": len(p) if p is not None else 0})
+            yield pd.DataFrame(rows)
+
+    return media.select("media_id", "payload").mapInPandas(
+        run, MEDIA_META_SCHEMA)
 
 
 def decode_media(payload: bytes, media_type: str, fake: bool = False):
@@ -127,5 +259,7 @@ def extract_media_features(media: DataFrame,
     return media.mapInPandas(run, FEATURE_SCHEMA)
 
 
-__all__ = ["MEDIA_SCHEMA", "FEATURE_SCHEMA", "synth_media", "decode_media",
-           "extract_media_features"]
+__all__ = ["MEDIA_SCHEMA", "FEATURE_SCHEMA", "MEDIA_META_SCHEMA",
+           "synth_media", "decode_media", "extract_media_features",
+           "sniff_media_meta", "media_meta", "make_png", "make_jpeg",
+           "make_gif", "make_wav"]

@@ -105,3 +105,51 @@ def test_decode_media_stub_raises_without_fake():
     from mre.multimodal import decode_media
     with pytest.raises(NotImplementedError):
         decode_media(b"xx", "image")
+
+
+# --- real container-header sniffing (round 3) --------------------------------
+
+
+def test_sniff_media_meta_roundtrip():
+    from mre.multimodal import (make_gif, make_jpeg, make_png, make_wav,
+                                sniff_media_meta)
+
+    assert sniff_media_meta(make_png(333, 17)) == ("png", 333, 17, None)
+    assert sniff_media_meta(make_jpeg(640, 480)) == ("jpeg", 640, 480, None)
+    assert sniff_media_meta(make_gif(42, 99)) == ("gif", 42, 99, None)
+    assert sniff_media_meta(make_wav(16000)) == ("wav", None, None, 16000)
+
+
+def test_sniff_media_meta_never_raises():
+    from mre.multimodal import make_png, sniff_media_meta
+
+    assert sniff_media_meta(b"garbage") == (None, None, None, None)
+    assert sniff_media_meta(None) == (None, None, None, None)
+    assert sniff_media_meta(b"") == (None, None, None, None)
+    # truncated PNG: format detected, dimensions unknown
+    assert sniff_media_meta(make_png(10, 10)[:12]) == ("png", None, None,
+                                                       None)
+    # every prefix of every container must be handled
+    from mre.multimodal import make_gif, make_jpeg, make_wav
+    for b in (make_png(7, 9), make_jpeg(7, 9), make_gif(7, 9),
+              make_wav(8000)):
+        for cut in range(len(b)):
+            fmt, w, h, sr = sniff_media_meta(b[:cut])  # must not raise
+
+
+def test_media_meta_spark(spark):
+    from mre.multimodal import media_meta, make_png
+    import pandas as pd
+
+    def gen(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                [{"media_id": int(i), "payload": make_png(100 + int(i), 50)}
+                 for i in pdf["media_id"]])
+
+    ids = spark.range(8).selectExpr("id AS media_id")
+    media = ids.mapInPandas(gen, "media_id bigint, payload binary")
+    rows = {r["media_id"]: (r["fmt"], r["width"], r["height"])
+            for r in media_meta(media).collect()}
+    assert rows[3] == ("png", 103, 50)
+    assert len(rows) == 8
