@@ -360,6 +360,13 @@ _LOCATE_STARTTAG_END_RX = re.compile(r"""
 """, re.VERBOSE)
 _INCOMPLETE_NEXT = frozenset("abcdefghijklmnopqrstuvwxyz"
                              "ABCDEFGHIJKLMNOPQRSTUVWXYZ=/")
+# stdlib markupbase/html.parser closers for the <! family: comments close
+# on '--  >' with optional whitespace (NOT just literal '-->'), marked
+# sections (<![CDATA[ etc.) on ']]>' / ']>' with optional whitespace
+_COMMENT_CLOSE_RX = re.compile(r"--\s*>")
+_DECLNAME_RX = re.compile(r"[a-zA-Z][-_.a-zA-Z0-9]*\s*")
+_MARKED_CLOSE_RX = re.compile(r"]\s*]\s*>")
+_MSMARKED_CLOSE_RX = re.compile(r"]\s*>")
 
 
 def _starttag_tolerant(s: str, i: int):
@@ -490,12 +497,53 @@ class _FastScanner(_SinkMixin):
                 pos = find(">", lt + 2) + 1
                 continue
             if c == "!" or c == "?":
+                # mirror html.parser: parse_comment (closes on --\s*>),
+                # parse_marked_section, parse_pi / parse_bogus_comment /
+                # doctype (all: first '>'); every handler output is
+                # dropped by the sink, so only CONSUMPTION must match
+                newpos = -1
                 if s.startswith("<!--", lt):
-                    end = find("-->", lt + 4)
-                    pos = (end + 3) if end >= 0 else n
-                else:  # doctype / processing instruction → dropped
-                    gt = find(">", lt)
-                    pos = (gt + 1) if gt >= 0 else n
+                    m = _COMMENT_CLOSE_RX.search(s, lt + 4)
+                    if m:
+                        newpos = m.end()
+                elif s.startswith("<![", lt):
+                    nm = _DECLNAME_RX.match(s, lt + 3)
+                    name = nm.group().strip().lower() if nm else None
+                    if name in ("temp", "cdata", "ignore", "include",
+                                "rcdata"):
+                        m = _MARKED_CLOSE_RX.search(s, lt + 3)
+                        if m:
+                            newpos = m.end()
+                    elif name in ("if", "else", "endif"):
+                        m = _MSMARKED_CLOSE_RX.search(s, lt + 3)
+                        if m:
+                            newpos = m.end()
+                    else:
+                        # stdlib error()s on unknown keywords; this
+                        # scanner stays TOTAL: bogus-comment recovery
+                        gt = find(">", lt + 2)
+                        if gt >= 0:
+                            newpos = gt + 1
+                else:
+                    gt = find(">", lt + 2)
+                    if gt >= 0:
+                        newpos = gt + 1
+                if newpos < 0:
+                    # goahead at-EOF recovery: emit up to and including
+                    # the next '>' (else up to the next '<', else one
+                    # char) as unescaped data, then rescan after it
+                    k = find(">", lt + 1)
+                    if k < 0:
+                        k = find("<", lt + 1)
+                        if k < 0:
+                            k = lt + 1
+                    else:
+                        k += 1
+                    chunk = s[lt:k]
+                    data(unescape(chunk) if "&" in chunk else chunk)
+                    pos = k
+                    continue
+                pos = newpos
                 continue
             if not ("a" <= c <= "z" or "A" <= c <= "Z"):
                 # stray '<' → literal text, like the stdlib recovery

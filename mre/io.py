@@ -56,11 +56,18 @@ _FORMAT_PREFIXES = ("orc:", "csv:", "json:")
 
 def read_pages(spark: SparkSession, src: str) -> DataFrame:
     """P1 scan. ``src``: parquet path (file or dir, the default),
-    ``iceberg:db.table``, or ``orc:``/``csv:``/``json:`` + path for the
-    other columnar/text formats Spark reads natively (csv/json sources
-    carry html as base64 — see read_pages_jsonl for the typed variant)."""
+    ``iceberg:db.table``, ``warc:`` + a WARC(.gz) path/glob (crawl-native,
+    carries the HTTP Content-Type through to the decoder),
+    ``jsonl:`` + a JSONL path (html as base64), or ``orc:``/``csv:``/
+    ``json:`` + path for the other formats Spark reads natively — every
+    source is reachable from the spark-submit CLI via this one dispatch."""
     if src.startswith(ICEBERG_PREFIX):
         return spark.read.format("iceberg").load(src[len(ICEBERG_PREFIX):])
+    if src.startswith("warc:"):
+        from .sources.warc import read_warc
+        return read_warc(spark, src[len("warc:"):])
+    if src.startswith("jsonl:"):
+        return read_pages_jsonl(spark, src[len("jsonl:"):])
     for p in _FORMAT_PREFIXES:
         if src.startswith(p):
             fmt = p[:-1]

@@ -109,11 +109,20 @@ def _soup_attr(draw):
 
 @st.composite
 def _soup_chunk(draw):
-    kind = draw(st.integers(0, 5))
+    kind = draw(st.integers(0, 6))
     if kind == 0:
         return draw(st.text(alphabet="xy &;<.", max_size=6))
     if kind == 1:
         return "</" + draw(st.sampled_from(["", " x>", "a>", "a", ">", "/>"]))
+    if kind == 2:
+        # the <! / <? family: comments (incl. --!> and -- > closers),
+        # doctype, PI, marked sections — terminated and truncated
+        return draw(st.sampled_from([
+            "<!-- c -->", "<!--", "<!-->", "<!--->", "<!-- a --!>",
+            "<!-- a -- >", "<!>", "<!x>", "<!y", "<!doctype html>",
+            "<!doctype", "<?pi>", "<?x", "<![CDATA[z]]>", "<![CDATA[a>b]]>",
+            "<![CDATA[zz", "<![if !IE]>", "<![endif]>", "<![",
+        ]))
     tag = draw(_SOUP_TAG)
     attrs = draw(st.lists(_soup_attr(), max_size=3))
     tail = draw(st.sampled_from([">", "/>", " />", "/ >", "", " >", "/"]))
@@ -139,10 +148,19 @@ def _tree_dump(n):
 @given(st.lists(_soup_chunk(), max_size=8))
 @settings(max_examples=500, deadline=None)
 def test_parse_doc_tag_soup_matches_stdlib(chunks):
+    from hypothesis import assume
+
     from mre.core.htmlparse import parse_doc_stdlib
 
     html = "".join(chunks)
-    assert _tree_dump(parse_doc(html)) == _tree_dump(parse_doc_stdlib(html))
+    ours = _tree_dump(parse_doc(html))  # ALWAYS total, even where stdlib…
+    try:
+        ref = _tree_dump(parse_doc_stdlib(html))
+    except (AssertionError, NotImplementedError):
+        # …raises (html.parser error()s on unknown/malformed marked
+        # sections like '<![;'): nothing to differentiate against
+        assume(False)
+    assert ours == ref
 
 
 @given(st.text(alphabet=st.characters(min_codepoint=33, max_codepoint=126),

@@ -280,3 +280,35 @@ def test_dedup_first_latest_matches_window_dedup(spark, fixture_dir):
     out = dedup_first_latest(hot)
     assert out.count() == 1
     assert out.first().warc_ts == t0 + dt.timedelta(minutes=99)
+
+
+def test_read_pages_warc_and_jsonl_dispatch(spark, tmp_path):
+    """Every source format is reachable from the ONE read_pages dispatch
+    the CLI uses (P1): warc: and jsonl: prefixes included."""
+    import base64
+    import json as _json
+
+    from mre import fixtures as FX
+    from mre.io import read_pages
+    from mre.sources.warc import write_warc_gz
+
+    wp = str(tmp_path / "f.warc.gz")
+    write_warc_gz(wp, list(range(10)))
+    warc_pages = read_pages(spark, "warc:" + wp)
+    assert warc_pages.count() == 10
+    assert "content_type" in warc_pages.columns
+
+    jp = str(tmp_path / "pages.jsonl")
+    with open(jp, "w") as f:
+        for i in range(10):
+            f.write(_json.dumps({
+                "url": FX.url_of(i),
+                "warc_ts": FX.warc_ts_of(i).strftime(
+                    "%Y-%m-%dT%H:%M:%S.000Z"),
+                "html_b64": base64.b64encode(
+                    FX.html_bytes_of(i)).decode(),
+                "text": None, "lang": "en"}) + "\n")
+    jl = read_pages(spark, "jsonl:" + jp)
+    assert jl.count() == 10
+    assert {r["url"] for r in jl.select("url").collect()} \
+        == {FX.url_of(i) for i in range(10)}
