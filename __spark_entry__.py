@@ -335,6 +335,40 @@ def q_source_stats(spark, sf_dir):
     return source_stats(_t(spark, sf_dir, "documents"))
 
 
+def q_length_quantiles(spark, sf_dir):
+    """Exact per-language length percentiles — the corpus length-
+    distribution report. Spark `percentile` and DuckDB `quantile_cont`
+    share the rank q*(n-1) linear interpolation, so the oracle is exact
+    (probed equal on this data before registering)."""
+    _prep(spark)
+    return (_t(spark, sf_dir, "documents")
+            .groupBy("lang")
+            .agg(F.expr("percentile(n_chars, 0.5D)").alias("p50"),
+                 F.expr("percentile(n_chars, 0.9D)").alias("p90"),
+                 F.expr("percentile(n_chars, 0.99D)").alias("p99"),
+                 F.count("*").alias("n_docs")))
+
+
+def q_length_deciles(spark, sf_dir):
+    """Decile histogram WITHOUT a global sort (the scale-shaped way): one
+    aggregate computes the 9 boundary values, broadcast back as a single
+    row, and each doc buckets itself by counting boundaries below it —
+    a corpus-size global ntile window would single-partition the sort."""
+    _prep(spark)
+    d = _t(spark, sf_dir, "documents")
+    qs = ", ".join(f"{q / 10}D" for q in range(1, 10))
+    b = (d.agg(F.expr(f"percentile(n_chars, array({qs}))").alias("bs"))
+         .withColumn("k", F.lit(1)))
+    return (d.withColumn("k", F.lit(1))
+            .join(F.broadcast(b), "k")
+            .withColumn("decile", F.expr(
+                "1 + size(filter(bs, x -> n_chars > x))"))
+            .groupBy("decile")
+            .agg(F.count("*").alias("n_docs"),
+                 F.min("n_chars").alias("min_chars"),
+                 F.max("n_chars").alias("max_chars")))
+
+
 def q_media_meta(spark, sf_dir):
     """Multimodal metadata extraction with REAL container parsing (no
     decode libs): deterministic PNG/JPEG/GIF/WAV payloads are built per
@@ -637,6 +671,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_ngrams": q_top_ngrams,
         "source_stats": q_source_stats,
         "media_meta": q_media_meta,
+        "length_quantiles": q_length_quantiles,
+        "length_deciles": q_length_deciles,
         "simhash_near_dups": q_simhash_near_dups,
         "ann_brute_force": q_ann_brute_force,
         "ann_lsh": q_ann_lsh,
@@ -839,6 +875,28 @@ def oracle_sql() -> dict[str, str]:
                   ON r.node = e.b)
             SELECT node AS doc_id, min(label) AS cluster_id
             FROM reach GROUP BY node
+        """,
+        "length_quantiles": """
+            SELECT lang,
+                   quantile_cont(n_chars, 0.5) AS p50,
+                   quantile_cont(n_chars, 0.9) AS p90,
+                   quantile_cont(n_chars, 0.99) AS p99,
+                   count(*) AS n_docs
+            FROM documents GROUP BY lang
+        """,
+        "length_deciles": """
+            WITH b AS (
+                SELECT quantile_cont(n_chars,
+                    [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS bs
+                FROM documents),
+            d AS (
+                SELECT n_chars,
+                       1 + len(list_filter(b.bs, x -> n_chars > x))
+                           AS decile
+                FROM documents, b)
+            SELECT decile, count(*) AS n_docs,
+                   min(n_chars) AS min_chars, max(n_chars) AS max_chars
+            FROM d GROUP BY decile
         """,
         "media_meta": """
             SELECT doc_id AS media_id,
