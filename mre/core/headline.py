@@ -114,6 +114,29 @@ def _similarity(a: str, b: str) -> float:
     return SequenceMatcher(None, a.lower(), b.lower()).ratio()
 
 
+def _max_similarity(a: str, variants) -> float:
+    """max(_similarity(a, v) for v in variants) with upper-bound pruning:
+    ratio() ≤ quick_ratio() ≤ real_quick_ratio(), so a variant whose bound
+    can't beat the current max skips the expensive matching-block pass.
+    Pure pruning — the returned value is IDENTICAL to the naive max
+    (seq1/seq2 order kept as in _similarity; ratio is order-sensitive)."""
+    if not a:
+        return 0.0
+    sm = SequenceMatcher(None)
+    sm.set_seq1(a.lower())
+    best = 0.0
+    for v in variants:
+        if not v:
+            continue
+        sm.set_seq2(v.lower())
+        if sm.real_quick_ratio() <= best or sm.quick_ratio() <= best:
+            continue
+        r = sm.ratio()
+        if r > best:
+            best = r
+    return best
+
+
 def score_headline(doc: Node, url: str,
                    jsonld=None) -> tuple[Optional[str], Optional[Node]]:
     """E5: additive scoring; returns (headline, winning element)."""
@@ -143,7 +166,7 @@ def score_headline(doc: Node, url: str,
         # (node-less cues — og:title 2.5 / JSON-LD 3.0 — carry their
         # strength entirely in c.base, already added above)
 
-        sim = max((_similarity(c.value, v) for v in variants), default=0.0)
+        sim = _max_similarity(c.value, variants)
         score += 3.0 * sim
 
         if path_slug:
