@@ -335,6 +335,19 @@ def q_source_stats(spark, sf_dir):
     return source_stats(_t(spark, sf_dir, "documents"))
 
 
+def q_lang_sources(spark, sf_dir):
+    """Array-aggregation breadth: per-language sorted distinct source list.
+    The array is joined to a scalar in the driver-facing select (§7.2 rule
+    7 — the driver canonicalizer can't sort array cells), with sort_array
+    making the aggregation order-insensitive on both engines."""
+    _prep(spark)
+    return (_t(spark, sf_dir, "documents")
+            .groupBy("lang")
+            .agg(F.array_join(F.sort_array(F.collect_set("source")),
+                              chr(31)).alias("sources"),
+                 F.countDistinct("source").alias("n_sources")))
+
+
 def q_length_quantiles(spark, sf_dir):
     """Exact per-language length percentiles — the corpus length-
     distribution report. Spark `percentile` and DuckDB `quantile_cont`
@@ -673,6 +686,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_meta": q_media_meta,
         "length_quantiles": q_length_quantiles,
         "length_deciles": q_length_deciles,
+        "lang_sources": q_lang_sources,
         "simhash_near_dups": q_simhash_near_dups,
         "ann_brute_force": q_ann_brute_force,
         "ann_lsh": q_ann_lsh,
@@ -875,6 +889,13 @@ def oracle_sql() -> dict[str, str]:
                   ON r.node = e.b)
             SELECT node AS doc_id, min(label) AS cluster_id
             FROM reach GROUP BY node
+        """,
+        "lang_sources": """
+            SELECT lang,
+                   array_to_string(list_sort(list(DISTINCT source)),
+                                   chr(31)) AS sources,
+                   count(DISTINCT source) AS n_sources
+            FROM documents GROUP BY lang
         """,
         "length_quantiles": """
             SELECT lang,

@@ -80,6 +80,10 @@ def run_bench(spark, sf_dir: str) -> dict:
         # best-of-N: shared-VM interference is one-sided (only ever slows
         # a run), so min is the low-noise estimator (BENCH/BASELINE.md)
         times[name] = round(best, 3)
+        # isolation: drop frames the query persisted internally (minhash
+        # sigs, shingle sets, …) so earlier queries' cached blocks can't
+        # perturb later timings; OS page cache (the warm-up) is untouched
+        spark.catalog.clearCache()
         if name == "extract_flagship":
             extra["extract_docs"] = n
             extra["extract_docs_per_sec"] = round(n / best, 1)

@@ -302,7 +302,9 @@ class _TreeBuilder(_SinkMixin, HTMLParser):
 # scanning; this tokenizer allocates far less, which matters twice — raw
 # speed AND multi-core scaling (memory bandwidth is the shared resource).
 
-_TAG_NAME_RX = re.compile(r"([a-zA-Z][^\t\n\r\f\s/>\x00]*)")
+# tag-name charset is stdlib tagfind_tolerant's: ONLY ASCII tab/LF/CR/FF/
+# space end a name (NOT Python \s — NBSP/VT are legal stdlib name chars)
+_TAG_NAME_RX = re.compile(r"([a-zA-Z][^\t\n\r\f />\x00]*)")
 # one C-level match per start tag: name + attr region + '/'. The attr region
 # is html.parser's locatestarttagend_tolerant body wrapped in an ATOMIC
 # group (3.11+): the locator consumes greedily exactly as the stdlib does,
@@ -312,8 +314,12 @@ _TAG_NAME_RX = re.compile(r"([a-zA-Z][^\t\n\r\f\s/>\x00]*)")
 # value branch eats any '/' it touches, a '/' terminating an unquoted value
 # folds into the VALUE (<a href=/staff/jane/> stays open), while '/' after a
 # bare attribute name or quoted value self-closes — with no special-casing.
+# the NAME is possessive too: were it allowed to backtrack, a name could
+# shorten so the attr region's (?<=['"\s/]) lookbehind re-anchors on a
+# quote inside the name and the fast path would accept tags stdlib calls
+# bogus (e.g. <p'q\x00 href=x> — stdlib emits it as text)
 _STARTTAG_RX = re.compile(
-    r"""([a-zA-Z][^\t\n\r\f\s/>\x00]*)"""
+    r"""([a-zA-Z][^\t\n\r\f />\x00]*+)"""
     r"""((?>(?:(?:\s|/(?!>))*(?:(?<=['"\s/])[^\s/>][^\s/=>]*"""
     r"""(?:\s*=+\s*(?>'[^']*'|"[^"]*"|(?!['"])[^>\s]*)\s*)?"""
     r"""(?:\s|/(?!>))*)*)?\s*))"""
@@ -323,9 +329,12 @@ _STARTTAG_RX = re.compile(
 # accepts, with no whitespace-around-'=' or unquoted values, so whenever it
 # matches the parse provably agrees with html.parser — but matches ~15%
 # faster (no lookbehind, no atomic-group machinery per tag).
+# separators are ASCII whitespace ONLY (stdlib name chars include NBSP/VT,
+# so a Python-\s separator would mis-split names like 'a\xa0href="x"')
 _SIMPLE_TAG_RX = re.compile(
     r"""([a-zA-Z][a-zA-Z0-9-]*)"""
-    r"""((?:\s+[a-zA-Z_:][-a-zA-Z0-9_:.]*(?:="[^"]*"|='[^']*')?)*)\s*"""
+    r"""((?:[\t\n\r\f ]+[a-zA-Z_:][-a-zA-Z0-9_:.]*"""
+    r"""(?:="[^"]*"|='[^']*')?)*)[\t\n\r\f ]*"""
     r"""(/?)>""")
 # name/value grammar mirrors stdlib attrfind_tolerant: a name may START with
 # '=' (but not contain it later); '=+' runs are a single value indicator
@@ -430,9 +439,13 @@ def _starttag_tolerant(s: str, i: int):
     return tag, (attrib or None), end == "/>", endpos, None, False
 
 
+# raw-text (CDATA) close mirrors stdlib endtagfind-in-cdata semantics:
+# ONLY '</ ws? script ws? >' (case-insensitive) leaves raw mode —
+# '</script foo>' and '</scriptx>' do NOT close it in html.parser (the
+# raw element then swallows to EOF, which the scanner reproduces)
 _RAW_END_RX = {
-    "script": re.compile(r"</script[^>]*>", re.I),
-    "style": re.compile(r"</style[^>]*>", re.I),
+    "script": re.compile(r"</\s*script\s*>", re.I),
+    "style": re.compile(r"</\s*style\s*>", re.I),
 }
 
 
@@ -598,8 +611,22 @@ class _FastScanner(_SinkMixin):
             raw = _RAW_END_RX.get(tag)
             if raw is not None and not selfclose:
                 # raw-text element: usually skipped, but JSON-LD scripts
-                # are kept as metadata leaf nodes (same as the sink path)
-                em = raw.search(s, pos)
+                # are kept as metadata leaf nodes (same as the sink path).
+                # Close-tag scan: hop between literal '</' occurrences and
+                # try the anchored '</ ws? name ws? >' match at each — a
+                # bare raw.search would lose re's literal-prefix fast scan
+                # ('</\\s*script' has only '</' literal; measured 14%
+                # whole-parse cost on real pages).
+                em = None
+                j = pos
+                while True:
+                    j = find("</", j)
+                    if j < 0:
+                        break
+                    em = raw.match(s, j)
+                    if em:
+                        break
+                    j += 2
                 body_end = em.start() if em else n
                 if tag == "script" and attrib \
                         and "ld+json" in (attrib.get("type") or "").lower():

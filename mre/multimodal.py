@@ -78,19 +78,24 @@ def sniff_media_meta(payload: bytes | None):
     PNG (IHDR), JPEG (SOF marker scan), GIF (logical screen descriptor),
     WAV (RIFF fmt chunk walk). Unknown/truncated → (None, None, None,
     None); never raises."""
+    def _i32(v):
+        # fields are read as unsigned; the output schema is 32-bit int and
+        # a dimension past int32 is corrupt-header garbage anyway → None
+        return v if 0 <= v < (1 << 31) else None
+
     try:
         if payload is None or len(payload) < 10:
             return (None, None, None, None)
         if payload[:8] == b"\x89PNG\r\n\x1a\n":
             if len(payload) >= 24 and payload[12:16] == b"IHDR":
                 return ("png",
-                        int.from_bytes(payload[16:20], "big"),
-                        int.from_bytes(payload[20:24], "big"), None)
+                        _i32(int.from_bytes(payload[16:20], "big")),
+                        _i32(int.from_bytes(payload[20:24], "big")), None)
             return ("png", None, None, None)
         if payload[:3] == b"\xff\xd8\xff":
             i = 2
             n = len(payload)
-            while i + 9 < n:
+            while i + 9 <= n:  # SOF dims end exactly at i+9
                 if payload[i] != 0xFF:
                     i += 1
                     continue
@@ -98,12 +103,17 @@ def sniff_media_meta(payload: bytes | None):
                 if marker in (0xFF, 0x01) or 0xD0 <= marker <= 0xD9:
                     i += 2
                     continue
+                if marker == 0xDA:
+                    break  # SOS: entropy-coded data follows — stop, or
+                    # stuffed 0xFF00 bytes get misread as segments
                 seglen = int.from_bytes(payload[i + 2:i + 4], "big")
                 if 0xC0 <= marker <= 0xCF \
                         and marker not in (0xC4, 0xC8, 0xCC):
                     return ("jpeg",
-                            int.from_bytes(payload[i + 7:i + 9], "big"),
-                            int.from_bytes(payload[i + 5:i + 7], "big"),
+                            _i32(int.from_bytes(payload[i + 7:i + 9],
+                                                "big")),
+                            _i32(int.from_bytes(payload[i + 5:i + 7],
+                                                "big")),
                             None)
                 i += 2 + seglen
             return ("jpeg", None, None, None)
@@ -119,8 +129,8 @@ def sniff_media_meta(payload: bytes | None):
                 clen = int.from_bytes(payload[i + 4:i + 8], "little")
                 if cid == b"fmt " and i + 16 <= n:
                     return ("wav", None, None,
-                            int.from_bytes(payload[i + 12:i + 16],
-                                           "little"))
+                            _i32(int.from_bytes(payload[i + 12:i + 16],
+                                                "little")))
                 i += 8 + clen + (clen & 1)  # chunks are 2-byte aligned
             return ("wav", None, None, None)
         return (None, None, None, None)

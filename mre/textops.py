@@ -202,14 +202,12 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
 
 
 def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
-    """(doc_id, shingle) pairs — distinct word n-grams per doc."""
-    joined = " || ' ' || ".join(f"toks[i + {j}]" for j in range(n))
-    return (docs
-            .withColumn("toks", tokens_col())
-            .filter(F.size("toks") >= n)
-            .select("doc_id", F.explode(F.expr(
-                f"array_distinct(transform(sequence(0, size(toks) - {n}),"
-                f" i -> {joined}))")).alias("shingle")))
+    """(doc_id, shingle) pairs — distinct word n-grams per doc.
+    Defined as the explode of ``doc_shingle_sets`` so the n-gram
+    construction lives in exactly ONE expression (a tokenization tweak
+    can't desynchronize the inverted-index and set-based paths)."""
+    return doc_shingle_sets(docs, n).select(
+        "doc_id", F.explode("sh_set").alias("shingle"))
 
 
 def jaccard_pairs(docs: DataFrame, n: int = 3,

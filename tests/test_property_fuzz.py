@@ -90,8 +90,11 @@ def test_collapse_ws_idempotent(s):
 _SOUP_TAG = st.sampled_from(["a", "div", "p", "span", "img", "b"])
 _SOUP_ANAME = st.sampled_from(["href", "class", "foo", "hidden", "rel",
                                "data-x"])
-_SOUP_VAL = st.text(alphabet="ab/<>\"'=& ;.", max_size=8)
-_SOUP_WS = st.sampled_from([" ", "  ", "\t"])
+# \x00 / \xa0 / \x0b are in the alphabets deliberately: stdlib tag names
+# end ONLY on ASCII tab/LF/CR/FF/space (NBSP and VT are name chars) and
+# NUL is a bogus-input trigger — the classes a Latin-only alphabet missed
+_SOUP_VAL = st.text(alphabet="ab/<>\"'=& ;.\x00\xa0", max_size=8)
+_SOUP_WS = st.sampled_from([" ", "  ", "\t", "\xa0", "\x0b", "\x00"])
 
 
 @st.composite
@@ -111,7 +114,7 @@ def _soup_attr(draw):
 def _soup_chunk(draw):
     kind = draw(st.integers(0, 6))
     if kind == 0:
-        return draw(st.text(alphabet="xy &;<.", max_size=6))
+        return draw(st.text(alphabet="xy &;<.\xa0\x00", max_size=6))
     if kind == 1:
         return "</" + draw(st.sampled_from(["", " x>", "a>", "a", ">", "/>"]))
     if kind == 2:
