@@ -312,3 +312,32 @@ def test_read_pages_warc_and_jsonl_dispatch(spark, tmp_path):
     assert jl.count() == 10
     assert {r["url"] for r in jl.select("url").collect()} \
         == {FX.url_of(i) for i in range(10)}
+
+
+def test_compact_partitions_preserves_content(spark, fixture_dir, tmp_path):
+    """Compaction rewrites a fragmented partitioned sink into few files
+    with byte-identical content (golden_diff == 0)."""
+    import glob
+
+    from mre.io import compact_partitions
+
+    dst = str(tmp_path / "results")
+    lin = str(tmp_path / "lineage")
+    src = f"{fixture_dir}/pages.parquet"
+    run_extract(spark, src, dst, lin, run_id="rc", buckets=8)
+    # fragment the sink: append the same partitions in tiny files
+    frag = read_results(spark, dst)
+    before_golden = frag.orderBy("url").toPandas()
+    from mre.io import read_table, write_overwrite_partitions
+    full = read_table(spark, dst).localCheckpoint(eager=True)
+    write_overwrite_partitions(full.repartition(24), dst, "salt_bucket")
+    n_files_before = len(glob.glob(f"{dst}/*/*.parquet"))
+
+    compact_partitions(spark, dst, "salt_bucket")
+    n_files_after = len(glob.glob(f"{dst}/*/*.parquet"))
+    assert n_files_after < n_files_before
+    assert n_files_after <= 8  # ≤1 file per salt_bucket partition
+    after = read_results(spark, dst).orderBy("url").toPandas()
+    assert after["url"].tolist() == before_golden["url"].tolist()
+    assert after["extracted_text"].tolist() \
+        == before_golden["extracted_text"].tolist()
