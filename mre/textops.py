@@ -211,11 +211,19 @@ def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
 
 
 def jaccard_pairs(docs: DataFrame, n: int = 3,
-                  threshold: float = 0.8) -> DataFrame:
+                  threshold: float = 0.8,
+                  max_df: int | None = None) -> DataFrame:
     """Exact n-gram Jaccard over pairs sharing ≥1 shingle.
 
-    Inverted-index equi-join — fine at verification scale; quadratic in the
-    worst case, so at 10^12 docs this runs only on LSH candidate pairs.
+    Inverted-index equi-join — fine at verification scale; the join's
+    output is Σ df(shingle)², so at 10^12 docs use
+    ``jaccard_on_candidates`` (LSH proposes, exact confirms) or set
+    ``max_df``: shingles appearing in more than ``max_df`` docs are
+    dropped before the self-join (a stop-shingle shared by k docs
+    otherwise emits k²/2 rows). With a cutoff the Jaccard is computed in
+    the FILTERED shingle space (intersections and set sizes both) and
+    pairs connected only through stop-shingles are missed — the standard
+    trade for corpus-wide runs; default None keeps exact semantics.
     The shingle frame feeds three branches (both join sides + sizes) —
     persisted so the shingle transform runs once, and keyed by
     xxhash64(shingle) so the inverted-index shuffle moves 8-byte keys
@@ -225,6 +233,13 @@ def jaccard_pairs(docs: DataFrame, n: int = 3,
     sh = (shingles(docs, n)
           .select("doc_id", F.xxhash64("shingle").alias("shingle"))
           .persist(StorageLevel.MEMORY_AND_DISK))
+    if max_df is not None:
+        rare = (sh.groupBy("shingle")
+                .agg(F.count("*").alias("_df"))
+                .filter(F.col("_df") <= max_df)
+                .select("shingle"))
+        sh = sh.join(rare, "shingle", "left_semi") \
+            .persist(StorageLevel.MEMORY_AND_DISK)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")

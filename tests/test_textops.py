@@ -218,3 +218,24 @@ def test_split_leakage_flags_only_crossers(spark):
     got = {(r["doc_a"], r["doc_b"]) for r in
            split_leakage(pairs, splits).collect()}
     assert got == {(1, 2), (2, 3)}  # (1,3) is train/train — no leak
+
+
+def test_jaccard_pairs_max_df_guard(spark):
+    """max_df drops stop-shingles from the inverted index: a viral
+    boilerplate shingle can no longer connect the whole corpus, while
+    pairs sharing rare shingles keep their (filtered-space) jaccard."""
+    from mre.textops import jaccard_pairs
+
+    viral = "all rights reserved by this site"  # 6-token stop text
+    rows = [(i, f"unique words number {i} only here. " + viral)
+            for i in range(30)]
+    rows += [(100, "green tea brewing methods compared carefully today"),
+             (101, "green tea brewing methods compared carefully today")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    wide = jaccard_pairs(docs, threshold=0.01).count()
+    guarded = jaccard_pairs(docs, threshold=0.01, max_df=5)
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+           for r in guarded.collect()}
+    assert wide >= 30 * 29 / 2       # boilerplate connects everything
+    assert set(got) == {(100, 101)}  # only the true near-dup survives
+    assert got[(100, 101)] == 1.0
