@@ -171,14 +171,25 @@ def winnow_fingerprints(docs: DataFrame, k: int = 8,
 
 
 def winnow_dup_pairs(docs: DataFrame, k: int = 8, window: int = 4,
-                     min_shared: int = 3) -> DataFrame:
+                     min_shared: int = 3,
+                     max_df: int | None = None) -> DataFrame:
     """Docs sharing ≥ min_shared winnowing fingerprints (passage-level
     near-dup) via explode + equi-join; the exploded frame is persisted so
-    the rolling-hash transform runs once, not once per join side."""
+    the rolling-hash transform runs once, not once per join side.
+    ``max_df`` is the corpus-scale guard, same contract as
+    ``jaccard_pairs``: fingerprints in more than ``max_df`` docs (license
+    headers, boilerplate passages — Σ df² join rows) leave the index, so
+    pairs sharing only those are missed and n_shared is computed in the
+    filtered space; default None keeps exact semantics."""
     from pyspark import StorageLevel
     fps = winnow_fingerprints(docs, k, window).select(
         "doc_id", F.explode("fingerprints").alias("fp")).persist(
         StorageLevel.MEMORY_AND_DISK)
+    if max_df is not None:
+        rare = (fps.groupBy("fp").agg(F.count("*").alias("_df"))
+                .filter(F.col("_df") <= max_df).select("fp"))
+        fps = fps.join(rare, "fp", "left_semi").persist(
+            StorageLevel.MEMORY_AND_DISK)
     a, b = fps.alias("a"), fps.alias("b")
     return (a.join(b, (F.col("a.fp") == F.col("b.fp"))
                    & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -370,10 +381,12 @@ def minhash_candidates(sigs: DataFrame, bands: int = 8,
 
 
 def minhash_near_dups(docs: DataFrame, k: int = 32, n: int = 3,
-                      bands: int = 8,
-                      threshold: float = 0.5) -> DataFrame:
+                      bands: int = 8, threshold: float = 0.5,
+                      max_bucket: int | None = None) -> DataFrame:
     """Candidates via banding, verified by signature agreement (estimated
-    Jaccard = fraction of equal signature positions).
+    Jaccard = fraction of equal signature positions). ``max_bucket`` is
+    the hot-bucket guard (see minhash_candidates) — exposed here so the
+    user-facing op carries the corpus-scale knob, not just the internals.
 
     The signature frame feeds four plan branches (both band-join sides +
     both verifier joins); without a persist Spark recomputes the 32-hash
@@ -382,7 +395,7 @@ def minhash_near_dups(docs: DataFrame, k: int = 32, n: int = 3,
     from pyspark import StorageLevel
     sigs = minhash_signatures(docs, k, n).persist(
         StorageLevel.MEMORY_AND_DISK)
-    cands = minhash_candidates(sigs, bands)
+    cands = minhash_candidates(sigs, bands, max_bucket=max_bucket)
     sa = sigs.select(F.col("doc_id").alias("doc_a"),
                      F.col("sig").alias("sig_a"))
     sb = sigs.select(F.col("doc_id").alias("doc_b"),
@@ -582,9 +595,14 @@ def simhash(docs: DataFrame) -> DataFrame:
     return hashed.select("doc_id", _fold("tok_hashes").alias("simhash"))
 
 
-def simhash_near_dups(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+def simhash_near_dups(docs: DataFrame, max_hamming: int = 3,
+                      max_bucket: int | None = None) -> DataFrame:
     """Near-dups by SimHash: band the 64 bits into 4×16-bit keys (any equal
     band ⇒ candidate), verify by popcount(xor) ≤ max_hamming.
+    ``max_bucket`` guards hot band buckets exactly like
+    minhash_candidates: a band value shared by b docs emits b² join rows
+    (near-empty docs all fold to the same bands at corpus scale); buckets
+    past the cap are whole near-identical clusters → exact dedup instead.
 
     The simhash frame (one pandas-UDF fold over the corpus) feeds BOTH
     self-join sides — persisted so the fold runs once. The hamming filter
@@ -598,6 +616,12 @@ def simhash_near_dups(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
             "transform(sequence(0, 3),"
             " b -> (simhash >> (b * 16)) & 65535)"))
         .alias("band_idx", "band_key"))
+    if max_bucket is not None:
+        small = (banded.groupBy("band_idx", "band_key")
+                 .agg(F.count("*").alias("_bsz"))
+                 .filter(F.col("_bsz") <= max_bucket)
+                 .drop("_bsz"))
+        banded = banded.join(small, ["band_idx", "band_key"])
     a, b = banded.alias("a"), banded.alias("b")
     return (a.join(b, (F.col("a.band_idx") == F.col("b.band_idx"))
                    & (F.col("a.band_key") == F.col("b.band_key"))

@@ -239,3 +239,32 @@ def test_jaccard_pairs_max_df_guard(spark):
     assert wide >= 30 * 29 / 2       # boilerplate connects everything
     assert set(got) == {(100, 101)}  # only the true near-dup survives
     assert got[(100, 101)] == 1.0
+
+
+def test_near_dup_family_hot_bucket_guards(spark):
+    """max_bucket / max_df are reachable from every user-facing near-dup
+    op (minhash, simhash, winnow) and prune hot clusters consistently."""
+    from mre.textops import (minhash_near_dups, simhash_near_dups,
+                             winnow_dup_pairs)
+
+    viral = ("the exact same viral boilerplate body repeated verbatim "
+             "across this entire cluster of documents forever and ever")
+    rows = [(i, viral) for i in range(12)]
+    rows += [(100, "green tea brewing methods compared carefully today"),
+             (101, "green tea brewing methods compared carefully today")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    assert minhash_near_dups(docs, threshold=0.9).count() >= 66
+    mh = {(r["doc_a"], r["doc_b"]) for r in
+          minhash_near_dups(docs, threshold=0.9, max_bucket=5).collect()}
+    assert mh == {(100, 101)}
+
+    assert simhash_near_dups(docs).count() >= 66
+    sh = {(r["doc_a"], r["doc_b"]) for r in
+          simhash_near_dups(docs, max_bucket=5).collect()}
+    assert sh == {(100, 101)}
+
+    assert winnow_dup_pairs(docs).count() >= 66
+    wn = {(r["doc_a"], r["doc_b"]) for r in
+          winnow_dup_pairs(docs, max_df=5).collect()}
+    assert wn == {(100, 101)}
