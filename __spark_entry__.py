@@ -179,45 +179,35 @@ def q_topk_docs(spark, sf_dir):
             .select("doc_id", "lang", "n_chars").limit(10))
 
 
-def q_rollup_docs(spark, sf_dir):
+def q_rollup_cube_docs(spark, sf_dir):
+    """ROLLUP and CUBE over the same grouping, distinguished by an ``op``
+    tag — one driver row exercises both grouping-set expansions (the
+    registry is capped at the driver's 50-entry check window, SURVEY
+    §7.4, so same-shape operators share a tagged-union entry)."""
     _prep(spark)
     d = _t(spark, sf_dir, "documents")
-    return (d.rollup("lang", "source")
-            .agg(F.count("*").alias("n_docs"),
-                 F.sum("n_chars").alias("total_chars")))
+    aggs = [F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.max("n_chars").alias("max_chars")]
+    r = d.rollup("lang", "source").agg(*aggs) \
+        .withColumn("op", F.lit("rollup"))
+    c = d.cube("lang", "source").agg(*aggs).withColumn("op", F.lit("cube"))
+    return r.unionAll(c).select("op", "lang", "source", "n_docs",
+                                "total_chars", "max_chars")
 
 
-def q_cube_docs(spark, sf_dir):
-    _prep(spark)
-    d = _t(spark, sf_dir, "documents")
-    return (d.cube("lang", "source")
-            .agg(F.count("*").alias("n_docs"),
-                 F.max("n_chars").alias("max_chars")))
-
-
-def q_anti_join(spark, sf_dir):
-    _prep(spark)
-    d = _t(spark, sf_dir, "documents")
-    ev = _t(spark, sf_dir, "events").select(
-        F.col("user_id").alias("doc_id")).distinct()
-    return (d.join(ev, "doc_id", "left_anti")
-            .select("doc_id", "lang", "n_chars"))
-
-
-def q_set_except(spark, sf_dir):
+def q_set_ops(spark, sf_dir):
+    """EXCEPT and INTERSECT as one tagged union (registry-window rule,
+    SURVEY §7.4) — both set operators still run and value-check."""
     _prep(spark)
     d = _t(spark, sf_dir, "documents").select("doc_id")
     ev = _t(spark, sf_dir, "events").select(
         F.col("user_id").alias("doc_id"))
-    return d.distinct().exceptAll(ev.distinct())
-
-
-def q_set_intersect(spark, sf_dir):
-    _prep(spark)
-    d = _t(spark, sf_dir, "documents").select("doc_id")
-    ev = _t(spark, sf_dir, "events").select(
-        F.col("user_id").alias("doc_id"))
-    return d.distinct().intersect(ev.distinct())
+    ex = d.distinct().exceptAll(ev.distinct()) \
+        .withColumn("op", F.lit("except"))
+    it = d.distinct().intersect(ev.distinct()) \
+        .withColumn("op", F.lit("intersect"))
+    return ex.unionAll(it).select("op", "doc_id")
 
 
 def q_full_outer(spark, sf_dir):
@@ -486,13 +476,19 @@ def q_json_props(spark, sf_dir):
                  F.count("*").alias("n_events")))
 
 
-def q_semi_join(spark, sf_dir):
+def q_semi_anti_join(spark, sf_dir):
+    """LEFT SEMI and LEFT ANTI joins as one tagged union (registry-window
+    rule, SURVEY §7.4) — the two rows partition `documents` exactly, so
+    the union value-checks both join types at once."""
     _prep(spark)
     d = _t(spark, sf_dir, "documents")
     ev = _t(spark, sf_dir, "events").select(
         F.col("user_id").alias("doc_id"))
-    return (d.join(ev, "doc_id", "left_semi")
-            .select("doc_id", "lang", "n_chars"))
+    semi = (d.join(ev, "doc_id", "left_semi")
+            .withColumn("op", F.lit("semi")))
+    anti = (d.join(ev, "doc_id", "left_anti")
+            .withColumn("op", F.lit("anti")))
+    return semi.unionAll(anti).select("op", "doc_id", "lang", "n_chars")
 
 
 def q_grouping_sets(spark, sf_dir):
@@ -662,11 +658,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_latest_event": q_window_latest_event,
         "window_running": q_window_running,
         "topk_docs": q_topk_docs,
-        "rollup_docs": q_rollup_docs,
-        "cube_docs": q_cube_docs,
-        "anti_join": q_anti_join,
-        "set_except": q_set_except,
-        "set_intersect": q_set_intersect,
+        "rollup_cube_docs": q_rollup_cube_docs,
+        "set_ops": q_set_ops,
         "full_outer": q_full_outer,
         "events_daily": q_events_daily,
         "event_stats": q_event_stats,
@@ -693,7 +686,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_extract": q_pdf_extract,
         "lineage_rollup": q_lineage_rollup,
         "json_props": q_json_props,
-        "semi_join": q_semi_join,
+        "semi_anti_join": q_semi_anti_join,
         "grouping_sets": q_grouping_sets,
         "sessionize_batch": q_sessionize_batch,
         "pivot_events": q_pivot_events,
@@ -1090,10 +1083,14 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events
             FROM events GROUP BY event_type
         """,
-        "semi_join": """
-            SELECT doc_id, lang, n_chars FROM documents d
+        "semi_anti_join": """
+            SELECT 'semi' AS op, doc_id, lang, n_chars FROM documents d
             WHERE EXISTS (SELECT 1 FROM events e
                           WHERE e.user_id = d.doc_id)
+            UNION ALL
+            SELECT 'anti' AS op, doc_id, lang, n_chars FROM documents d
+            WHERE NOT EXISTS (SELECT 1 FROM events e
+                              WHERE e.user_id = d.doc_id)
         """,
         "grouping_sets": """
             SELECT lang, source, count(*) AS n_docs,
@@ -1190,30 +1187,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang, n_chars FROM documents
             ORDER BY n_chars DESC, doc_id ASC LIMIT 10
         """,
-        "rollup_docs": """
-            SELECT lang, source, count(*) AS n_docs,
-                   CAST(sum(n_chars) AS BIGINT) AS total_chars
+        "rollup_cube_docs": """
+            SELECT 'rollup' AS op, lang, source, count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                   max(n_chars) AS max_chars
             FROM documents GROUP BY ROLLUP (lang, source)
-        """,
-        "cube_docs": """
-            SELECT lang, source, count(*) AS n_docs,
+            UNION ALL
+            SELECT 'cube' AS op, lang, source, count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars,
                    max(n_chars) AS max_chars
             FROM documents GROUP BY CUBE (lang, source)
         """,
-        "anti_join": """
-            SELECT doc_id, lang, n_chars FROM documents d
-            WHERE NOT EXISTS (SELECT 1 FROM events e
-                              WHERE e.user_id = d.doc_id)
-        """,
-        "set_except": """
-            SELECT DISTINCT doc_id FROM documents
-            EXCEPT
-            SELECT DISTINCT user_id AS doc_id FROM events
-        """,
-        "set_intersect": """
-            SELECT DISTINCT doc_id FROM documents
-            INTERSECT
-            SELECT DISTINCT user_id AS doc_id FROM events
+        "set_ops": """
+            SELECT 'except' AS op, doc_id FROM (
+                SELECT DISTINCT doc_id FROM documents
+                EXCEPT
+                SELECT DISTINCT user_id AS doc_id FROM events)
+            UNION ALL
+            SELECT 'intersect' AS op, doc_id FROM (
+                SELECT DISTINCT doc_id FROM documents
+                INTERSECT
+                SELECT DISTINCT user_id AS doc_id FROM events)
         """,
         "full_outer": """
             WITH d AS (SELECT doc_id, count(*) AS n_docs
