@@ -341,14 +341,21 @@ def q_lang_sources(spark, sf_dir):
 def q_length_quantiles(spark, sf_dir):
     """Exact per-language length percentiles — the corpus length-
     distribution report. Spark `percentile` and DuckDB `quantile_cont`
-    share the rank q*(n-1) linear interpolation, so the oracle is exact
-    (probed equal on this data before registering)."""
+    share the rank q*(n-1) linear interpolation; outputs are snapped to a
+    fixed 4-decimal grid in BOTH engines (ADVICE r3: relying on
+    bit-identical interpolated doubles sidesteps SURVEY §7.1's grid rule
+    and can regress on last-ulp rounding). The interpolated fractions here
+    have ≤2 true decimal digits, so the grid is far coarser than any ulp
+    noise and never sits on a .xxxx5 tie."""
     _prep(spark)
     return (_t(spark, sf_dir, "documents")
             .groupBy("lang")
-            .agg(F.expr("percentile(n_chars, 0.5D)").alias("p50"),
-                 F.expr("percentile(n_chars, 0.9D)").alias("p90"),
-                 F.expr("percentile(n_chars, 0.99D)").alias("p99"),
+            .agg(F.round(F.expr("percentile(n_chars, 0.5D)"), 4)
+                 .alias("p50"),
+                 F.round(F.expr("percentile(n_chars, 0.9D)"), 4)
+                 .alias("p90"),
+                 F.round(F.expr("percentile(n_chars, 0.99D)"), 4)
+                 .alias("p99"),
                  F.count("*").alias("n_docs")))
 
 
@@ -360,7 +367,11 @@ def q_length_deciles(spark, sf_dir):
     _prep(spark)
     d = _t(spark, sf_dir, "documents")
     qs = ", ".join(f"{q / 10}D" for q in range(1, 10))
-    b = (d.agg(F.expr(f"percentile(n_chars, array({qs}))").alias("bs"))
+    # boundaries snapped to the 4-decimal grid in both engines (ADVICE
+    # r3) so a last-ulp interpolation difference can never flip a
+    # bucket-membership comparison
+    b = (d.agg(F.expr(f"transform(percentile(n_chars, array({qs})),"
+                      f" x -> round(x, 4))").alias("bs"))
          .withColumn("k", F.lit(1)))
     return (d.withColumn("k", F.lit(1))
             .join(F.broadcast(b), "k")
@@ -738,6 +749,25 @@ def oracle_sql() -> dict[str, str]:
              f"THEN 1 ELSE error('corpus not covered by lineage golden; "
              f"remove dist/lineage_golden.parquet to re-derive from the "
              f"testdata layout') END)")
+
+    # The probe must be GUARANTEED-EXECUTED (ADVICE r3): embedded in a row
+    # filter it never evaluates when the scanned golden has zero rows
+    # total — exactly the silent-pass mode it exists to prevent. Appending
+    # a FROM-less UNION ALL branch makes DuckDB evaluate the CASE exactly
+    # once regardless of the main branch's row count: covered ⇒ the
+    # WHERE is 1 != 1 ⇒ zero extra rows (hashes unchanged); uncovered ⇒
+    # error() raises. NULLs are cast to the main branch's exact types so
+    # union type-unification can't silently widen the schema.
+    def _cov_probe(cov_expr: str, *types: str) -> str:
+        nulls = ", ".join(f"CAST(NULL AS {t})" for t in types)
+        return f"\n            UNION ALL SELECT {nulls} WHERE 1 != {cov_expr}"
+
+    _P2 = _cov_probe(_COV, "BIGINT", "BIGINT")
+    _P3L = _cov_probe(_COV, "BIGINT", "BIGINT", "BIGINT")
+    _P3D = _cov_probe(_COV, "BIGINT", "BIGINT", "DOUBLE")
+    _P4S = _cov_probe(_COV, "BIGINT", "BIGINT", "VARCHAR", "VARCHAR")
+    _PLIN = _cov_probe(_LCOV, "VARCHAR", "BIGINT", "BIGINT", "BIGINT",
+                       "BIGINT", "BIGINT", "BIGINT")
     # ann_lsh IS SQL-expressible: the hyperplanes are deterministic
     # constants (xorshift64 stream, mre/textops.py _hyperplanes), inlined
     # below; sign margins are ≥1e-4 on this data, far above any FP
@@ -822,7 +852,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_near_dups": f"""
             SELECT doc_a, doc_b, est_jaccard
             FROM read_parquet('{dedup["minhash_near_dups"]}')
-            WHERE corpus_key = {_CK} AND 1 = {_COV}
+            WHERE corpus_key = {_CK}{_P3D}
         """,
         # composition oracle (VERDICT r2 #1): candidate pairs come from the
         # independent MinHash replay golden; the exact Jaccard over those
@@ -832,7 +862,7 @@ def oracle_sql() -> dict[str, str]:
             WITH cand AS (
                 SELECT doc_a, doc_b
                 FROM read_parquet('{dedup["minhash_near_dups"]}')
-                WHERE corpus_key = {_CK} AND 1 = {_COV}),
+                WHERE corpus_key = {_CK}),
             toks AS (
                 SELECT doc_id,
                        regexp_split_to_array(lower(trim(text)), '\s+') AS t
@@ -858,12 +888,12 @@ def oracle_sql() -> dict[str, str]:
                          / (sa.n_sh + sb.n_sh - i.n_inter), 4) AS jaccard
             FROM inter i
             JOIN sizes sa ON sa.doc_id = i.doc_a
-            JOIN sizes sb ON sb.doc_id = i.doc_b
+            JOIN sizes sb ON sb.doc_id = i.doc_b{_P3D}
         """,
         "simhash_near_dups": f"""
             SELECT doc_a, doc_b, hamming
             FROM read_parquet('{dedup["simhash_near_dups"]}')
-            WHERE corpus_key = {_CK} AND 1 = {_COV}
+            WHERE corpus_key = {_CK}{_P3L}
         """,
         # connected components via recursive CTE over the replay golden:
         # min reachable doc_id per node == min-label-propagation fixpoint
@@ -871,7 +901,7 @@ def oracle_sql() -> dict[str, str]:
             WITH RECURSIVE cand AS (
                 SELECT doc_a, doc_b
                 FROM read_parquet('{dedup["minhash_near_dups"]}')
-                WHERE corpus_key = {_CK} AND 1 = {_COV}),
+                WHERE corpus_key = {_CK}),
             edges AS (
                 SELECT doc_a AS a, doc_b AS b FROM cand
                 UNION SELECT doc_b, doc_a FROM cand),
@@ -881,7 +911,7 @@ def oracle_sql() -> dict[str, str]:
                 SELECT e.a, r.label FROM edges e JOIN reach r
                   ON r.node = e.b)
             SELECT node AS doc_id, min(label) AS cluster_id
-            FROM reach GROUP BY node
+            FROM reach GROUP BY node{_P2}
         """,
         "lang_sources": """
             SELECT lang,
@@ -892,16 +922,17 @@ def oracle_sql() -> dict[str, str]:
         """,
         "length_quantiles": """
             SELECT lang,
-                   quantile_cont(n_chars, 0.5) AS p50,
-                   quantile_cont(n_chars, 0.9) AS p90,
-                   quantile_cont(n_chars, 0.99) AS p99,
+                   round(quantile_cont(n_chars, 0.5), 4) AS p50,
+                   round(quantile_cont(n_chars, 0.9), 4) AS p90,
+                   round(quantile_cont(n_chars, 0.99), 4) AS p99,
                    count(*) AS n_docs
             FROM documents GROUP BY lang
         """,
         "length_deciles": """
             WITH b AS (
-                SELECT quantile_cont(n_chars,
-                    [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS bs
+                SELECT list_transform(quantile_cont(n_chars,
+                    [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]),
+                    x -> round(x, 4)) AS bs
                 FROM documents),
             d AS (
                 SELECT n_chars,
@@ -980,7 +1011,7 @@ def oracle_sql() -> dict[str, str]:
             WITH cand AS (
                 SELECT doc_a, doc_b
                 FROM read_parquet('{dedup["minhash_near_dups"]}')
-                WHERE corpus_key = {_CK} AND 1 = {_COV}),
+                WHERE corpus_key = {_CK}),
             sp AS (
                 SELECT doc_id,
                        CASE WHEN CAST(('0x' || substring(md5(text), 1, 4))
@@ -992,19 +1023,18 @@ def oracle_sql() -> dict[str, str]:
             FROM cand c
             JOIN sp a ON a.doc_id = c.doc_a
             JOIN sp b ON b.doc_id = c.doc_b
-            WHERE a.split <> b.split
+            WHERE a.split <> b.split{_P4S}
         """,
         "winnow_dup_pairs": f"""
             SELECT doc_a, doc_b, n_shared
             FROM read_parquet('{dedup["winnow_dup_pairs"]}')
-            WHERE corpus_key = {_CK} AND 1 = {_COV}
+            WHERE corpus_key = {_CK}{_P3L}
         """,
         "lineage_rollup": f"""
             SELECT run_id, partition_id, salt_bucket,
                    n_rows, n_ok, n_failed, bytes_html
             FROM read_parquet('{lineage_golden}')
-            WHERE n_corpus = (SELECT count(*) FROM documents)
-              AND 1 = {_LCOV}
+            WHERE n_corpus = (SELECT count(*) FROM documents){_PLIN}
         """,
         "ivf_ann": ivf_oracle,
         "url_dedup": r"""

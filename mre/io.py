@@ -109,10 +109,16 @@ def compact_partitions(spark: SparkSession, path: str, partition_col: str,
     incremental/resumed run appends files; thousands of KB-sized files
     per partition destroy scan throughput and driver planning time).
 
-    Rewrites each partition into ≤ ``max_files_per_partition`` files via
-    repartition on the partition column (hash-placed, so rows co-locate
-    per partition value) + dynamic partition overwrite — content is
-    byte-preserved, layout is not (tested via golden_diff == 0).
+    Rewrites each partition into ≤ ``max_files_per_partition`` files and
+    dynamic-partition-overwrites it — content is byte-preserved, layout
+    is not (tested via golden_diff == 0). With the default N=1 the
+    repartition key is the partition column alone (one task, one file
+    per partition value). With N>1 a within-partition salt joins the
+    key — repartitioning on the partition column alone would hash every
+    row of a partition value to ONE task regardless of the multiplier
+    (ADVICE r3: the knob was ineffective), so large partitions could
+    never regain write parallelism. The salt is a hash of a per-row id,
+    giving ≤N files per partition value and ~N tasks of it in flight.
     On Iceberg this maps to rewrite_data_files; the parquet path keeps
     the same semantics for the sandbox."""
     from pyspark.sql import functions as F
@@ -125,7 +131,14 @@ def compact_partitions(spark: SparkSession, path: str, partition_col: str,
     # and the partition count is the (small) bucket count, not the rows
     n_parts = df.select(partition_col).distinct().count()
     n = max(n_parts, 1) * max_files_per_partition
-    compacted = df.repartition(n, F.col(partition_col))
+    if max_files_per_partition > 1:
+        salt = F.pmod(F.xxhash64(F.monotonically_increasing_id()),
+                      F.lit(max_files_per_partition))
+        compacted = (df.withColumn("_cfs", salt)
+                     .repartition(n, F.col(partition_col), F.col("_cfs"))
+                     .drop("_cfs"))
+    else:
+        compacted = df.repartition(n, F.col(partition_col))
     write_overwrite_partitions(compacted, path, partition_col)
 
 

@@ -83,6 +83,26 @@ def test_rows_only_queries_run(spark, name):
     assert len(df.schema.fields) > 0
 
 
+@pytest.mark.parametrize("name", ["minhash_near_dups", "dup_clusters",
+                                  "split_leakage", "winnow_dup_pairs",
+                                  "lineage_rollup"])
+def test_coverage_guard_fires_on_uncovered_corpus(name):
+    """ADVICE r3: the loud-coverage probe must error on an UNCOVERED
+    corpus even though the golden scan matches zero rows for it (the
+    probe is a guaranteed-executed UNION ALL branch, not a row filter
+    that an empty scan would skip)."""
+    sql = entrymod.oracle_sql()[name]
+    con = duckdb.connect()
+    # one-row fake corpus: its corpus_key (sum of text lengths) and row
+    # count match no covered sf dir, and the goldens contain zero rows
+    # for it — the silent-pass mode the guard exists to prevent
+    con.execute("CREATE VIEW documents AS SELECT CAST(1 AS BIGINT) AS "
+                "doc_id, 'zz uncovered corpus probe' AS text, "
+                "'zz' AS lang, 'zz' AS source, 25 AS n_chars")
+    with pytest.raises(duckdb.Error, match="not covered"):
+        con.execute(sql).fetch_df()
+
+
 def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     assert df.count() > 0

@@ -341,3 +341,20 @@ def test_compact_partitions_preserves_content(spark, fixture_dir, tmp_path):
     assert after["url"].tolist() == before_golden["url"].tolist()
     assert after["extracted_text"].tolist() \
         == before_golden["extracted_text"].tolist()
+
+    # N>1 keeps content and the ≤N contract while actually increasing
+    # write parallelism (ADVICE r3: the knob was a no-op before — the
+    # repartition hashed on the partition value alone, so every value
+    # landed in one task and one file regardless of N)
+    compact_partitions(spark, dst, "salt_bucket",
+                       max_files_per_partition=2)
+    per_part = {}
+    for f in glob.glob(f"{dst}/*/*.parquet"):
+        d = os.path.dirname(f)
+        per_part[d] = per_part.get(d, 0) + 1
+    assert all(c <= 2 for c in per_part.values()), per_part
+    assert any(c == 2 for c in per_part.values()), per_part
+    after2 = read_results(spark, dst).orderBy("url").toPandas()
+    assert after2["url"].tolist() == before_golden["url"].tolist()
+    assert after2["extracted_text"].tolist() \
+        == before_golden["extracted_text"].tolist()
