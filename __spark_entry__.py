@@ -647,6 +647,32 @@ def q_lineage_rollup(spark, sf_dir):
         "n_rows", "n_ok", "n_failed", "bytes_html")
 
 
+def q_curation_pipeline(spark, sf_dir):
+    """The composed curation pipeline (VERDICT r3 #2) as ONE driver row:
+    Gopher quality filter → exact dedup → MinHash-LSH candidates →
+    exact-Jaccard confirm (≥0.5) → connected-component clustering →
+    keep-one-per-cluster → 5-gram decontamination vs the every-97th-doc
+    eval set → deterministic 90/10 hash split. Returns each surviving
+    doc's (doc_id, lang, split).
+
+    The composition oracle replays every stage in SQL: quality + dedup +
+    confirm + clustering + contamination are plain DuckDB over the same
+    view; the MinHash candidate stage comes from the independent replay
+    golden restricted to surviving endpoints — valid because signatures,
+    band hashes, and est_jaccard are pure per-doc/per-pair functions
+    (max_bucket=None), so candidates over a filtered corpus ARE the
+    full-corpus candidates with both endpoints surviving."""
+    from mre.curate import curate_df
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    evals = (docs.filter(F.col("doc_id") % 97 == 0)
+             .select(F.col("doc_id").alias("eval_id"), "text"))
+    out = curate_df(docs, evals, shingle_n=3, minhash_threshold=0.2,
+                    jaccard_threshold=0.5, contamination_n=5,
+                    contamination_min_shared=1, train_frac=0.9)
+    return out.select("doc_id", "lang", "split")
+
+
 def q_pdf_extract(spark, sf_dir):
     """north_rule "PDF/layout parse": documents → real Flate-compressed
     PDFs → pure-stdlib text extraction; exact SQL oracle re-creates the
@@ -710,6 +736,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": q_gopher_quality,
         "winnow_dup_pairs": q_winnow_dups,
         "cosine_dup_pairs": q_cosine_dup_pairs,
+        "curation_pipeline": q_curation_pipeline,
     }
 
 
@@ -766,6 +793,7 @@ def oracle_sql() -> dict[str, str]:
     _P3L = _cov_probe(_COV, "BIGINT", "BIGINT", "BIGINT")
     _P3D = _cov_probe(_COV, "BIGINT", "BIGINT", "DOUBLE")
     _P4S = _cov_probe(_COV, "BIGINT", "BIGINT", "VARCHAR", "VARCHAR")
+    _PCUR = _cov_probe(_COV, "BIGINT", "VARCHAR", "VARCHAR")
     _PLIN = _cov_probe(_LCOV, "VARCHAR", "BIGINT", "BIGINT", "BIGINT",
                        "BIGINT", "BIGINT", "BIGINT")
     # ann_lsh IS SQL-expressible: the hyperplanes are deterministic
@@ -1029,6 +1057,115 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_a, doc_b, n_shared
             FROM read_parquet('{dedup["winnow_dup_pairs"]}')
             WHERE corpus_key = {_CK}{_P3L}
+        """,
+        # composition oracle for the end-to-end curation pipeline: every
+        # stage replayed in plain SQL; the MinHash candidate stage comes
+        # from the full-corpus replay golden restricted to surviving
+        # endpoints (valid: signatures/bands/est_jaccard are pure
+        # per-doc/per-pair functions — see q_curation_pipeline)
+        "curation_pipeline": rf"""
+            WITH RECURSIVE t AS (
+                SELECT doc_id, text,
+                       regexp_split_to_array(lower(trim(text)), '\s+')
+                           AS toks,
+                       length(regexp_replace(lower(trim(text)),
+                           '\s+', '', 'g')) AS n_ns
+                FROM documents),
+            m AS (
+                SELECT doc_id, n_ns, len(toks) AS n_words,
+                       greatest(len(toks), 1) AS n1,
+                       len(list_filter(toks, x -> regexp_matches(x,
+                           '[a-z]'))) AS n_alpha,
+                       len(list_filter(toks, x -> x IN ('the', 'be',
+                           'to', 'of', 'and', 'that', 'have', 'with')))
+                           AS n_stop,
+                       len(regexp_extract_all(text,
+                           '[#…•=+*^~|<>{{}}\\\\]')) AS n_sym
+                FROM t),
+            keepq AS (
+                SELECT doc_id FROM m
+                WHERE n_words BETWEEN 50 AND 100000
+                  AND n_ns / n1 BETWEEN 3.0 AND 10.0
+                  AND n_sym / n1 <= 0.1
+                  AND n_alpha / n1 >= 0.8
+                  AND n_stop >= 2),
+            keepers AS (
+                SELECT min(d.doc_id) AS doc_id
+                FROM documents d JOIN keepq USING (doc_id)
+                GROUP BY md5(lower(trim(d.text)))),
+            cand AS (
+                SELECT doc_a, doc_b
+                FROM read_parquet('{dedup["minhash_near_dups"]}')
+                WHERE corpus_key = {_CK}
+                  AND doc_a IN (SELECT doc_id FROM keepers)
+                  AND doc_b IN (SELECT doc_id FROM keepers)),
+            ksh AS (
+                SELECT t.doc_id,
+                       unnest(list_distinct(list_transform(
+                           range(1, len(t.toks) - 1),
+                           i -> t.toks[i] || ' ' || t.toks[i + 1]
+                                || ' ' || t.toks[i + 2]))) AS shingle
+                FROM t JOIN keepers k ON t.doc_id = k.doc_id
+                WHERE len(t.toks) >= 3),
+            sizes AS (
+                SELECT doc_id, count(*) AS n_sh FROM ksh GROUP BY doc_id),
+            inter AS (
+                SELECT c.doc_a, c.doc_b, count(b.shingle) AS n_inter
+                FROM cand c
+                JOIN ksh a ON a.doc_id = c.doc_a
+                LEFT JOIN ksh b
+                  ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+                GROUP BY 1, 2),
+            pairs AS (
+                SELECT i.doc_a, i.doc_b
+                FROM inter i
+                JOIN sizes sa ON sa.doc_id = i.doc_a
+                JOIN sizes sb ON sb.doc_id = i.doc_b
+                WHERE round(i.n_inter
+                            / (sa.n_sh + sb.n_sh - i.n_inter), 4) >= 0.5),
+            edges AS (
+                SELECT doc_a AS a, doc_b AS b FROM pairs
+                UNION SELECT doc_b, doc_a FROM pairs),
+            reach(node, label) AS (
+                SELECT a, a FROM edges
+                UNION
+                SELECT e.a, r.label FROM edges e JOIN reach r
+                  ON r.node = e.b),
+            losers AS (
+                SELECT node AS doc_id FROM reach GROUP BY node
+                HAVING min(label) <> node),
+            keepnd AS (
+                SELECT doc_id FROM keepers
+                WHERE doc_id NOT IN (SELECT doc_id FROM losers)),
+            ev5 AS (
+                SELECT doc_id AS eval_id,
+                       unnest(list_distinct(list_transform(
+                           range(1, len(toks) - 3),
+                           i -> toks[i] || ' ' || toks[i + 1] || ' '
+                                || toks[i + 2] || ' ' || toks[i + 3]
+                                || ' ' || toks[i + 4]))) AS shingle
+                FROM t WHERE doc_id % 97 = 0 AND len(toks) >= 5),
+            c5 AS (
+                SELECT t.doc_id,
+                       unnest(list_distinct(list_transform(
+                           range(1, len(t.toks) - 3),
+                           i -> t.toks[i] || ' ' || t.toks[i + 1] || ' '
+                                || t.toks[i + 2] || ' ' || t.toks[i + 3]
+                                || ' ' || t.toks[i + 4]))) AS shingle
+                FROM t JOIN keepnd k ON t.doc_id = k.doc_id
+                WHERE len(t.toks) >= 5),
+            contam AS (
+                SELECT DISTINCT c.doc_id
+                FROM c5 c JOIN ev5 e ON c.shingle = e.shingle),
+            final_ids AS (
+                SELECT doc_id FROM keepnd
+                WHERE doc_id NOT IN (SELECT doc_id FROM contam))
+            SELECT d.doc_id, d.lang,
+                   CASE WHEN CAST(('0x' || substring(md5(d.text), 1, 4))
+                                  AS INTEGER)
+                             < CAST(0.9 * 65536 AS INTEGER)
+                        THEN 'train' ELSE 'test' END AS split
+            FROM documents d JOIN final_ids f ON d.doc_id = f.doc_id{_PCUR}
         """,
         "lineage_rollup": f"""
             SELECT run_id, partition_id, salt_bucket,

@@ -1,0 +1,237 @@
+"""The composed corpus-curation pipeline (VERDICT r3 #2): the end-to-end
+user journey over a documents table, as one resumable job.
+
+    quality/Gopher filter → exact dedup → MinHash-LSH candidates →
+    exact-Jaccard confirm → connected-component clustering →
+    keep-one-per-cluster → benchmark decontamination → hash split
+
+Every stage exists (and is individually oracled) in ``mre.textops``; this
+module wires them into the single pipeline a 100 TB curation run actually
+executes, with the same stage-lineage/resume story ``run_extract`` has.
+
+Scale design (10^12 docs):
+* Stage checkpoints are NARROW — each stage materializes only the
+  surviving ``doc_id`` set (8 bytes/row), never a corpus copy; the text
+  is re-read from the source with a semi-join per stage, which parquet/
+  Iceberg column pruning keeps cheap. Five id-lists beat five corpus
+  rewrites by ~3 orders of magnitude of sink I/O.
+* Each stage is linear or candidate-shaped: Gopher rules are pure column
+  expressions; exact dedup is one digest shuffle; near-dup is the
+  LSH-proposes / exact-Jaccard-confirms path (O(candidates), never a
+  corpus self-join — ``max_bucket`` guards viral buckets); clustering
+  shuffles (doc_id, label) digests only; decontamination broadcasts the
+  eval shingles so the corpus never shuffles; the split is a stateless
+  hash projection.
+* Resume: a stage is skipped iff its lineage row (run_id, stage) exists
+  AND its output is readable — write-then-commit order, so a crash
+  mid-stage re-runs exactly that stage (overwrite sinks are idempotent).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+from pyspark import StorageLevel
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .io import read_table, write_append
+from .textops import (benchmark_contamination, dup_clusters, fingerprint,
+                      gopher_quality, hash_split, jaccard_on_candidates,
+                      minhash_near_dups)
+
+CURATE_STAGES = ("quality", "exact_dedup", "near_dup", "decontaminate",
+                 "split")
+
+
+# --------------------------------------------------------------------------
+# per-stage id computations (each returns a narrow doc_id frame)
+
+
+def quality_keep_ids(docs: DataFrame) -> DataFrame:
+    """Stage 1 — docs passing all Gopher quality rules. Linear, pure
+    column expressions (mre.textops.gopher_quality), no shuffle."""
+    return gopher_quality(docs).filter(F.col("keep") == 1).select("doc_id")
+
+
+def exact_keeper_ids(docs: DataFrame) -> DataFrame:
+    """Stage 2 — exact-dedup keepers: min doc_id per content fingerprint.
+    One digest-keyed shuffle with map-side partial aggregation."""
+    return (fingerprint(docs).groupBy("fingerprint")
+            .agg(F.min("doc_id").alias("doc_id"))
+            .select("doc_id"))
+
+
+def near_dup_loser_ids(docs: DataFrame, *, shingle_n: int = 3,
+                       minhash_threshold: float = 0.2,
+                       jaccard_threshold: float = 0.5,
+                       max_bucket: int | None = None) -> DataFrame:
+    """Stage 3 — near-dup docs to DROP: MinHash-LSH proposes candidate
+    pairs, exact n-gram Jaccard confirms each (O(|candidates|), see
+    jaccard_on_candidates), connected components group confirmed pairs,
+    and every doc that is not its cluster's min doc_id is a loser.
+
+    Pairwise purity (load-bearing for the driver oracle): MinHash
+    signatures, band hashes, and est_jaccard are all per-doc/per-pair
+    functions, so with ``max_bucket=None`` the candidate pairs over a
+    FILTERED corpus equal the full-corpus candidate pairs restricted to
+    surviving endpoints — which is how the composition oracle replays
+    this stage from the full-corpus golden."""
+    cands = minhash_near_dups(docs, n=shingle_n,
+                              threshold=minhash_threshold,
+                              max_bucket=max_bucket).select("doc_a", "doc_b")
+    pairs = (jaccard_on_candidates(cands, docs, n=shingle_n)
+             .filter(F.col("jaccard") >= jaccard_threshold)
+             .select("doc_a", "doc_b"))
+    clusters = dup_clusters(pairs)
+    return (clusters.filter(F.col("doc_id") != F.col("cluster_id"))
+            .select("doc_id"))
+
+
+def contaminated_ids(docs: DataFrame, evals: DataFrame, *, n: int = 5,
+                     min_shared: int = 1) -> DataFrame:
+    """Stage 4 — docs sharing ≥ min_shared word n-grams with any eval
+    benchmark text. Eval shingles are broadcast; the corpus never
+    shuffles (mre.textops.benchmark_contamination)."""
+    return (benchmark_contamination(docs, evals, n=n)
+            .filter(F.col("n_shared") >= min_shared)
+            .select("doc_id").distinct())
+
+
+# --------------------------------------------------------------------------
+# the composed pipeline as one DataFrame (driver-checkable, no sink)
+
+
+def curate_df(docs: DataFrame, evals: Optional[DataFrame] = None, *,
+              shingle_n: int = 3, minhash_threshold: float = 0.2,
+              jaccard_threshold: float = 0.5, contamination_n: int = 5,
+              contamination_min_shared: int = 1,
+              train_frac: float = 0.9,
+              max_bucket: int | None = None) -> DataFrame:
+    """The full curation chain as a single DataFrame: surviving docs with
+    their train/test ``split`` assignment (text column dropped).
+
+    ``evals`` is a small (eval_id, text) frame; None skips
+    decontamination. The post-dedup survivor frame feeds three downstream
+    scans (near-dup, decontamination, split) — persisted so the quality +
+    dedup semi-joins run once; ``run_curate`` materializes stage id-lists
+    to parquet instead, which is the 10^12-doc shape."""
+    kept = docs.join(quality_keep_ids(docs), "doc_id", "left_semi")
+    kept = (kept.join(exact_keeper_ids(kept), "doc_id", "left_semi")
+            .persist(StorageLevel.MEMORY_AND_DISK))
+    losers = near_dup_loser_ids(kept, shingle_n=shingle_n,
+                                minhash_threshold=minhash_threshold,
+                                jaccard_threshold=jaccard_threshold,
+                                max_bucket=max_bucket)
+    kept = kept.join(losers, "doc_id", "left_anti")
+    if evals is not None:
+        kept = kept.join(
+            contaminated_ids(kept, evals, n=contamination_n,
+                             min_shared=contamination_min_shared),
+            "doc_id", "left_anti")
+    return hash_split(kept, "text", train_frac).drop("text")
+
+
+# --------------------------------------------------------------------------
+# the resumable job (stage lineage, same story as run_extract)
+
+
+def completed_stages(spark: SparkSession, lineage_dst: str,
+                     run_id: str) -> set:
+    """Stages already committed for this run_id (≤5 names — the collect
+    is a constant, never corpus-shaped)."""
+    import os
+    if "://" not in lineage_dst and not lineage_dst.startswith("iceberg:"):
+        if not os.path.exists(lineage_dst):
+            return set()
+    try:
+        lin = read_table(spark, lineage_dst)
+    except Exception:
+        return set()
+    return {r["stage"] for r in
+            (lin.filter(F.col("run_id") == run_id)
+             .select("stage").distinct().collect())}
+
+
+def run_curate(spark: SparkSession, src: str, dst: str, lineage_dst: str,
+               run_id: str, evals_src: Optional[str] = None, *,
+               shingle_n: int = 3, minhash_threshold: float = 0.2,
+               jaccard_threshold: float = 0.5, contamination_n: int = 5,
+               contamination_min_shared: int = 1, train_frac: float = 0.9,
+               max_bucket: int | None = None, resume: bool = True) -> None:
+    """Run the curation pipeline end-to-end with stage checkpoints.
+
+    ``src`` is a documents table (doc_id, text, …); ``evals_src`` an
+    optional (eval_id, text) table. Stage id-lists land under
+    ``{dst}/{stage}``, the final per-doc split table under
+    ``{dst}/split``; one lineage row per completed stage is appended to
+    ``lineage_dst`` (run_id, stage, n_in, n_out, wall_ms, completed_at).
+    Re-running with the same run_id skips committed stages; a crash
+    mid-stage re-runs only that stage (write-then-commit, overwrite
+    sinks)."""
+    docs = read_table(spark, src)
+    evals = read_table(spark, evals_src) if evals_src else None
+    done = completed_stages(spark, lineage_dst, run_id) if resume \
+        else set()
+
+    def _stage(name: str, build, n_in_df: DataFrame) -> DataFrame:
+        """Skip-or-run one stage; returns its (re)readable output."""
+        path = f"{dst}/{name}"
+        if name in done:
+            try:
+                return read_table(spark, path)
+            except Exception:
+                pass  # committed but output missing → recompute
+        t0 = time.monotonic()
+        n_in = n_in_df.count()
+        build().write.mode("overwrite").parquet(path)
+        out = read_table(spark, path)
+        n_out = out.count()
+        wall_ms = int((time.monotonic() - t0) * 1000)
+        row = spark.createDataFrame(
+            [(run_id, name, n_in, n_out, wall_ms)],
+            "run_id string, stage string, n_in long, n_out long, "
+            "wall_ms long")
+        write_append(row.withColumn("completed_at", F.current_timestamp()),
+                     lineage_dst)
+        return out
+
+    s1 = _stage("quality", lambda: quality_keep_ids(docs), docs)
+    d2 = docs.join(s1, "doc_id", "left_semi")
+    s2 = _stage("exact_dedup", lambda: exact_keeper_ids(d2), s1)
+    d3 = docs.join(s2, "doc_id", "left_semi")
+    s3 = _stage(
+        "near_dup",
+        lambda: s2.join(
+            near_dup_loser_ids(d3, shingle_n=shingle_n,
+                               minhash_threshold=minhash_threshold,
+                               jaccard_threshold=jaccard_threshold,
+                               max_bucket=max_bucket),
+            "doc_id", "left_anti"),
+        s2)
+    d4 = docs.join(s3, "doc_id", "left_semi")
+    if evals is not None:
+        s4 = _stage(
+            "decontaminate",
+            lambda: s3.join(
+                contaminated_ids(d4, evals, n=contamination_n,
+                                 min_shared=contamination_min_shared),
+                "doc_id", "left_anti"),
+            s3)
+    else:
+        s4 = _stage("decontaminate", lambda: s3, s3)
+    d5 = docs.join(s4, "doc_id", "left_semi")
+    _stage("split",
+           lambda: hash_split(d5, "text", train_frac).drop("text"),
+           s4)
+
+
+def read_curated(spark: SparkSession, dst: str) -> DataFrame:
+    """The final curated table (surviving docs + split assignment)."""
+    return read_table(spark, f"{dst}/split")
+
+
+__all__ = ["curate_df", "run_curate", "read_curated", "completed_stages",
+           "quality_keep_ids", "exact_keeper_ids", "near_dup_loser_ids",
+           "contaminated_ids", "CURATE_STAGES"]

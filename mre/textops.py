@@ -277,12 +277,21 @@ def doc_shingle_sets(docs: DataFrame, n: int = 3) -> DataFrame:
     String shingles (not hashes) so an exact SQL oracle can replicate the
     set algebra verbatim."""
     joined = " || ' ' || ".join(f"toks[i + {j}]" for j in range(n))
+    # the transform is guarded by IF so the expression is TOTAL: Catalyst
+    # may evaluate it on rows the size filter excludes (inferred
+    # generate-filters get pushed below joins, and whole-stage codegen's
+    # subexpression elimination evaluates common subexprs before the
+    # AND short-circuits) — unguarded, size(toks) < n makes
+    # sequence(0, negative) run DESCENDING and toks[i+j] throws under
+    # ANSI mode. Conditional branches are exempt from eager subexpr
+    # evaluation, so IF is the structural fix, not a band-aid.
     return (docs
             .withColumn("toks", tokens_col())
             .filter(F.size("toks") >= n)
             .select("doc_id", F.expr(
+                f"if(size(toks) >= {n}, "
                 f"array_distinct(transform(sequence(0, size(toks) - {n}),"
-                f" i -> {joined}))").alias("sh_set")))
+                f" i -> {joined})), array())").alias("sh_set")))
 
 
 def jaccard_on_candidates(pairs: DataFrame, docs: DataFrame,
@@ -340,10 +349,15 @@ def minhash_signatures(docs: DataFrame, k: int = 32,
     return (docs
             .withColumn("toks", tokens_col())
             .filter(F.size("toks") >= n)
+            # IF-guarded like doc_shingle_sets: the transform must be
+            # total — Catalyst can evaluate it on filtered-out rows (see
+            # doc_shingle_sets), where sequence(0, negative) + toks[i+j]
+            # would throw under ANSI mode
             .withColumn("sh", F.expr(
+                f"if(size(toks) >= {n}, "
                 f"transform(array_distinct(transform("
                 f"sequence(0, size(toks) - {n}), i -> {joined})),"
-                f" s -> pmod(xxhash64(s), {MERSENNE31}L))"))
+                f" s -> pmod(xxhash64(s), {MERSENNE31}L)), array())"))
             .select("doc_id", F.expr(f"array({mins})").alias("sig")))
 
 
