@@ -47,6 +47,13 @@ BENCH_QUERIES = [
     # round-3 additions: candidate-restricted exact verify + pairs→groups
     "lsh_jaccard_verify",
     "dup_clusters",
+    # round-4 completeness (VERDICT r3 #6): every dedup-family op tracked
+    "winnow_dup_pairs",
+    "cosine_dup_pairs",
+    "split_leakage",
+    "contamination",
+    # the composed end-to-end curation job
+    "curation_pipeline",
 ]
 
 

@@ -33,6 +33,16 @@ def get_spark(app: str = "mre", master: str | None = None,
     builder = (
         builder
         .config("spark.sql.session.timeZone", "UTC")
+        # InferFiltersFromGenerate infers size(child)>0/isnotnull(child)
+        # filters under every explode; predicate pushdown then INLINES the
+        # whole generator expression (shingle transforms and all) into an
+        # interpreted Filter evaluated per row — measured 16x slowdown on
+        # the n-gram ops (26s → 1.6s for contamination at sf0.1). Our
+        # generate inputs always carry explicit size filters, so the
+        # inferred ones only duplicate work.
+        .config("spark.sql.optimizer.excludedRules",
+                "org.apache.spark.sql.catalyst.optimizer."
+                "InferFiltersFromGenerate")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")

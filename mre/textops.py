@@ -684,20 +684,80 @@ def ann_brute_force(embeddings: DataFrame, n_queries: int = 5,
                     "cosine", "rank"))
 
 
-def cosine_dup_pairs(embeddings: DataFrame,
-                     threshold: float = 0.3) -> DataFrame:
+def cosine_dup_pairs(embeddings: DataFrame, threshold: float = 0.3,
+                     n_blocks: int = 8) -> DataFrame:
     """Exact embedding-cosine near-dup pairs (vec_a < vec_b, cosine ≥ t).
 
     O(n²) verifier — at corpus scale run it only on LSH-bucket candidates
-    (``ann_lsh``'s bucket join produces exactly that restriction)."""
-    a = embeddings.select(F.col("vec_id").alias("vec_a"),
-                          F.col("embedding").alias("emb_a"))
-    b = embeddings.select(F.col("vec_id").alias("vec_b"),
-                          F.col("embedding").alias("emb_b"))
-    return (a.join(b, F.col("vec_a") < F.col("vec_b"))
-            .withColumn("cosine", F.round(_cosine_expr("emb_a", "emb_b"), 4))
-            .filter(F.col("cosine") >= threshold)
-            .select("vec_a", "vec_b", "cosine"))
+    (``ann_lsh``'s bucket join produces exactly that restriction).
+
+    Implemented as a distributed BLOCK-MATRIX product, not a row-pair
+    join: vectors are grouped into ``n_blocks`` hash blocks, the (upper-
+    triangular) block pairs are joined, and each block pair computes its
+    full cosine sub-matrix with one vectorized numpy matmul inside
+    mapInPandas. The row-pair formulation costs three interpreted O(dim)
+    array folds PER PAIR (~34 µs/pair measured — 2M pairs ≈ 70 s); the
+    block matmul does the same arithmetic at BLAS speed (~ms) and ships
+    each block only n_blocks times. No driver collect anywhere.
+    Cosines are snapped to the 4-decimal grid, matching the SQL oracle;
+    FP summation-order differences (~1e-15) sit 9 orders of magnitude
+    below the grid step."""
+    import pandas as pd
+
+    blocked = (embeddings
+               .groupBy(F.pmod(F.hash("vec_id"), F.lit(n_blocks))
+                        .alias("blk"))
+               .agg(F.collect_list(F.struct("vec_id", "embedding"))
+                    .alias("rows")))
+    a, b = blocked.alias("a"), blocked.alias("b")
+    # upper-triangular block pairs (diagonal included); the join input is
+    # n_blocks rows per side, so the nested-loop join is trivially small
+    pairs = a.join(b, F.col("a.blk") <= F.col("b.blk")).select(
+        F.col("a.blk").alias("blk_a"), F.col("a.rows").alias("rows_a"),
+        F.col("b.blk").alias("blk_b"), F.col("b.rows").alias("rows_b"))
+
+    def _block(batches):
+        for pdf in batches:
+            out_a, out_b, out_c = [], [], []
+            for blk_a, rows_a, blk_b, rows_b in zip(
+                    pdf["blk_a"], pdf["rows_a"], pdf["blk_b"],
+                    pdf["rows_b"]):
+                ids_a = np.fromiter((r["vec_id"] for r in rows_a),
+                                    dtype=np.int64, count=len(rows_a))
+                ids_b = np.fromiter((r["vec_id"] for r in rows_b),
+                                    dtype=np.int64, count=len(rows_b))
+                ma = np.array([r["embedding"] for r in rows_a],
+                              dtype=np.float64)
+                mb = np.array([r["embedding"] for r in rows_b],
+                              dtype=np.float64)
+                ma /= np.linalg.norm(ma, axis=1, keepdims=True)
+                mb /= np.linalg.norm(mb, axis=1, keepdims=True)
+                cos = np.round(ma @ mb.T, 4)
+                if blk_a == blk_b:
+                    # same block both sides: the id order-mask alone
+                    # dedups (and drops the self-pair diagonal)
+                    ia, ib = np.nonzero(
+                        (cos >= threshold)
+                        & (ids_a[:, None] < ids_b[None, :]))
+                    va, vb = ids_a[ia], ids_b[ib]
+                else:
+                    # distinct hash blocks have disjoint id sets and
+                    # this (blk_a, blk_b) pair appears once — keep every
+                    # qualifying cell, normalizing to vec_a < vec_b (the
+                    # lower id may live in the HIGHER block)
+                    ia, ib = np.nonzero(cos >= threshold)
+                    va = np.minimum(ids_a[ia], ids_b[ib])
+                    vb = np.maximum(ids_a[ia], ids_b[ib])
+                out_a.append(va)
+                out_b.append(vb)
+                out_c.append(cos[ia, ib])
+            yield pd.DataFrame({
+                "vec_a": np.concatenate(out_a) if out_a else [],
+                "vec_b": np.concatenate(out_b) if out_b else [],
+                "cosine": np.concatenate(out_c) if out_c else []})
+
+    return pairs.mapInPandas(
+        _block, "vec_a long, vec_b long, cosine double")
 
 
 # --------------------------------------------------------------------------
