@@ -467,9 +467,20 @@ def q_ann_lsh(spark, sf_dir):
 
 
 def q_gopher_quality(spark, sf_dir):
-    from mre.textops import gopher_quality
+    """Gopher rule filter + (r4) the repetition family: top word-bigram
+    occupancy in basis points with its ~0.18 Gopher cut. ``keep`` stays
+    the 5-rule composite (the curation pipeline's stage-1 contract);
+    ``keep_strict`` additionally requires the repetition rule."""
+    from mre.textops import gopher_quality, gopher_repetition
     _prep(spark)
-    return gopher_quality(_t(spark, sf_dir, "documents"))
+    docs = _t(spark, sf_dir, "documents")
+    g = gopher_quality(docs)
+    r = gopher_repetition(docs)
+    return (g.join(r, "doc_id")
+            .withColumn("keep_strict",
+                        (F.col("keep") == 1)
+                        & (F.col("pass_repetition") == 1))
+            .withColumn("keep_strict", F.col("keep_strict").cast("int")))
 
 
 def q_cosine_dup_pairs(spark, sf_dir):
@@ -1524,7 +1535,23 @@ def oracle_sql() -> dict[str, str]:
             WHERE rank <= 10
         """,
         "gopher_quality": r"""
-            WITH t AS (
+            WITH rg AS (
+                SELECT doc_id,
+                       regexp_split_to_array(lower(trim(text)), '\s+') AS t
+                FROM documents),
+            gr AS (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, len(t)),
+                           i -> t[i] || ' ' || t[i + 1])) AS gram
+                FROM rg WHERE len(t) >= 2),
+            pg AS (
+                SELECT doc_id, gram, count(*) AS c
+                FROM gr GROUP BY 1, 2),
+            rep AS (
+                SELECT doc_id, CAST(max(c) AS BIGINT) AS top_c,
+                       CAST(sum(c) AS BIGINT) AS total_c
+                FROM pg GROUP BY doc_id),
+            t AS (
                 SELECT doc_id, text,
                        regexp_split_to_array(lower(trim(text)), '\s+')
                            AS toks,
@@ -1543,7 +1570,7 @@ def oracle_sql() -> dict[str, str]:
                        len(regexp_extract_all(text,
                            '[#…•=+*^~|<>{}\\\\]')) AS n_sym
                 FROM t)
-            SELECT doc_id, n_words,
+            SELECT m.doc_id, n_words,
                    round(n_ns / n1, 4) AS mean_word_len,
                    (n_words >= 50 AND n_words <= 100000)::INT
                        AS pass_word_count,
@@ -1556,8 +1583,20 @@ def oracle_sql() -> dict[str, str]:
                     AND (n_ns / n1 >= 3.0 AND n_ns / n1 <= 10.0)
                     AND (n_sym / n1 <= 0.1)
                     AND (n_alpha / n1 >= 0.8)
-                    AND (n_stop >= 2))::INT AS keep
-            FROM m
+                    AND (n_stop >= 2))::INT AS keep,
+                   coalesce(rep.total_c, 0) AS n_ngrams,
+                   coalesce(rep.top_c * 10000 // rep.total_c, 0)
+                       AS top_ngram_bp,
+                   (coalesce(rep.top_c * 10000 // rep.total_c, 0)
+                    <= 1800)::INT AS pass_repetition,
+                   (((n_words >= 50 AND n_words <= 100000)
+                     AND (n_ns / n1 >= 3.0 AND n_ns / n1 <= 10.0)
+                     AND (n_sym / n1 <= 0.1)
+                     AND (n_alpha / n1 >= 0.8)
+                     AND (n_stop >= 2))
+                    AND coalesce(rep.top_c * 10000 // rep.total_c, 0)
+                        <= 1800)::INT AS keep_strict
+            FROM m LEFT JOIN rep ON rep.doc_id = m.doc_id
         """,
         "cosine_dup_pairs": """
             SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

@@ -801,6 +801,41 @@ def gopher_quality(docs: DataFrame) -> DataFrame:
     )
 
 
+def gopher_repetition(docs: DataFrame, n: int = 2,
+                      top_frac_bp_cut: int = 1800) -> DataFrame:
+    """Gopher/Dolma repetition rules: the fraction of all word n-gram
+    OCCURRENCES (non-distinct) taken by the single most frequent n-gram
+    — boilerplate-loop and keyword-stuffed pages score high. Kept on the
+    integer basis-point grid (SURVEY §7.1 rule 5). ``pass_repetition``
+    uses the Gopher-family ~0.18 top-bigram cut.
+
+    Scale shape: explode (non-distinct n-grams) → per-(doc, gram) count
+    with map-side partial aggregation → per-doc max/sum. Both shuffles
+    are keyed by doc_id(+gram hash) and carry counts, not text — linear
+    in corpus size. Docs with < n tokens get top_ngram_bp = 0 (pass)."""
+    joined = " || ' ' || ".join(f"toks[i + {j}]" for j in range(n))
+    grams = (docs
+             .withColumn("toks", tokens_col())
+             .filter(F.size("toks") >= n)
+             # IF-guarded totality, same rule as doc_shingle_sets
+             .select("doc_id", F.explode(F.expr(
+                 f"if(size(toks) >= {n}, "
+                 f"transform(sequence(0, size(toks) - {n}),"
+                 f" i -> {joined}), array())")).alias("gram")))
+    per_gram = (grams.groupBy("doc_id", F.xxhash64("gram").alias("g"))
+                .agg(F.count("*").alias("c")))
+    per_doc = (per_gram.groupBy("doc_id")
+               .agg(F.max("c").alias("top_c"),
+                    F.sum("c").alias("total_c")))
+    out = docs.select("doc_id").join(per_doc, "doc_id", "left")
+    top_bp = F.expr("coalesce(top_c * 10000 div total_c, 0)")
+    return out.select(
+        "doc_id",
+        F.coalesce("total_c", F.lit(0)).alias("n_ngrams"),
+        top_bp.alias("top_ngram_bp"),
+        (top_bp <= top_frac_bp_cut).cast("int").alias("pass_repetition"))
+
+
 def _xorshift_rows(n_rows: int, dim: int, state: int) -> list[list[float]]:
     """Deterministic pseudo-random vectors in [-1, 1]^dim (xorshift64
     stream; no RNG object, so every engine/run regenerates identically)."""
@@ -1014,6 +1049,7 @@ __all__ = [
     "shingles", "jaccard_pairs", "minhash_signatures", "minhash_candidates",
     "minhash_near_dups", "simhash", "simhash_near_dups", "ann_brute_force",
     "ann_lsh", "ivf_ann", "cosine_dup_pairs", "gopher_quality",
+    "gopher_repetition",
     "winnow_fingerprints",
     "winnow_dup_pairs", "LANG_MARKERS",
     "MERSENNE31",

@@ -249,6 +249,26 @@ def test_dup_clusters_long_path_pointer_jumping(spark):
     assert got == {i: 0 for i in range(64)}
 
 
+def test_gopher_repetition_flags_stuffed_docs(spark):
+    """Top-bigram occupancy: a keyword-stuffed page fails the ~0.18 cut,
+    varied prose passes, and short docs (< n tokens) pass with 0 bp."""
+    from mre.textops import gopher_repetition
+
+    stuffed = "buy cheap pills " * 30          # one bigram dominates
+    varied = ("the quick brown fox jumps over a lazy dog while many "
+              "other animals watch from the tall green grass nearby")
+    docs = spark.createDataFrame(
+        [(1, stuffed), (2, varied), (3, "one")], ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in gopher_repetition(docs).collect()}
+    assert got[1]["pass_repetition"] == 0
+    assert got[1]["top_ngram_bp"] > 1800
+    assert got[2]["pass_repetition"] == 1
+    assert got[3]["pass_repetition"] == 1 and got[3]["top_ngram_bp"] == 0
+    # "buy cheap pills buy cheap pills ..." → bigrams cycle through 3
+    # forms; each ≈ 1/3 of occurrences
+    assert 3200 <= got[1]["top_ngram_bp"] <= 3400
+
+
 def test_split_leakage_flags_only_crossers(spark):
     from mre.textops import split_leakage
 
