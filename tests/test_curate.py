@@ -123,6 +123,42 @@ def test_run_curate_resume_is_idempotent(spark, docs, evals, tmp_path):
     assert final3["split"].tolist() == final1["split"].tolist()
 
 
+def test_run_curate_crash_mid_stage_recovers(spark, docs, evals, tmp_path):
+    """Write-then-commit, both failure halves: (a) stage output written
+    but lineage row missing (crash between write and commit) → the stage
+    recomputes and commits, output unchanged; (b) lineage row present
+    but output deleted (sink lost) → resume re-runs the stage instead of
+    failing on the missing table."""
+    import shutil
+
+    src = str(tmp_path / "docs")
+    ev = str(tmp_path / "evals")
+    dst = str(tmp_path / "curated")
+    lin = str(tmp_path / "lineage")
+    docs.write.parquet(src)
+    evals.write.parquet(ev)
+    run_curate(spark, src, dst, lin, run_id="c1", evals_src=ev)
+    final1 = read_curated(spark, dst).orderBy("doc_id").toPandas()
+
+    # (a) crash between write and commit of stage 'near_dup': its output
+    # exists (from the completed run) but its lineage row is gone
+    keep = spark.read.parquet(lin).filter(F.col("stage") != "near_dup")
+    lin2 = str(tmp_path / "lineage_a")
+    keep.write.parquet(lin2)
+    run_curate(spark, src, dst, lin2, run_id="c1", evals_src=ev)
+    pdf = spark.read.parquet(lin2).toPandas()
+    assert sorted(pdf["stage"]) == sorted(CURATE_STAGES)
+    final2 = read_curated(spark, dst).orderBy("doc_id").toPandas()
+    assert final2["doc_id"].tolist() == final1["doc_id"].tolist()
+
+    # (b) lineage says 'split' is done but its output is gone
+    shutil.rmtree(f"{dst}/split")
+    run_curate(spark, src, dst, lin2, run_id="c1", evals_src=ev)
+    final3 = read_curated(spark, dst).orderBy("doc_id").toPandas()
+    assert final3["doc_id"].tolist() == final1["doc_id"].tolist()
+    assert final3["split"].tolist() == final1["split"].tolist()
+
+
 def test_run_curate_fresh_run_id_recomputes(spark, docs, evals, tmp_path):
     src = str(tmp_path / "docs")
     ev = str(tmp_path / "evals")
