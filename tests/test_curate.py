@@ -79,6 +79,31 @@ def test_curate_df_no_evals_skips_decontamination(docs):
     assert ids == set(range(20)) | {100, 110, 130}
 
 
+def test_curate_output_is_leakage_free(spark, docs, evals):
+    """The guarantee the pipeline exists to provide: after keep-one-per-
+    cluster, NO confirmed near-dup pair (exact jaccard ≥ threshold) has
+    both members surviving — so none can cross the train/test split
+    (split_leakage over survivors is empty by construction)."""
+    from mre.textops import (jaccard_on_candidates, minhash_near_dups,
+                             split_leakage)
+
+    out = curate_df(docs, evals)
+    survivors = out.select("doc_id")
+    cands = minhash_near_dups(docs, threshold=0.2).select("doc_a", "doc_b")
+    confirmed = (jaccard_on_candidates(cands, docs)
+                 .filter(F.col("jaccard") >= 0.5)
+                 .select("doc_a", "doc_b"))
+    both_alive = (confirmed
+                  .join(survivors.withColumnRenamed("doc_id", "doc_a"),
+                        "doc_a", "left_semi")
+                  .join(survivors.withColumnRenamed("doc_id", "doc_b"),
+                        "doc_b", "left_semi"))
+    assert both_alive.count() == 0
+    leaks = split_leakage(both_alive,
+                          out.select("doc_id", "split"))
+    assert leaks.count() == 0
+
+
 def test_run_curate_resume_is_idempotent(spark, docs, evals, tmp_path):
     src = str(tmp_path / "docs")
     ev = str(tmp_path / "evals")
