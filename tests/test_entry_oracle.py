@@ -56,6 +56,16 @@ def test_oracle_keys_subset_of_queries():
     assert set(entrymod.oracle_sql()) <= set(entrymod.queries())
 
 
+def test_registry_is_exactly_fifty_entries():
+    """SURVEY §7.4 rule 19: the external driver value-checks the FIRST 50
+    registry entries — a 51st silently ships unverified (round 3 shipped
+    two that way). Grow coverage by MERGING same-shape entries into
+    tagged unions, never by exceeding 50."""
+    assert len(entrymod.queries()) == 50
+    # and every single entry has an exact oracle (no rows-only checks)
+    assert set(entrymod.oracle_sql()) == set(entrymod.queries())
+
+
 @pytest.mark.parametrize("name", ORACLE_KEYS)
 def test_query_matches_oracle(spark, name):
     q = entrymod.queries()[name]

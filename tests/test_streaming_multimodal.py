@@ -37,6 +37,41 @@ def test_streaming_extract_matches_batch(spark, fixture_dir, tmp_path):
         ~(F.col("headline").eqNullSafe(F.col("g")))).count() == 0
 
 
+def test_textops_are_streaming_compatible(spark, tmp_path):
+    """The stateless curation scorers (Gopher rules, repetition is NOT
+    stateless — excluded; lang-ID, quality, token stats) are pure column
+    expressions, so the SAME functions run unchanged on a streaming
+    DataFrame and emit identical rows to the batch run. This is the
+    streaming story for corpus curation: score-on-ingest with zero extra
+    code."""
+    from mre.textops import gopher_quality, lang_id, quality_score
+
+    rows = [(i, ("the quick brown fox jumps over the lazy dog and that "
+                 "was fine to have with all of the others here " * 3)
+             + f"tail {i}") for i in range(20)]
+    src = str(tmp_path / "docs_stream")
+    batch_df = spark.createDataFrame(rows, "doc_id long, text string")
+    batch_df.coalesce(1).write.parquet(src)
+
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .parquet(src))
+    assert stream.isStreaming
+    for fn in (gopher_quality, lang_id, quality_score):
+        out = fn(stream)  # must build without a streaming-unsupported op
+        dst = str(tmp_path / f"out_{fn.__name__}")
+        ckpt = str(tmp_path / f"ckpt_{fn.__name__}")
+        q = (out.writeStream.format("parquet")
+             .option("path", dst).option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        try:
+            q.awaitTermination(120)
+        finally:
+            q.stop()
+        got = spark.read.parquet(dst).orderBy("doc_id").toPandas()
+        exp = fn(batch_df).orderBy("doc_id").toPandas()
+        assert got.equals(exp), fn.__name__
+
+
 def _page(url, ts, headline):
     html = (f"<html><head><title>{headline}</title></head>"
             f"<body><h1>{headline}</h1>"
