@@ -57,6 +57,22 @@ BENCH_QUERIES = [
 ]
 
 
+# extra benched callables that are NOT driver queries: the corpus-scale
+# GUARDED variants of ops whose registered (exact-oracle) form is
+# intentionally verification-scale. winnow exact emits 10.5M pairs on the
+# template-heavy sf0.1 corpus (output-shaped cost); max_df drops viral
+# fingerprints before the self-join — the shape a 10^12-doc run uses.
+def _winnow_guarded(spark, sf_dir):
+    from mre.textops import winnow_dup_pairs
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return winnow_dup_pairs(docs, max_df=20)
+
+
+EXTRA_BENCH = {
+    "winnow_dup_pairs_guarded": _winnow_guarded,
+}
+
+
 def _session(cpus: int):
     from mre.io import get_spark
     return get_spark(app="mre-bench", master=f"local[{cpus}]",
@@ -76,12 +92,13 @@ def run_bench(spark, sf_dir: str) -> dict:
     # first timed query (round-1 lesson: exact_dedup reported 12s of which
     # 11.5s was first-touch).
     qs["extract_flagship"](spark, sf_dir).count()
-    for name in BENCH_QUERIES:
+    for name in BENCH_QUERIES + list(EXTRA_BENCH):
+        fn = qs[name] if name in qs else EXTRA_BENCH[name]
         best = float("inf")
         n = 0
         for _ in range(BENCH_RUNS):
             t0 = time.perf_counter()
-            df = qs[name](spark, sf_dir)
+            df = fn(spark, sf_dir)
             n = df.count()
             best = min(best, time.perf_counter() - t0)
         # best-of-N: shared-VM interference is one-sided (only ever slows
