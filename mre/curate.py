@@ -38,8 +38,8 @@ from pyspark.sql import functions as F
 
 from .io import read_table, write_append
 from .textops import (benchmark_contamination, dup_clusters, fingerprint,
-                      gopher_quality, hash_split, jaccard_on_candidates,
-                      minhash_near_dups)
+                      gopher_quality, gopher_repetition, hash_split,
+                      jaccard_on_candidates, minhash_near_dups)
 
 CURATE_STAGES = ("quality", "exact_dedup", "near_dup", "decontaminate",
                  "split")
@@ -49,10 +49,17 @@ CURATE_STAGES = ("quality", "exact_dedup", "near_dup", "decontaminate",
 # per-stage id computations (each returns a narrow doc_id frame)
 
 
-def quality_keep_ids(docs: DataFrame) -> DataFrame:
+def quality_keep_ids(docs: DataFrame, strict: bool = False) -> DataFrame:
     """Stage 1 — docs passing all Gopher quality rules. Linear, pure
-    column expressions (mre.textops.gopher_quality), no shuffle."""
-    return gopher_quality(docs).filter(F.col("keep") == 1).select("doc_id")
+    column expressions (mre.textops.gopher_quality), no shuffle.
+    ``strict`` additionally requires the repetition rule (top-bigram
+    occupancy ≤ the Gopher cut) — two extra count-carrying shuffles."""
+    keep = gopher_quality(docs).filter(F.col("keep") == 1).select("doc_id")
+    if strict:
+        rep = (gopher_repetition(docs)
+               .filter(F.col("pass_repetition") == 1).select("doc_id"))
+        keep = keep.join(rep, "doc_id", "left_semi")
+    return keep
 
 
 def exact_keeper_ids(docs: DataFrame) -> DataFrame:
@@ -107,7 +114,7 @@ def curate_df(docs: DataFrame, evals: Optional[DataFrame] = None, *,
               shingle_n: int = 3, minhash_threshold: float = 0.2,
               jaccard_threshold: float = 0.5, contamination_n: int = 5,
               contamination_min_shared: int = 1,
-              train_frac: float = 0.9,
+              train_frac: float = 0.9, strict_quality: bool = False,
               max_bucket: int | None = None) -> DataFrame:
     """The full curation chain as a single DataFrame: surviving docs with
     their train/test ``split`` assignment (text column dropped).
@@ -117,7 +124,8 @@ def curate_df(docs: DataFrame, evals: Optional[DataFrame] = None, *,
     scans (near-dup, decontamination, split) — persisted so the quality +
     dedup semi-joins run once; ``run_curate`` materializes stage id-lists
     to parquet instead, which is the 10^12-doc shape."""
-    kept = docs.join(quality_keep_ids(docs), "doc_id", "left_semi")
+    kept = docs.join(quality_keep_ids(docs, strict=strict_quality),
+                     "doc_id", "left_semi")
     kept = (kept.join(exact_keeper_ids(kept), "doc_id", "left_semi")
             .persist(StorageLevel.MEMORY_AND_DISK))
     losers = near_dup_loser_ids(kept, shingle_n=shingle_n,
@@ -159,6 +167,7 @@ def run_curate(spark: SparkSession, src: str, dst: str, lineage_dst: str,
                shingle_n: int = 3, minhash_threshold: float = 0.2,
                jaccard_threshold: float = 0.5, contamination_n: int = 5,
                contamination_min_shared: int = 1, train_frac: float = 0.9,
+               strict_quality: bool = False,
                max_bucket: int | None = None, resume: bool = True) -> None:
     """Run the curation pipeline end-to-end with stage checkpoints.
 
@@ -197,7 +206,9 @@ def run_curate(spark: SparkSession, src: str, dst: str, lineage_dst: str,
                      lineage_dst)
         return out
 
-    s1 = _stage("quality", lambda: quality_keep_ids(docs), docs)
+    s1 = _stage("quality",
+                lambda: quality_keep_ids(docs, strict=strict_quality),
+                docs)
     d2 = docs.join(s1, "doc_id", "left_semi")
     s2 = _stage("exact_dedup", lambda: exact_keeper_ids(d2), s1)
     d3 = docs.join(s2, "doc_id", "left_semi")

@@ -44,6 +44,9 @@ def main() -> None:
     ap.add_argument("--contamination-n", type=int, default=5)
     ap.add_argument("--min-shared", type=int, default=1)
     ap.add_argument("--train-frac", type=float, default=0.9)
+    ap.add_argument("--strict-quality", action="store_true",
+                    help="also require the Gopher repetition rule "
+                         "(top-bigram occupancy) in the quality stage")
     ap.add_argument("--max-bucket", type=int, default=None)
     ap.add_argument("--no-resume", action="store_true")
     args = ap.parse_args()
@@ -60,7 +63,9 @@ def main() -> None:
                    jaccard_threshold=args.jaccard_threshold,
                    contamination_n=args.contamination_n,
                    contamination_min_shared=args.min_shared,
-                   train_frac=args.train_frac, max_bucket=args.max_bucket,
+                   train_frac=args.train_frac,
+                   strict_quality=args.strict_quality,
+                   max_bucket=args.max_bucket,
                    resume=not args.no_resume)
     finally:
         spark.stop()

@@ -73,6 +73,22 @@ def test_curate_df_stage_semantics(docs, evals):
     assert "text" not in cols and "split" in cols
 
 
+def test_curate_df_strict_quality_applies_repetition(spark, docs, evals):
+    """strict_quality additionally drops docs failing the repetition
+    rule: a keyword-stuffed (but otherwise Gopher-passing) doc survives
+    the default pipeline and is removed by the strict one."""
+    stuffed = ("the spam and offer " * 30
+               + "of a deal to have with that be real here now")
+    docs2 = docs.unionByName(spark.createDataFrame(
+        [(200, stuffed, "en", "srcC", 0)], docs.schema))
+    loose = {r["doc_id"] for r in curate_df(docs2, evals).collect()}
+    strict = {r["doc_id"] for r in
+              curate_df(docs2, evals, strict_quality=True).collect()}
+    assert 200 in loose
+    assert 200 not in strict
+    assert strict <= loose
+
+
 def test_curate_df_no_evals_skips_decontamination(docs):
     ids = {r["doc_id"] for r in curate_df(docs, None).collect()}
     assert 130 in ids  # nothing to decontaminate against
