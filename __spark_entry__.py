@@ -490,9 +490,20 @@ def q_cosine_dup_pairs(spark, sf_dir):
 
 
 def q_winnow_dups(spark, sf_dir):
+    """Winnowing passage near-dup pairs, BOTH execution shapes as one
+    tagged union (VERDICT r4 #3 — the corpus-scale guarded path is now
+    driver-oracled, not just pytest-covered): variant='exact' runs with
+    guards off (full inverted-index join; oracle = the from-scratch
+    XXH64 replay golden); variant='guarded' applies max_df=20 (viral
+    fingerprints leave the index before pairing — the 10^12-doc shape;
+    its golden replays the same cutoff in pure Python)."""
     from mre.textops import winnow_dup_pairs
     _prep(spark)
-    return winnow_dup_pairs(_t(spark, sf_dir, "documents"))
+    docs = _t(spark, sf_dir, "documents")
+    ex = winnow_dup_pairs(docs).withColumn("variant", F.lit("exact"))
+    gd = (winnow_dup_pairs(docs, max_df=20)
+          .withColumn("variant", F.lit("guarded")))
+    return ex.unionAll(gd).select("variant", "doc_a", "doc_b", "n_shared")
 
 
 def q_json_props(spark, sf_dir):
@@ -629,10 +640,59 @@ def q_hash_split(spark, sf_dir):
                  F.min("doc_id").alias("min_doc_id")))
 
 
+_PII_FOOTER = "@example.com from 10.0.0.99 call 555-123-4567"
+
+
 def q_sentence_dedup(spark, sf_dir):
-    from mre.textops import sentence_dedup_stats
+    """The passage-dedup / text-scrub family as one tagged union
+    (registry-window rule, SURVEY §7.4 #19). Shared schema
+    (op, doc_id, m1..m4, text_out); per-branch meaning:
+
+    * op='stats'     — sentence_dedup_stats: m1=n_sents, m2=n_dup_sents,
+      m3=dup_bp, m4=flag_dup, text_out=NULL.
+    * op='depassage' — remove_dup_passages (VERDICT r4 #2, the rewrite
+      half of passage dedup): m1=n_parts, m2=n_removed, m3=bytes_removed,
+      m4=length(rewritten), text_out=the rewritten text itself
+      (value-hashed → the rewrite is byte-checked cross-engine).
+    * op='pii'       — pii_scrub (VERDICT r4 #4) over the corpus with a
+      deterministic synthetic PII footer appended to every 7th doc (the
+      fixture corpus carries no organic PII; the footer makes both true
+      positives and redaction value-checked, while untouched docs prove
+      no false positives): m1=n_emails, m2=n_phones, m3=n_ips, m4=n_pii,
+      text_out=the redacted text."""
+    from mre.textops import (pii_scrub, remove_dup_passages,
+                             sentence_dedup_stats)
     _prep(spark)
-    return sentence_dedup_stats(_t(spark, sf_dir, "documents"))
+    docs = _t(spark, sf_dir, "documents")
+    stats = sentence_dedup_stats(docs).select(
+        F.lit("stats").alias("op"), "doc_id",
+        F.col("n_sents").cast("long").alias("m1"),
+        F.col("n_dup_sents").cast("long").alias("m2"),
+        F.col("dup_bp").cast("long").alias("m3"),
+        F.col("flag_dup").cast("long").alias("m4"),
+        F.lit(None).cast("string").alias("text_out"))
+    dep = remove_dup_passages(docs).select(
+        F.lit("depassage").alias("op"), "doc_id",
+        F.col("n_parts").cast("long").alias("m1"),
+        F.col("n_removed").cast("long").alias("m2"),
+        F.col("bytes_removed").cast("long").alias("m3"),
+        F.length("text").cast("long").alias("m4"),
+        F.col("text").alias("text_out"))
+    aug = docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") % 7 == 0,
+               F.concat(F.col("text"), F.lit(" contact user"),
+                        F.col("doc_id").cast("string"),
+                        F.lit(_PII_FOOTER)))
+        .otherwise(F.col("text")))
+    pii = pii_scrub(aug).select(
+        F.lit("pii").alias("op"), "doc_id",
+        F.col("n_emails").alias("m1"),
+        F.col("n_phones").alias("m2"),
+        F.col("n_ips").alias("m3"),
+        F.col("n_pii").alias("m4"),
+        F.col("text").alias("text_out"))
+    return stats.unionAll(dep).unionAll(pii)
 
 
 def q_profile_docs(spark, sf_dir):
@@ -810,6 +870,7 @@ def oracle_sql() -> dict[str, str]:
 
     _P2 = _cov_probe(_COV, "BIGINT", "BIGINT")
     _P3L = _cov_probe(_COV, "BIGINT", "BIGINT", "BIGINT")
+    _P4W = _cov_probe(_COV, "VARCHAR", "BIGINT", "BIGINT", "BIGINT")
     _P3D = _cov_probe(_COV, "BIGINT", "BIGINT", "DOUBLE")
     _P4S = _cov_probe(_COV, "BIGINT", "BIGINT", "VARCHAR", "VARCHAR")
     _PCUR = _cov_probe(_COV, "BIGINT", "VARCHAR", "VARCHAR")
@@ -1073,9 +1134,13 @@ def oracle_sql() -> dict[str, str]:
             WHERE a.split <> b.split{_P4S}
         """,
         "winnow_dup_pairs": f"""
-            SELECT doc_a, doc_b, n_shared
+            SELECT 'exact' AS variant, doc_a, doc_b, n_shared
             FROM read_parquet('{dedup["winnow_dup_pairs"]}')
-            WHERE corpus_key = {_CK}{_P3L}
+            WHERE corpus_key = {_CK}
+            UNION ALL
+            SELECT 'guarded' AS variant, doc_a, doc_b, n_shared
+            FROM read_parquet('{dedup["winnow_dup_pairs_guarded"]}')
+            WHERE corpus_key = {_CK}{_P4W}
         """,
         # composition oracle for the end-to-end curation pipeline: every
         # stage replayed in plain SQL; the MinHash candidate stage comes
@@ -1224,7 +1289,12 @@ def oracle_sql() -> dict[str, str]:
                    CAST(max({c}) AS VARCHAR) AS max_s
             FROM documents
             """ for c in ["doc_id", "text", "lang", "source", "n_chars"]),
-        "sentence_dedup": """
+        # the passage-dedup / text-scrub family tagged union: stats
+        # (sentence_dedup_stats) + depassage (remove_dup_passages — the
+        # rewritten text itself is in text_out, so the rewrite is
+        # byte-checked) + pii (pii_scrub over the synthetic-footer
+        # augmentation). Shared schema (op, doc_id, m1..m4, text_out).
+        "sentence_dedup": rf"""
             WITH s AS (
                 SELECT DISTINCT doc_id, md5(sentence) AS sent_key
                 FROM (SELECT doc_id,
@@ -1240,12 +1310,80 @@ def oracle_sql() -> dict[str, str]:
                        CAST(sum(CASE WHEN n_docs_with > 1
                                      THEN 1 ELSE 0 END) AS BIGINT)
                            AS n_dup_sents
-                FROM s JOIN f USING (sent_key) GROUP BY doc_id)
-            SELECT doc_id, n_sents, n_dup_sents,
-                   (n_dup_sents * 10000) // n_sents AS dup_bp,
-                   CAST((n_dup_sents * 10000) // n_sents >= 5000 AS INT)
-                       AS flag_dup
+                FROM s JOIN f USING (sent_key) GROUP BY doc_id),
+            parts AS (
+                SELECT doc_id, length(text) AS len0, pp.pos, pp.part,
+                       md5(pp.part) AS pk
+                FROM (SELECT doc_id, text,
+                             regexp_split_to_array(text, '\. ') AS arr
+                      FROM documents) d,
+                     LATERAL (SELECT
+                         unnest(generate_series(1, len(arr))) AS pos,
+                         unnest(arr) AS part) pp),
+            dup AS (
+                SELECT pk FROM parts WHERE length(part) >= 20
+                GROUP BY pk HAVING count(DISTINCT doc_id) > 1),
+            dep AS (
+                SELECT doc_id,
+                       count(*) AS m1,
+                       CAST(sum(CASE WHEN pk IN (SELECT pk FROM dup)
+                                     THEN 1 ELSE 0 END) AS BIGINT) AS m2,
+                       coalesce(string_agg(
+                           CASE WHEN pk NOT IN (SELECT pk FROM dup)
+                                THEN part END, '. ' ORDER BY pos), '')
+                           AS text_out,
+                       max(len0) AS len0
+                FROM parts GROUP BY doc_id),
+            aug AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 7 = 0
+                            THEN text || ' contact user'
+                                 || CAST(doc_id AS VARCHAR)
+                                 || '{_PII_FOOTER}'
+                            ELSE text END AS text
+                FROM documents)
+            SELECT 'stats' AS op, doc_id,
+                   CAST(n_sents AS BIGINT) AS m1,
+                   n_dup_sents AS m2,
+                   (n_dup_sents * 10000) // n_sents AS m3,
+                   CAST((n_dup_sents * 10000) // n_sents >= 5000
+                        AS BIGINT) AS m4,
+                   CAST(NULL AS VARCHAR) AS text_out
             FROM p
+            UNION ALL
+            SELECT 'depassage' AS op, doc_id,
+                   CAST(m1 AS BIGINT) AS m1, m2,
+                   CAST(len0 - length(text_out) AS BIGINT) AS m3,
+                   CAST(length(text_out) AS BIGINT) AS m4,
+                   text_out
+            FROM dep
+            UNION ALL
+            SELECT 'pii' AS op, doc_id,
+                   CAST(len(regexp_extract_all(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}'
+                       )) AS BIGINT) AS m1,
+                   CAST(len(regexp_extract_all(text,
+                       '\+?\d{{3}}[-. ]\d{{3}}[-. ]\d{{4}}\b'
+                       )) AS BIGINT) AS m2,
+                   CAST(len(regexp_extract_all(text,
+                       '\b\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}\b'
+                       )) AS BIGINT) AS m3,
+                   CAST(len(regexp_extract_all(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}'
+                       ))
+                     + len(regexp_extract_all(text,
+                       '\+?\d{{3}}[-. ]\d{{3}}[-. ]\d{{4}}\b'))
+                     + len(regexp_extract_all(text,
+                       '\b\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}\b'))
+                     AS BIGINT) AS m4,
+                   regexp_replace(regexp_replace(regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}',
+                       '<EMAIL>', 'g'),
+                       '\b\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}\b',
+                       '<IP>', 'g'),
+                       '\+?\d{{3}}[-. ]\d{{3}}[-. ]\d{{4}}\b',
+                       '<PHONE>', 'g') AS text_out
+            FROM aug
         """,
         "hash_sample": """
             SELECT doc_id, lang, n_chars FROM documents

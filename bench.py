@@ -68,8 +68,24 @@ def _winnow_guarded(spark, sf_dir):
     return winnow_dup_pairs(docs, max_df=20)
 
 
+def _remove_dup_passages(spark, sf_dir):
+    from mre.textops import remove_dup_passages
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return remove_dup_passages(docs)
+
+
+def _pii_scrub(spark, sf_dir):
+    from mre.textops import pii_scrub
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return pii_scrub(docs)
+
+
 EXTRA_BENCH = {
     "winnow_dup_pairs_guarded": _winnow_guarded,
+    # round-5 ops benched standalone (their driver row is the
+    # sentence_dedup tagged union, which times all three branches)
+    "remove_dup_passages": _remove_dup_passages,
+    "pii_scrub": _pii_scrub,
 }
 
 
@@ -108,6 +124,8 @@ def run_bench(spark, sf_dir: str) -> dict:
         # sigs, shingle sets, …) so earlier queries' cached blocks can't
         # perturb later timings; OS page cache (the warm-up) is untouched
         spark.catalog.clearCache()
+        from mre.textops import release_caches
+        release_caches()  # incl. checkpointed CC label frames (r5)
         if name == "extract_flagship":
             extra["extract_docs"] = n
             extra["extract_docs_per_sec"] = round(n / best, 1)

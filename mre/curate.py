@@ -39,7 +39,7 @@ from pyspark.sql import functions as F
 from .io import read_table, write_append
 from .textops import (benchmark_contamination, dup_clusters, fingerprint,
                       gopher_quality, gopher_repetition, hash_split,
-                      jaccard_on_candidates, minhash_near_dups)
+                      jaccard_on_candidates, minhash_near_dups, pii_scrub)
 
 CURATE_STAGES = ("quality", "exact_dedup", "near_dup", "decontaminate",
                  "split")
@@ -49,16 +49,24 @@ CURATE_STAGES = ("quality", "exact_dedup", "near_dup", "decontaminate",
 # per-stage id computations (each returns a narrow doc_id frame)
 
 
-def quality_keep_ids(docs: DataFrame, strict: bool = False) -> DataFrame:
+def quality_keep_ids(docs: DataFrame, strict: bool = False,
+                     pii_max: int | None = None) -> DataFrame:
     """Stage 1 — docs passing all Gopher quality rules. Linear, pure
     column expressions (mre.textops.gopher_quality), no shuffle.
     ``strict`` additionally requires the repetition rule (top-bigram
-    occupancy ≤ the Gopher cut) — two extra count-carrying shuffles."""
+    occupancy ≤ the Gopher cut) — two extra count-carrying shuffles.
+    ``pii_max`` (VERDICT r4 #4) additionally drops docs with more than
+    that many PII matches (emails + phones + IPv4 literals,
+    mre.textops.pii_scrub) — another pure projection, no shuffle."""
     keep = gopher_quality(docs).filter(F.col("keep") == 1).select("doc_id")
     if strict:
         rep = (gopher_repetition(docs)
                .filter(F.col("pass_repetition") == 1).select("doc_id"))
         keep = keep.join(rep, "doc_id", "left_semi")
+    if pii_max is not None:
+        ok = (pii_scrub(docs).filter(F.col("n_pii") <= pii_max)
+              .select("doc_id"))
+        keep = keep.join(ok, "doc_id", "left_semi")
     return keep
 
 
@@ -115,6 +123,7 @@ def curate_df(docs: DataFrame, evals: Optional[DataFrame] = None, *,
               jaccard_threshold: float = 0.5, contamination_n: int = 5,
               contamination_min_shared: int = 1,
               train_frac: float = 0.9, strict_quality: bool = False,
+              pii_max: int | None = None,
               max_bucket: int | None = None) -> DataFrame:
     """The full curation chain as a single DataFrame: surviving docs with
     their train/test ``split`` assignment (text column dropped).
@@ -123,11 +132,20 @@ def curate_df(docs: DataFrame, evals: Optional[DataFrame] = None, *,
     decontamination. The post-dedup survivor frame feeds three downstream
     scans (near-dup, decontamination, split) — persisted so the quality +
     dedup semi-joins run once; ``run_curate`` materializes stage id-lists
-    to parquet instead, which is the 10^12-doc shape."""
-    kept = docs.join(quality_keep_ids(docs, strict=strict_quality),
-                     "doc_id", "left_semi")
-    kept = (kept.join(exact_keeper_ids(kept), "doc_id", "left_semi")
-            .persist(StorageLevel.MEMORY_AND_DISK))
+    to parquet instead, which is the 10^12-doc shape.
+
+    Cache ownership (ADVICE r4): the persisted survivor frame (and the
+    intermediates the textops helpers persist) are registered in
+    ``mre.textops._LIVE_CACHES``; call ``mre.textops.release_caches()``
+    after materializing the result — unpersist is only a hint, so a
+    released plan stays correct and merely recomputes if re-run."""
+    from .textops import _register_cache
+    kept = docs.join(
+        quality_keep_ids(docs, strict=strict_quality, pii_max=pii_max),
+        "doc_id", "left_semi")
+    kept = _register_cache(
+        kept.join(exact_keeper_ids(kept), "doc_id", "left_semi")
+        .persist(StorageLevel.MEMORY_AND_DISK))
     losers = near_dup_loser_ids(kept, shingle_n=shingle_n,
                                 minhash_threshold=minhash_threshold,
                                 jaccard_threshold=jaccard_threshold,
@@ -145,10 +163,24 @@ def curate_df(docs: DataFrame, evals: Optional[DataFrame] = None, *,
 # the resumable job (stage lineage, same story as run_extract)
 
 
+def _params_hash(**params) -> str:
+    """Stable digest of the parameter set a run was launched with —
+    stored per lineage row so resume can detect a re-run of the same
+    run_id with DIFFERENT parameters (ADVICE r4: silently reusing stage
+    outputs computed under old parameters mislabels the final table)."""
+    import hashlib
+    canon = repr(sorted(params.items()))
+    return hashlib.md5(canon.encode("utf-8")).hexdigest()[:16]
+
+
 def completed_stages(spark: SparkSession, lineage_dst: str,
-                     run_id: str) -> set:
+                     run_id: str, params_hash: str | None = None) -> set:
     """Stages already committed for this run_id (≤5 names — the collect
-    is a constant, never corpus-shaped)."""
+    is a constant, never corpus-shaped). With ``params_hash`` given, a
+    stage only counts as done if a lineage row committed it under the
+    SAME parameter digest; rows from a pre-params_hash lineage table are
+    conservatively treated as parameter-mismatched (recompute — the
+    overwrite sinks make that correct, merely not free)."""
     import os
     if "://" not in lineage_dst and not lineage_dst.startswith("iceberg:"):
         if not os.path.exists(lineage_dst):
@@ -157,9 +189,12 @@ def completed_stages(spark: SparkSession, lineage_dst: str,
         lin = read_table(spark, lineage_dst)
     except Exception:
         return set()
-    return {r["stage"] for r in
-            (lin.filter(F.col("run_id") == run_id)
-             .select("stage").distinct().collect())}
+    lin = lin.filter(F.col("run_id") == run_id)
+    if params_hash is not None:
+        if "params_hash" not in lin.columns:
+            return set()
+        lin = lin.filter(F.col("params_hash") == params_hash)
+    return {r["stage"] for r in lin.select("stage").distinct().collect()}
 
 
 def run_curate(spark: SparkSession, src: str, dst: str, lineage_dst: str,
@@ -167,7 +202,7 @@ def run_curate(spark: SparkSession, src: str, dst: str, lineage_dst: str,
                shingle_n: int = 3, minhash_threshold: float = 0.2,
                jaccard_threshold: float = 0.5, contamination_n: int = 5,
                contamination_min_shared: int = 1, train_frac: float = 0.9,
-               strict_quality: bool = False,
+               strict_quality: bool = False, pii_max: int | None = None,
                max_bucket: int | None = None, resume: bool = True) -> None:
     """Run the curation pipeline end-to-end with stage checkpoints.
 
@@ -176,13 +211,37 @@ def run_curate(spark: SparkSession, src: str, dst: str, lineage_dst: str,
     ``{dst}/{stage}``, the final per-doc split table under
     ``{dst}/split``; one lineage row per completed stage is appended to
     ``lineage_dst`` (run_id, stage, n_in, n_out, wall_ms, completed_at).
-    Re-running with the same run_id skips committed stages; a crash
-    mid-stage re-runs only that stage (write-then-commit, overwrite
-    sinks)."""
+    Re-running with the same run_id AND the same parameters skips
+    committed stages (the lineage row records a parameter digest — a
+    changed parameter set recomputes rather than silently reusing
+    stale stage outputs); a crash mid-stage re-runs only that stage
+    (write-then-commit, overwrite sinks). A recomputed stage appends a
+    new lineage row with a bumped ``attempt`` counter, so duplicate
+    (run_id, stage) rows are ordered and rollups can pick the latest
+    (ADVICE r4)."""
+    from .textops import release_caches
     docs = read_table(spark, src)
     evals = read_table(spark, evals_src) if evals_src else None
-    done = completed_stages(spark, lineage_dst, run_id) if resume \
+    ph = _params_hash(
+        evals_src=evals_src, shingle_n=shingle_n,
+        minhash_threshold=minhash_threshold,
+        jaccard_threshold=jaccard_threshold,
+        contamination_n=contamination_n,
+        contamination_min_shared=contamination_min_shared,
+        train_frac=train_frac, strict_quality=strict_quality,
+        pii_max=pii_max, max_bucket=max_bucket)
+    done = completed_stages(spark, lineage_dst, run_id, ph) if resume \
         else set()
+
+    def _attempt(name: str) -> int:
+        """1 + number of lineage rows already present for (run_id,
+        stage) — tiny table, constant-shaped read."""
+        try:
+            lin = read_table(spark, lineage_dst)
+        except Exception:
+            return 1
+        return 1 + lin.filter((F.col("run_id") == run_id)
+                              & (F.col("stage") == name)).count()
 
     def _stage(name: str, build, n_in_df: DataFrame) -> DataFrame:
         """Skip-or-run one stage; returns its (re)readable output."""
@@ -199,15 +258,16 @@ def run_curate(spark: SparkSession, src: str, dst: str, lineage_dst: str,
         n_out = out.count()
         wall_ms = int((time.monotonic() - t0) * 1000)
         row = spark.createDataFrame(
-            [(run_id, name, n_in, n_out, wall_ms)],
+            [(run_id, name, n_in, n_out, wall_ms, ph, _attempt(name))],
             "run_id string, stage string, n_in long, n_out long, "
-            "wall_ms long")
+            "wall_ms long, params_hash string, attempt long")
         write_append(row.withColumn("completed_at", F.current_timestamp()),
                      lineage_dst)
         return out
 
     s1 = _stage("quality",
-                lambda: quality_keep_ids(docs, strict=strict_quality),
+                lambda: quality_keep_ids(docs, strict=strict_quality,
+                                         pii_max=pii_max),
                 docs)
     d2 = docs.join(s1, "doc_id", "left_semi")
     s2 = _stage("exact_dedup", lambda: exact_keeper_ids(d2), s1)
@@ -236,6 +296,9 @@ def run_curate(spark: SparkSession, src: str, dst: str, lineage_dst: str,
     _stage("split",
            lambda: hash_split(d5, "text", train_frac).drop("text"),
            s4)
+    # every stage is materialized to parquet above — the intermediates
+    # the textops helpers persisted are dead weight from here on
+    release_caches()
 
 
 def read_curated(spark: SparkSession, dst: str) -> DataFrame:
@@ -243,6 +306,72 @@ def read_curated(spark: SparkSession, dst: str) -> DataFrame:
     return read_table(spark, f"{dst}/split")
 
 
+# --------------------------------------------------------------------------
+# extract → curate glue (VERDICT r4 #5): the full crawl-to-corpus journey
+
+
+def extracted_to_documents(results: DataFrame) -> DataFrame:
+    """Adapter from ``run_extract``'s url-keyed EXTRACT_SCHEMA output to
+    the doc_id-keyed ``documents`` shape every curation op consumes.
+
+    * ``doc_id = xxhash64(url)`` — deterministic and engine-stable, so
+      re-runs and both pipeline halves agree on identity. 64-bit ids
+      expect ~n²/2^65 collisions (≈3·10⁴ at 10^12 docs — two urls
+      sharing a doc_id would merge in per-doc stats); at that scale key
+      on the url itself or widen to a two-column 128-bit id. Sandbox
+      corpora are ≥15 orders of magnitude below the birthday bound.
+    * ``text`` = extracted main content (docs the extractor failed on
+      carry '' and are dropped by the quality stage, not lost silently —
+      they stay visible in the extraction lineage's n_failed).
+    * ``lang`` = marker-heuristic language-ID over the extracted text;
+      ``source`` = the url's host (the domain-rollup key).
+    A pure projection — no shuffle; runs fused into the adapter scan."""
+    from .textops import lang_id
+    base = results.select(
+        F.xxhash64("url").alias("doc_id"),
+        "url",
+        F.coalesce(F.col("extracted_text"), F.lit("")).alias("text"),
+        F.regexp_extract("url", r"^[a-z]+://([^/]+)", 1).alias("source"))
+    lang = lang_id(base).select("doc_id", "pred_lang")
+    return (base.join(lang, "doc_id")
+            .select("doc_id", "url", "text",
+                    F.col("pred_lang").alias("lang"), "source",
+                    F.length("text").alias("n_chars")))
+
+
+def run_corpus(spark: SparkSession, src: str, workdir: str, run_id: str, *,
+               evals_src: Optional[str] = None,
+               buckets: Optional[int] = None, dedup: str = "window",
+               resume: bool = True, **curate_knobs) -> None:
+    """The end-to-end corpus job: crawl pages → extraction → curation,
+    one command, with lineage for BOTH halves under one root.
+
+        {workdir}/extracted        url-keyed extraction output (P7 sink)
+        {workdir}/documents        adapter output (doc_id-keyed)
+        {workdir}/curated/...      curation stage id-lists + split table
+        {workdir}/lineage/extract  per-bucket extraction lineage
+        {workdir}/lineage/curate   per-stage curation lineage
+
+    Resume spans the boundary: the extraction half resumes per salt
+    bucket (run_extract's broadcast anti-join), the curation half per
+    stage (run_curate's lineage); the adapter between them is a
+    stateless projection re-written idempotently (overwrite sink) — at
+    10^12 docs it is one column-pruned scan, far below either half.
+    ``curate_knobs`` pass through to run_curate (thresholds, pii_max,
+    strict_quality, max_bucket, ...)."""
+    from .pipeline import read_results, run_extract
+    run_extract(spark, src, f"{workdir}/extracted",
+                f"{workdir}/lineage/extract", run_id=run_id,
+                buckets=buckets, resume=resume, dedup=dedup)
+    docs = extracted_to_documents(read_results(spark,
+                                               f"{workdir}/extracted"))
+    docs.write.mode("overwrite").parquet(f"{workdir}/documents")
+    run_curate(spark, f"{workdir}/documents", f"{workdir}/curated",
+               f"{workdir}/lineage/curate", run_id=run_id,
+               evals_src=evals_src, resume=resume, **curate_knobs)
+
+
 __all__ = ["curate_df", "run_curate", "read_curated", "completed_stages",
            "quality_keep_ids", "exact_keeper_ids", "near_dup_loser_ids",
-           "contaminated_ids", "CURATE_STAGES"]
+           "contaminated_ids", "CURATE_STAGES",
+           "extracted_to_documents", "run_corpus"]

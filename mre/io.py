@@ -127,8 +127,16 @@ def compact_partitions(spark: SparkSession, path: str, partition_col: str,
     key — repartitioning on the partition column alone would hash every
     row of a partition value to ONE task regardless of the multiplier
     (ADVICE r3: the knob was ineffective), so large partitions could
-    never regain write parallelism. The salt is a hash of a per-row id,
-    giving ≤N files per partition value and ~N tasks of it in flight.
+    never regain write parallelism. The salt is a DETERMINISTIC hash of
+    the full row content (ADVICE r4: a nondeterministic per-row id —
+    monotonically_increasing_id — re-evaluates differently under task
+    retry / shuffle-fetch recomputation, hashing rows to different
+    reducers than the original attempt and silently duplicating or
+    dropping them — the SPARK-23207 class of bug; the round-robin sort
+    fix does not protect arbitrary nondeterministic keys). Content
+    hashing gives ≤N files per partition value and ~N tasks in flight;
+    identical rows co-locate in one file, which is harmless for
+    compaction (content, not layout, is the contract).
     On Iceberg this maps to rewrite_data_files; the parquet path keeps
     the same semantics for the sandbox."""
     from pyspark.sql import functions as F
@@ -142,7 +150,7 @@ def compact_partitions(spark: SparkSession, path: str, partition_col: str,
     n_parts = df.select(partition_col).distinct().count()
     n = max(n_parts, 1) * max_files_per_partition
     if max_files_per_partition > 1:
-        salt = F.pmod(F.xxhash64(F.monotonically_increasing_id()),
+        salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]),
                       F.lit(max_files_per_partition))
         compacted = (df.withColumn("_cfs", salt)
                      .repartition(n, F.col(partition_col), F.col("_cfs"))
@@ -150,6 +158,10 @@ def compact_partitions(spark: SparkSession, path: str, partition_col: str,
     else:
         compacted = df.repartition(n, F.col(partition_col))
     write_overwrite_partitions(compacted, path, partition_col)
+    # the checkpointed snapshot has served its purpose (the rewrite is
+    # on disk) — release it instead of leaking it for the session life
+    from .textops import _release_local_checkpoint
+    _release_local_checkpoint(df)
 
 
 def read_table(spark: SparkSession, path: str) -> DataFrame:

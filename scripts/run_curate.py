@@ -47,6 +47,9 @@ def main() -> None:
     ap.add_argument("--strict-quality", action="store_true",
                     help="also require the Gopher repetition rule "
                          "(top-bigram occupancy) in the quality stage")
+    ap.add_argument("--pii-max", type=int, default=None,
+                    help="drop docs with more than this many PII matches "
+                         "(emails+phones+IPv4; default: rule off)")
     ap.add_argument("--max-bucket", type=int, default=None)
     ap.add_argument("--no-resume", action="store_true")
     args = ap.parse_args()
@@ -65,6 +68,7 @@ def main() -> None:
                    contamination_min_shared=args.min_shared,
                    train_frac=args.train_frac,
                    strict_quality=args.strict_quality,
+                   pii_max=args.pii_max,
                    max_bucket=args.max_bucket,
                    resume=not args.no_resume)
     finally:

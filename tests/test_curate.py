@@ -213,3 +213,117 @@ def test_run_curate_fresh_run_id_recomputes(spark, docs, evals, tmp_path):
     # both runs fully committed (outputs are idempotent overwrites)
     assert len(pdf) == 2 * len(CURATE_STAGES)
     assert set(pdf["run_id"]) == {"a", "b"}
+
+
+def test_run_curate_param_change_recomputes(spark, docs, evals, tmp_path):
+    """ADVICE r4: re-running a run_id with DIFFERENT parameters must not
+    reuse stage outputs computed under the old parameters."""
+    src = str(tmp_path / "docs")
+    ev = str(tmp_path / "evals")
+    docs.write.parquet(src)
+    evals.write.parquet(ev)
+    dst = str(tmp_path / "curated")
+    lin = str(tmp_path / "lineage")
+    run_curate(spark, src, dst, lin, run_id="p1", evals_src=ev,
+               train_frac=0.9)
+    n1 = spark.read.parquet(lin).count()
+    assert n1 == len(CURATE_STAGES)
+    # same run_id, different split fraction → every stage recomputes
+    # (new lineage rows with a different params_hash, attempt bumped)
+    run_curate(spark, src, dst, lin, run_id="p1", evals_src=ev,
+               train_frac=0.5)
+    pdf = spark.read.parquet(lin).toPandas()
+    assert len(pdf) == 2 * len(CURATE_STAGES)
+    assert pdf["params_hash"].nunique() == 2
+    # the recomputed rows carry attempt=2 so rollups can pick the latest
+    assert sorted(pdf["attempt"].tolist()) == [1] * 5 + [2] * 5
+    # and the final table reflects the NEW parameters (0.5 split moves
+    # at least one doc from train to test vs the 0.9 split)
+    out = read_curated(spark, dst).toPandas()
+    assert (out["split"] == "test").any()
+    # unchanged parameters again → no recomputation (attempt stays ≤2)
+    run_curate(spark, src, dst, lin, run_id="p1", evals_src=ev,
+               train_frac=0.5)
+    assert spark.read.parquet(lin).count() == 2 * len(CURATE_STAGES)
+
+
+def test_composed_run_releases_caches(spark, docs, evals):
+    """ADVICE r4 cache hygiene: after materializing a composed curate_df
+    plus the self-join textops helpers, release_caches() returns the
+    session to its persisted-RDD baseline (localCheckpoint frames from
+    other tests excluded by baseline diffing)."""
+    from mre.textops import jaccard_pairs, release_caches, winnow_dup_pairs
+
+    def persisted_ids():
+        it = spark.sparkContext._jsc.getPersistentRDDs()
+        return set(it.keySet().toArray())
+
+    release_caches()  # drop anything earlier module-scoped tests left
+    base = persisted_ids()
+    curate_df(docs, evals).count()
+    jaccard_pairs(docs, threshold=0.2).count()
+    winnow_dup_pairs(docs, max_df=50).count()
+    assert len(persisted_ids() - base) > 0  # helpers did persist
+    n = release_caches()
+    assert n >= 3
+    assert persisted_ids() - base == set()
+
+
+def test_quality_stage_pii_knob(spark, docs, evals):
+    """pii_max threads the PII rule pack into stage 1: a quality-passing
+    doc stuffed with emails is dropped only when the knob is on."""
+    from mre.curate import quality_keep_ids
+    pii_doc = (_variant(300)
+               + " contact a@b.io c@d.org e@f.net g@h.com now")
+    docs2 = docs.unionByName(spark.createDataFrame(
+        [(300, pii_doc, "en", "srcC", 0)], docs.schema))
+    base = {r["doc_id"] for r in quality_keep_ids(docs2).collect()}
+    assert 300 in base  # passes Gopher rules
+    strict = {r["doc_id"]
+              for r in quality_keep_ids(docs2, pii_max=3).collect()}
+    assert 300 not in strict
+    assert strict == base - {300}  # ONLY the PII doc is affected
+
+
+def test_run_corpus_end_to_end(spark, tmp_path):
+    """VERDICT r4 #5: the crawl → extract → curate journey as one job,
+    with resumable lineage for both halves under one root."""
+    from mre.curate import read_curated, run_corpus
+    from mre.fixtures import write_fixture_parquet
+
+    fx = str(tmp_path / "fixtures")
+    write_fixture_parquet(fx, n=120)
+    wd = str(tmp_path / "corpus")
+    run_corpus(spark, f"{fx}/pages.parquet", wd, run_id="e2e",
+               train_frac=0.9)
+
+    # extraction half landed + its lineage (one row per salt bucket)
+    ex_lin = spark.read.parquet(f"{wd}/lineage/extract")
+    assert ex_lin.count() > 0
+    assert ex_lin.agg(F.sum("n_rows")).first()[0] == 120
+
+    # adapter: doc_id-keyed documents table derived from the urls
+    docs = spark.read.parquet(f"{wd}/documents")
+    assert docs.count() == 120
+    assert set(docs.columns) == {"doc_id", "url", "text", "lang",
+                                 "source", "n_chars"}
+    assert docs.filter(F.col("doc_id").isNull()).count() == 0
+    assert docs.select("doc_id").distinct().count() == 120
+
+    # curation half: stage lineage complete, final split table readable
+    cu_lin = spark.read.parquet(f"{wd}/lineage/curate")
+    assert sorted(r["stage"] for r in
+                  cu_lin.select("stage").distinct().collect()) \
+        == sorted(CURATE_STAGES)
+    final1 = read_curated(spark, f"{wd}/curated").orderBy("doc_id") \
+        .toPandas()
+    # resume across the boundary: same run_id → nothing recomputes
+    # (lineage row counts unchanged on both halves), output identical
+    n_ex, n_cu = ex_lin.count(), cu_lin.count()
+    run_corpus(spark, f"{fx}/pages.parquet", wd, run_id="e2e",
+               train_frac=0.9)
+    assert spark.read.parquet(f"{wd}/lineage/extract").count() == n_ex
+    assert spark.read.parquet(f"{wd}/lineage/curate").count() == n_cu
+    final2 = read_curated(spark, f"{wd}/curated").orderBy("doc_id") \
+        .toPandas()
+    assert final2["doc_id"].tolist() == final1["doc_id"].tolist()

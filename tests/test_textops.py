@@ -101,6 +101,41 @@ def test_ann_lsh_recall_vs_brute_force(spark):
             assert abs(r["cosine"] - bf_cos[key]) < 1e-9
 
 
+def test_cosine_blocks_bounded_and_blocking_invariant(spark):
+    """VERDICT r4 #1: with the count-derived default, no collect_list
+    block row grows with the corpus (rows/block stays ~block_rows), and
+    the pair OUTPUT is identical under any explicit blocking."""
+    from mre.textops import _cosine_blocks, cosine_dup_pairs
+
+    # 20k tiny vectors — large enough for balls-in-bins concentration
+    n, block_rows = 20000, 256
+    emb = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.array((F.col("id") % 7).cast("double") + 1.0,
+                (F.col("id") % 3).cast("double")).alias("embedding"))
+    n_blocks = -(-n // block_rows)
+    sizes = (_cosine_blocks(emb, n_blocks)
+             .select(F.size("rows").alias("s")).collect())
+    assert len(sizes) == n_blocks
+    assert sum(r["s"] for r in sizes) == n
+    # expectation is 256/block; hash spread keeps the max well bounded —
+    # the property that matters: independent of n, never O(corpus)
+    assert max(r["s"] for r in sizes) <= 2 * block_rows
+
+    # blocking-invariance of the OUTPUT on a small slice
+    small = emb.filter("vec_id < 300")
+    a = {(r["vec_a"], r["vec_b"], r["cosine"])
+         for r in cosine_dup_pairs(small, threshold=0.99,
+                                   n_blocks=1).collect()}
+    b = {(r["vec_a"], r["vec_b"], r["cosine"])
+         for r in cosine_dup_pairs(small, threshold=0.99,
+                                   n_blocks=7).collect()}
+    c = {(r["vec_a"], r["vec_b"], r["cosine"])
+         for r in cosine_dup_pairs(small, threshold=0.99,
+                                   block_rows=64).collect()}
+    assert a == b == c and len(a) > 0
+
+
 def test_lang_id_priority_tiebreak(spark):
     from mre.textops import lang_id
     pdf = spark.createDataFrame(
@@ -329,3 +364,53 @@ def test_near_dup_family_hot_bucket_guards(spark):
     wn = {(r["doc_a"], r["doc_b"]) for r in
           winnow_dup_pairs(docs, max_df=5).collect()}
     assert wn == {(100, 101)}
+
+
+def test_remove_dup_passages_strips_planted_boilerplate(spark):
+    from mre.textops import remove_dup_passages
+    BOILER = ("this document is provided without any warranty "
+              "of any kind whatsoever")
+    docs = spark.createDataFrame(
+        [(1, f"unique alpha opening line here. {BOILER}. alpha tail ends"),
+         (2, f"unique beta opening line there. {BOILER}. beta tail ends"),
+         (3, "fully original text with no shared passages. short bits"),
+         (4, BOILER)],  # a doc that IS only boilerplate → rewritten to ''
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in remove_dup_passages(docs).collect()}
+    assert BOILER not in out[1]["text"] and BOILER not in out[2]["text"]
+    assert out[1]["text"].startswith("unique alpha opening line here")
+    assert out[1]["text"].endswith("alpha tail ends")  # order preserved
+    assert out[1]["n_removed"] == 1 and out[1]["bytes_removed"] > 0
+    # untouched doc: rewrite is byte-identical, zero removal
+    assert out[3]["text"] == ("fully original text with no shared "
+                              "passages. short bits")
+    assert out[3]["n_removed"] == 0 and out[3]["bytes_removed"] == 0
+    assert out[4]["text"] == "" and out[4]["n_removed"] == 1
+    # short common spans are never touched (min_len floor)
+    short = spark.createDataFrame(
+        [(1, "hello there. some long unique sentence follows this one"),
+         (2, "hello there. different long unique sentence is right here")],
+        "doc_id long, text string")
+    o2 = {r["doc_id"]: r["text"]
+          for r in remove_dup_passages(short).collect()}
+    assert o2[1].startswith("hello there. ")
+    assert o2[2].startswith("hello there. ")
+
+
+def test_pii_scrub_counts_and_redaction(spark):
+    from mre.textops import pii_scrub
+    docs = spark.createDataFrame(
+        [(1, "reach alice.smith+spam@sub.example.co.uk or 555-123-4567"),
+         (2, "hosts 10.0.0.1 and 192.168.255.3; version 1.2 stays"),
+         (3, "totally clean prose with digits 1234 and a dot. end"),
+         (4, "two mails a@b.io c@d.org one phone +491 555 123 4567")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in pii_scrub(docs).collect()}
+    assert (out[1]["n_emails"], out[1]["n_phones"], out[1]["n_ips"]) \
+        == (1, 1, 0)
+    assert "<EMAIL>" in out[1]["text"] and "<PHONE>" in out[1]["text"]
+    assert "alice" not in out[1]["text"]
+    assert out[2]["n_ips"] == 2 and out[2]["text"].count("<IP>") == 2
+    assert "version 1.2 stays" in out[2]["text"]  # no false positive
+    assert out[3]["n_pii"] == 0 and out[3]["text"].endswith("dot. end")
+    assert out[4]["n_emails"] == 2
