@@ -306,6 +306,22 @@ def read_curated(spark: SparkSession, dst: str) -> DataFrame:
     return read_table(spark, f"{dst}/split")
 
 
+def read_curate_lineage(spark: SparkSession, lineage_dst: str) -> DataFrame:
+    """Curation lineage resolved to ONE row per (run_id, stage): the
+    latest attempt (ADVICE r4 — recomputed stages append rather than
+    rewrite, so raw reads double-count n_in/n_out; every rollup should
+    consume this view, not the raw table). Pre-params_hash tables lack
+    ``attempt`` — treated as attempt 1."""
+    from pyspark.sql import Window
+    lin = read_table(spark, lineage_dst)
+    if "attempt" not in lin.columns:
+        return lin
+    w = Window.partitionBy("run_id", "stage").orderBy(
+        F.desc("attempt"), F.desc("completed_at"))
+    return (lin.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1).drop("_rn"))
+
+
 # --------------------------------------------------------------------------
 # extract → curate glue (VERDICT r4 #5): the full crawl-to-corpus journey
 
@@ -373,5 +389,5 @@ def run_corpus(spark: SparkSession, src: str, workdir: str, run_id: str, *,
 
 __all__ = ["curate_df", "run_curate", "read_curated", "completed_stages",
            "quality_keep_ids", "exact_keeper_ids", "near_dup_loser_ids",
-           "contaminated_ids", "CURATE_STAGES",
+           "contaminated_ids", "CURATE_STAGES", "read_curate_lineage",
            "extracted_to_documents", "run_corpus"]

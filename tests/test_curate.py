@@ -327,3 +327,24 @@ def test_run_corpus_end_to_end(spark, tmp_path):
     final2 = read_curated(spark, f"{wd}/curated").orderBy("doc_id") \
         .toPandas()
     assert final2["doc_id"].tolist() == final1["doc_id"].tolist()
+
+
+def test_read_curate_lineage_resolves_attempts(spark, docs, evals,
+                                               tmp_path):
+    """Rollups consume ONE row per (run_id, stage) — the latest attempt —
+    even after a parameter change forced recomputation."""
+    from mre.curate import read_curate_lineage
+    src = str(tmp_path / "docs")
+    ev = str(tmp_path / "evals")
+    docs.write.parquet(src)
+    evals.write.parquet(ev)
+    dst = str(tmp_path / "curated")
+    lin = str(tmp_path / "lineage")
+    run_curate(spark, src, dst, lin, run_id="r", evals_src=ev,
+               train_frac=0.9)
+    run_curate(spark, src, dst, lin, run_id="r", evals_src=ev,
+               train_frac=0.5)  # param change → 5 more rows, attempt=2
+    assert spark.read.parquet(lin).count() == 2 * len(CURATE_STAGES)
+    resolved = read_curate_lineage(spark, lin).toPandas()
+    assert len(resolved) == len(CURATE_STAGES)
+    assert (resolved["attempt"] == 2).all()

@@ -44,7 +44,8 @@ def test_textops_are_streaming_compatible(spark, tmp_path):
     DataFrame and emit identical rows to the batch run. This is the
     streaming story for corpus curation: score-on-ingest with zero extra
     code."""
-    from mre.textops import gopher_quality, lang_id, quality_score
+    from mre.textops import (gopher_quality, lang_id, pii_scrub,
+                              quality_score)
 
     rows = [(i, ("the quick brown fox jumps over the lazy dog and that "
                  "was fine to have with all of the others here " * 3)
@@ -56,7 +57,8 @@ def test_textops_are_streaming_compatible(spark, tmp_path):
     stream = (spark.readStream.schema("doc_id long, text string")
               .parquet(src))
     assert stream.isStreaming
-    for fn in (gopher_quality, lang_id, quality_score):
+    for fn in (gopher_quality, lang_id, quality_score,
+               pii_scrub):
         out = fn(stream)  # must build without a streaming-unsupported op
         dst = str(tmp_path / f"out_{fn.__name__}")
         ckpt = str(tmp_path / f"ckpt_{fn.__name__}")
