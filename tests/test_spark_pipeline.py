@@ -400,3 +400,34 @@ def test_compact_partitions_preserves_content(spark, fixture_dir, tmp_path):
     assert after2["url"].tolist() == before_golden["url"].tolist()
     assert after2["extracted_text"].tolist() \
         == before_golden["extracted_text"].tolist()
+
+
+def test_round5_ops_plan_shapes(spark):
+    """Plan-shape guards for the round-5 operators: pii_scrub must stay a
+    zero-Exchange codegen projection; remove_dup_passages must broadcast
+    the dup-digest marker (corpus text shuffles exactly once, for the
+    rebuild) and keep map-side partial aggregation on the df count."""
+    from pyspark.sql import functions as F
+
+    from mre.textops import pii_scrub, remove_dup_passages
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+    plan = pii_scrub(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan[:2000]
+    assert "BatchEvalPython" not in plan and "Python" not in plan
+    assert plan.count("Scan parquet") == 1, plan[:2000]
+
+    plan = remove_dup_passages(docs) \
+        ._jdf.queryExecution().executedPlan().toString()
+    # dup-marker side broadcast: the wide (text-carrying) side never
+    # shuffles for the join
+    assert "BroadcastHashJoin" in plan, plan[:3000]
+    assert "SortMergeJoin" not in plan, plan[:3000]
+    # df count combines map-side before its digest shuffle
+    assert "partial_count(distinct doc_id" in plan \
+        or "partial_count" in plan, plan[:3000]
+    # exactly ONE exchange moves part text: the doc_id rebuild (plus the
+    # digest-count exchanges which carry (pk, count) rows and the
+    # broadcast — no second corpus-text shuffle)
+    assert "CartesianProduct" not in plan
