@@ -177,10 +177,14 @@ def completed_stages(spark: SparkSession, lineage_dst: str,
                      run_id: str, params_hash: str | None = None) -> set:
     """Stages already committed for this run_id (≤5 names — the collect
     is a constant, never corpus-shaped). With ``params_hash`` given, a
-    stage only counts as done if a lineage row committed it under the
-    SAME parameter digest; rows from a pre-params_hash lineage table are
-    conservatively treated as parameter-mismatched (recompute — the
-    overwrite sinks make that correct, merely not free)."""
+    stage only counts as done if its LATEST lineage row (max attempt —
+    the row describing what is actually on disk, since stage outputs are
+    overwrites) committed it under the SAME parameter digest: matching
+    any historical row would wrongly reuse stale outputs when a run_id's
+    parameters are flipped back to an earlier set (A → B → A). Rows from
+    a pre-params_hash lineage table are conservatively treated as
+    parameter-mismatched (recompute — the overwrite sinks make that
+    correct, merely not free)."""
     import os
     if "://" not in lineage_dst and not lineage_dst.startswith("iceberg:"):
         if not os.path.exists(lineage_dst):
@@ -193,7 +197,12 @@ def completed_stages(spark: SparkSession, lineage_dst: str,
     if params_hash is not None:
         if "params_hash" not in lin.columns:
             return set()
-        lin = lin.filter(F.col("params_hash") == params_hash)
+        from pyspark.sql import Window
+        w = Window.partitionBy("stage").orderBy(
+            F.desc("attempt"), F.desc("completed_at"))
+        lin = (lin.withColumn("_rn", F.row_number().over(w))
+               .filter((F.col("_rn") == 1)
+                       & (F.col("params_hash") == params_hash)))
     return {r["stage"] for r in lin.select("stage").distinct().collect()}
 
 
@@ -219,7 +228,8 @@ def run_curate(spark: SparkSession, src: str, dst: str, lineage_dst: str,
     new lineage row with a bumped ``attempt`` counter, so duplicate
     (run_id, stage) rows are ordered and rollups can pick the latest
     (ADVICE r4)."""
-    from .textops import release_caches
+    from .textops import cache_mark, release_caches
+    _mark = cache_mark()
     docs = read_table(spark, src)
     evals = read_table(spark, evals_src) if evals_src else None
     ph = _params_hash(
@@ -297,8 +307,10 @@ def run_curate(spark: SparkSession, src: str, dst: str, lineage_dst: str,
            lambda: hash_split(d5, "text", train_frac).drop("text"),
            s4)
     # every stage is materialized to parquet above — the intermediates
-    # the textops helpers persisted are dead weight from here on
-    release_caches()
+    # the textops helpers persisted DURING THIS JOB are dead weight from
+    # here on; scoped to the entry mark so checkpoints owned by other
+    # live plans in the session are untouched
+    release_caches(since=_mark)
 
 
 def read_curated(spark: SparkSession, dst: str) -> DataFrame:
@@ -311,11 +323,15 @@ def read_curate_lineage(spark: SparkSession, lineage_dst: str) -> DataFrame:
     latest attempt (ADVICE r4 — recomputed stages append rather than
     rewrite, so raw reads double-count n_in/n_out; every rollup should
     consume this view, not the raw table). Pre-params_hash tables lack
-    ``attempt`` — treated as attempt 1."""
+    ``attempt`` — deduped on latest completed_at instead (recompute-
+    appended duplicates predate the counter but not the timestamp)."""
     from pyspark.sql import Window
     lin = read_table(spark, lineage_dst)
     if "attempt" not in lin.columns:
-        return lin
+        w = Window.partitionBy("run_id", "stage").orderBy(
+            F.desc("completed_at"))
+        return (lin.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1).drop("_rn"))
     w = Window.partitionBy("run_id", "stage").orderBy(
         F.desc("attempt"), F.desc("completed_at"))
     return (lin.withColumn("_rn", F.row_number().over(w))
@@ -339,19 +355,21 @@ def extracted_to_documents(results: DataFrame) -> DataFrame:
     * ``text`` = extracted main content (docs the extractor failed on
       carry '' and are dropped by the quality stage, not lost silently —
       they stay visible in the extraction lineage's n_failed).
-    * ``lang`` = marker-heuristic language-ID over the extracted text;
+    * ``lang`` = marker-heuristic language-ID over the extracted text
+      (``lang_pred_expr`` — the prediction as a column expression, fused
+      into the same projection; a join back to ``lang_id`` would shuffle
+      the corpus text AND multiply rows on a doc_id collision);
       ``source`` = the url's host (the domain-rollup key).
-    A pure projection — no shuffle; runs fused into the adapter scan."""
-    from .textops import lang_id
-    base = results.select(
-        F.xxhash64("url").alias("doc_id"),
-        "url",
-        F.coalesce(F.col("extracted_text"), F.lit("")).alias("text"),
-        F.regexp_extract("url", r"^[a-z]+://([^/]+)", 1).alias("source"))
-    lang = lang_id(base).select("doc_id", "pred_lang")
-    return (base.join(lang, "doc_id")
+    ONE narrow projection over the scan — zero shuffle, single read."""
+    from .textops import lang_pred_expr
+    text = F.coalesce(F.col("extracted_text"), F.lit(""))
+    return (results
+            .select(F.xxhash64("url").alias("doc_id"),
+                    "url", text.alias("text"),
+                    F.regexp_extract("url", r"^[a-z]+://([^/]+)", 1)
+                    .alias("source"))
             .select("doc_id", "url", "text",
-                    F.col("pred_lang").alias("lang"), "source",
+                    lang_pred_expr().alias("lang"), "source",
                     F.length("text").alias("n_chars")))
 
 

@@ -87,24 +87,35 @@ class _CkptHandle:
         _release_local_checkpoint(self._df)
 
 
-def release_caches() -> int:
-    """Unpersist every intermediate frame a textops/curate helper
-    persisted since the last call; returns how many were released.
+def cache_mark() -> int:
+    """Marker for scoped release: a composed job records the mark on
+    entry and passes it to ``release_caches(since=mark)`` on exit, so it
+    only releases the frames IT registered — never checkpoints owned by
+    other still-live plans in the same session (run_curate does this)."""
+    return len(_LIVE_CACHES)
+
+
+def release_caches(since: int = 0) -> int:
+    """Unpersist the intermediate frames textops/curate helpers
+    registered at position ≥ ``since`` (default: all of them); returns
+    how many were released.
 
     Call it after MATERIALIZING the composed result. For plain persisted
     frames this is always safe (persist is a hint; a released plan
     recomputes on its next action), but plans that embed a
     ``localCheckpoint`` (``dup_clusters`` output, and anything composed
     on top of it such as ``curate_df``) must NOT be materialized again
-    after release — checkpointed RDDs have no lineage to recompute."""
-    n = len(_LIVE_CACHES)
-    for df in _LIVE_CACHES:
+    after release — checkpointed RDDs have no lineage to recompute. When
+    several such plans are live in one session, release with a
+    ``cache_mark()`` scope instead of the default full sweep."""
+    victims = _LIVE_CACHES[since:]
+    del _LIVE_CACHES[since:]
+    for df in victims:
         try:
             df.unpersist()
         except Exception:
             pass  # session already stopped — nothing to release
-    _LIVE_CACHES.clear()
-    return n
+    return len(victims)
 
 
 # --------------------------------------------------------------------------
@@ -182,8 +193,10 @@ def lang_scores_exprs() -> dict[str, "F.Column"]:
     return out
 
 
-def lang_id(docs: DataFrame) -> DataFrame:
-    """Predicted language = first language (fixed order en,fr,es,de,zh)
+def lang_pred_expr() -> "F.Column":
+    """The language prediction as ONE column expression — usable inside
+    any projection (e.g. the extract→curate adapter) with zero shuffle.
+    Predicted language = first language (fixed order en,fr,es,de,zh)
     whose marker score equals the max; 'und' when all scores are 0."""
     scores = lang_scores_exprs()
     order = ["en", "fr", "es", "de", "zh"]
@@ -191,9 +204,16 @@ def lang_id(docs: DataFrame) -> DataFrame:
     pred = F.when(mx == 0, F.lit("und"))
     for lang in order:
         pred = pred.when(scores[lang] == mx, F.lit(lang))
+    return pred
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Per-doc marker scores + the ``lang_pred_expr`` prediction."""
+    scores = lang_scores_exprs()
+    order = ["en", "fr", "es", "de", "zh"]
     sel = [F.col("doc_id")]
     sel += [scores[l].alias(f"score_{l}") for l in order]
-    sel += [pred.alias("pred_lang")]
+    sel += [lang_pred_expr().alias("pred_lang")]
     return docs.select(*sel)
 
 
@@ -1138,18 +1158,25 @@ def remove_dup_passages(docs: DataFrame, min_len: int = 20,
     ``text`` is the rewrite (kept spans re-joined with '. ' in original
     order), ``bytes_removed`` = original length − rewritten length.
 
-    Scale shape: the df count groups on md5(span) — one digest-keyed
-    shuffle with map-side combine; the join back carries a constant
-    marker on dup digests only (small, broadcast-eligible — same skew
-    hardening as sentence_dedup_stats); the rebuild is ONE doc_id-keyed
-    shuffle moving the corpus text once (inherent to rewriting) with a
-    per-doc collect_list bounded by that doc's own size. Everything is
-    pure built-ins — SQL-oracle-able."""
-    parts = (docs
-             .select("doc_id", F.length("text").alias("_len0"),
-                     F.posexplode(F.split("text", r"\. "))
-                     .alias("pos", "part"))
-             .withColumn("pk", F.md5("part")))
+    Scale shape: the exploded span frame is computed ONCE (persisted —
+    it feeds both the df count and the rebuild); the df count groups on
+    md5(span) — one digest-keyed shuffle with map-side combine; the join
+    back carries a constant marker on dup digests only (small,
+    broadcast-eligible — same skew hardening as sentence_dedup_stats);
+    the rebuild is ONE doc_id-keyed shuffle moving the corpus text once
+    (inherent to rewriting) with a per-doc collect_list bounded by that
+    doc's own size. Everything is pure built-ins — SQL-oracle-able."""
+    from pyspark import StorageLevel
+    # the exploded frame feeds BOTH the df-count branch and the rebuild
+    # join — persisted (and registered for release_caches) so the
+    # scan + split + explode + md5 work runs once, per module convention
+    parts = _register_cache(
+        (docs
+         .select("doc_id", F.length("text").alias("_len0"),
+                 F.posexplode(F.split("text", r"\. "))
+                 .alias("pos", "part"))
+         .withColumn("pk", F.md5("part")))
+        .persist(StorageLevel.MEMORY_AND_DISK))
     dup = (parts.filter(F.length("part") >= min_len)
            .groupBy("pk")
            .agg(F.countDistinct("doc_id").alias("_df"))
@@ -1231,11 +1258,12 @@ def table_profile(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
 
 
 __all__ = [
-    "release_caches",
+    "release_caches", "cache_mark",
     "table_profile", "hash_bucket_16", "hash_sample", "hash_split",
     "sentence_dedup_stats", "remove_dup_passages", "pii_scrub",
     "PII_EMAIL", "PII_IP", "PII_PHONE",
-    "token_stats", "quality_score", "lang_id", "fingerprint", "exact_dedup",
+    "token_stats", "quality_score", "lang_id", "lang_pred_expr",
+    "fingerprint", "exact_dedup",
     "shingles", "jaccard_pairs", "minhash_signatures", "minhash_candidates",
     "minhash_near_dups", "simhash", "simhash_near_dups", "ann_brute_force",
     "ann_lsh", "ivf_ann", "cosine_dup_pairs", "gopher_quality",

@@ -348,3 +348,49 @@ def test_read_curate_lineage_resolves_attempts(spark, docs, evals,
     resolved = read_curate_lineage(spark, lin).toPandas()
     assert len(resolved) == len(CURATE_STAGES)
     assert (resolved["attempt"] == 2).all()
+
+
+def test_run_curate_param_flip_back_recomputes(spark, docs, evals,
+                                               tmp_path):
+    """A → B → A parameter history: returning to an earlier parameter
+    set must NOT reuse the attempt-1 outputs (they were overwritten by
+    the intervening B run) — only the LATEST attempt's params count."""
+    src = str(tmp_path / "docs")
+    ev = str(tmp_path / "evals")
+    docs.write.parquet(src)
+    evals.write.parquet(ev)
+    dst = str(tmp_path / "curated")
+    lin = str(tmp_path / "lineage")
+    run_curate(spark, src, dst, lin, run_id="f", evals_src=ev,
+               train_frac=0.9)                      # A
+    run_curate(spark, src, dst, lin, run_id="f", evals_src=ev,
+               train_frac=0.5)                      # B overwrites outputs
+    out_b = read_curated(spark, dst).orderBy("doc_id").toPandas()
+    run_curate(spark, src, dst, lin, run_id="f", evals_src=ev,
+               train_frac=0.9)                      # back to A
+    pdf = spark.read.parquet(lin).toPandas()
+    # third run recomputed (15 rows, attempts 1..3), not silently reused
+    assert len(pdf) == 3 * len(CURATE_STAGES)
+    assert sorted(pdf["attempt"].tolist()) == [1] * 5 + [2] * 5 + [3] * 5
+    out_a2 = read_curated(spark, dst).orderBy("doc_id").toPandas()
+    # outputs reflect A again (0.9 split ≠ the 0.5 split left by B)
+    assert out_a2["split"].tolist() != out_b["split"].tolist()
+
+
+def test_release_caches_is_scopeable(spark, docs, evals):
+    """cache_mark/since: releasing a later scope leaves earlier
+    registrations (another live plan's caches) untouched."""
+    from mre.textops import (_LIVE_CACHES, cache_mark, jaccard_pairs,
+                             release_caches)
+    release_caches()
+    jaccard_pairs(docs, threshold=0.2).count()   # outer plan's caches
+    outer = len(_LIVE_CACHES)
+    assert outer > 0
+    mark = cache_mark()
+    from mre.textops import winnow_dup_pairs
+    winnow_dup_pairs(docs, max_df=50).count()    # inner job's caches
+    assert len(_LIVE_CACHES) > mark
+    release_caches(since=mark)                   # inner job cleans up
+    assert len(_LIVE_CACHES) == outer            # outer caches survive
+    release_caches()
+    assert len(_LIVE_CACHES) == 0
