@@ -496,12 +496,17 @@ def q_winnow_dups(spark, sf_dir):
     guards off (full inverted-index join; oracle = the from-scratch
     XXH64 replay golden); variant='guarded' applies max_df=20 (viral
     fingerprints leave the index before pairing — the 10^12-doc shape;
-    its golden replays the same cutoff in pure Python)."""
-    from mre.textops import winnow_dup_pairs
+    its golden replays the same cutoff in pure Python). The exploded
+    fingerprint index is computed ONCE (winnow_exploded) and shared by
+    both variants — one corpus scan + rolling-hash transform, two
+    pair-joins."""
+    from mre.textops import winnow_dup_pairs, winnow_exploded
     _prep(spark)
     docs = _t(spark, sf_dir, "documents")
-    ex = winnow_dup_pairs(docs).withColumn("variant", F.lit("exact"))
-    gd = (winnow_dup_pairs(docs, max_df=20)
+    fps = winnow_exploded(docs)
+    ex = (winnow_dup_pairs(docs, fps=fps)
+          .withColumn("variant", F.lit("exact")))
+    gd = (winnow_dup_pairs(docs, max_df=20, fps=fps)
           .withColumn("variant", F.lit("guarded")))
     return ex.unionAll(gd).select("variant", "doc_a", "doc_b", "n_shared")
 

@@ -360,17 +360,22 @@ def extracted_to_documents(results: DataFrame) -> DataFrame:
       into the same projection; a join back to ``lang_id`` would shuffle
       the corpus text AND multiply rows on a doc_id collision);
       ``source`` = the url's host (the domain-rollup key).
-    ONE narrow projection over the scan — zero shuffle, single read."""
+    * headline / pubdate / authors ride along so the CURATED table is a
+      complete training corpus, not ids that need a join back to the
+      extraction sink.
+    ONE projection over the scan — zero shuffle, single read."""
     from .textops import lang_pred_expr
     text = F.coalesce(F.col("extracted_text"), F.lit(""))
     return (results
             .select(F.xxhash64("url").alias("doc_id"),
                     "url", text.alias("text"),
+                    "headline", "pubdate", "authors",
                     F.regexp_extract("url", r"^[a-z]+://([^/]+)", 1)
                     .alias("source"))
             .select("doc_id", "url", "text",
                     lang_pred_expr().alias("lang"), "source",
-                    F.length("text").alias("n_chars")))
+                    F.length("text").alias("n_chars"),
+                    "headline", "pubdate", "authors"))
 
 
 def run_corpus(spark: SparkSession, src: str, workdir: str, run_id: str, *,

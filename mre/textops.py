@@ -248,9 +248,23 @@ def winnow_fingerprints(docs: DataFrame, k: int = 8,
                 .alias("fingerprints")))
 
 
+def winnow_exploded(docs: DataFrame, k: int = 8,
+                    window: int = 4) -> DataFrame:
+    """The exploded (doc_id, fp) winnowing index, persisted + registered.
+    Compute it once and pass to several ``winnow_dup_pairs`` variants
+    (e.g. exact + guarded in the driver's tagged union) so the
+    rolling-hash transform and corpus scan run once, not per variant."""
+    from pyspark import StorageLevel
+    return _register_cache(
+        winnow_fingerprints(docs, k, window).select(
+            "doc_id", F.explode("fingerprints").alias("fp"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
+
+
 def winnow_dup_pairs(docs: DataFrame, k: int = 8, window: int = 4,
                      min_shared: int = 3,
-                     max_df: int | None = None) -> DataFrame:
+                     max_df: int | None = None,
+                     fps: DataFrame | None = None) -> DataFrame:
     """Docs sharing ≥ min_shared winnowing fingerprints (passage-level
     near-dup) via explode + equi-join; the exploded frame is persisted so
     the rolling-hash transform runs once, not once per join side.
@@ -258,12 +272,12 @@ def winnow_dup_pairs(docs: DataFrame, k: int = 8, window: int = 4,
     ``jaccard_pairs``: fingerprints in more than ``max_df`` docs (license
     headers, boilerplate passages — Σ df² join rows) leave the index, so
     pairs sharing only those are missed and n_shared is computed in the
-    filtered space; default None keeps exact semantics."""
+    filtered space; default None keeps exact semantics. ``fps`` accepts a
+    precomputed ``winnow_exploded(docs, k, window)`` frame to share
+    across variants."""
     from pyspark import StorageLevel
-    fps = _register_cache(
-        winnow_fingerprints(docs, k, window).select(
-            "doc_id", F.explode("fingerprints").alias("fp"))
-        .persist(StorageLevel.MEMORY_AND_DISK))
+    if fps is None:
+        fps = winnow_exploded(docs, k, window)
     if max_df is not None:
         rare = (fps.groupBy("fp").agg(F.count("*").alias("_df"))
                 .filter(F.col("_df") <= max_df).select("fp"))
@@ -1268,7 +1282,7 @@ __all__ = [
     "minhash_near_dups", "simhash", "simhash_near_dups", "ann_brute_force",
     "ann_lsh", "ivf_ann", "cosine_dup_pairs", "gopher_quality",
     "gopher_repetition",
-    "winnow_fingerprints",
+    "winnow_fingerprints", "winnow_exploded",
     "winnow_dup_pairs", "LANG_MARKERS",
     "MERSENNE31",
 ]

@@ -306,7 +306,8 @@ def test_run_corpus_end_to_end(spark, tmp_path):
     docs = spark.read.parquet(f"{wd}/documents")
     assert docs.count() == 120
     assert set(docs.columns) == {"doc_id", "url", "text", "lang",
-                                 "source", "n_chars"}
+                                 "source", "n_chars", "headline",
+                                 "pubdate", "authors"}
     assert docs.filter(F.col("doc_id").isNull()).count() == 0
     assert docs.select("doc_id").distinct().count() == 120
 
