@@ -414,3 +414,39 @@ def test_pii_scrub_counts_and_redaction(spark):
     assert "version 1.2 stays" in out[2]["text"]  # no false positive
     assert out[3]["n_pii"] == 0 and out[3]["text"].endswith("dot. end")
     assert out[4]["n_emails"] == 2
+
+
+def test_remove_dup_passages_reconstruction_identity(spark):
+    """Split-on-'. '/rejoin-with-'. ' is an exact inverse for ANY text,
+    so docs with nothing removed come back byte-identical — including
+    adversarial separators, and pii_scrub redaction is idempotent."""
+    from mre.textops import pii_scrub, remove_dup_passages
+    texts = [
+        "plain sentence. another one",
+        "trailing separator. ",
+        "a.  double space after dot",
+        ". leading separator",
+        "no separator at all",
+        "",
+        "dots.but.no.spaces",
+        "many. . tiny. . parts. .",
+        "unicode ünïcødé. 中文句子。中文. done",
+        "ends with period.",
+        "a. b. c. d. e. f. g. h",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    # max_df huge → nothing is ever a duplicate → rewrite must be exact
+    out = {r["doc_id"]: r for r in
+           remove_dup_passages(docs, max_df=10**9).collect()}
+    for i, t in enumerate(texts):
+        assert out[i]["text"] == t, (i, t, out[i]["text"])
+        assert out[i]["n_removed"] == 0
+        assert out[i]["bytes_removed"] == 0
+    # pii idempotence: a second scrub finds nothing (tags carry no
+    # digits/@, so no pattern can match inside a redaction)
+    once = pii_scrub(spark.createDataFrame(
+        [(1, "a@b.io 10.0.0.1 555-123-4567 x@y.org 1.2.3.4")],
+        "doc_id long, text string"))
+    twice = pii_scrub(once.select("doc_id", "text")).collect()[0]
+    assert twice["n_pii"] == 0
