@@ -39,7 +39,8 @@ from pyspark.sql import functions as F
 from .io import read_table, write_append
 from .textops import (benchmark_contamination, dup_clusters, fingerprint,
                       gopher_quality, gopher_repetition, hash_split,
-                      jaccard_on_candidates, minhash_near_dups, pii_scrub)
+                      jaccard_on_candidates, minhash_near_dups,
+                      minhash_signatures, pii_scrub)
 
 CURATE_STAGES = ("quality", "exact_dedup", "near_dup", "decontaminate",
                  "split")
@@ -378,6 +379,116 @@ def extracted_to_documents(results: DataFrame) -> DataFrame:
                     "headline", "pubdate", "authors"))
 
 
+_EST_JACCARD = ("round(size(filter(zip_with(sig_a, sig_b,"
+                " (x, y) -> int(x = y)), v -> v = 1)) / size(sig_a), 4)")
+
+
+def build_dedup_index(spark: SparkSession, docs: DataFrame, dst: str, *,
+                      k: int = 32, n: int = 3) -> None:
+    """Materialize the NARROW dedup index of an existing corpus so later
+    crawl batches can be deduplicated against it WITHOUT ever re-reading
+    corpus text (the incremental-ingestion story a daily 100 TB crawl
+    needs — re-running full-corpus dedup per batch is O(corpus) a day,
+    the index path is O(batch)):
+
+        {dst}/fingerprints  (doc_id, fingerprint)    md5 digest, exact
+        {dst}/signatures    (doc_id, sig)            MinHash k longs
+
+    ~300 B/doc total — 5 orders of magnitude below corpus text."""
+    fingerprint(docs).write.mode("overwrite") \
+        .parquet(f"{dst}/fingerprints")
+    minhash_signatures(docs, k, n).write.mode("overwrite") \
+        .parquet(f"{dst}/signatures")
+
+
+def dedup_increment(spark: SparkSession, new_docs: DataFrame,
+                    index_dst: str, *, k: int = 32, n: int = 3,
+                    bands: int = 8, threshold: float = 0.5,
+                    max_bucket: int | None = None,
+                    update_index: bool = True) -> DataFrame:
+    """Ingestion-time dedup of a NEW batch against an existing corpus via
+    its ``build_dedup_index`` tables — corpus text is never touched:
+
+    1. within-batch exact dedup (keep min doc_id per fingerprint);
+    2. drop batch docs whose fingerprint already exists in the index
+       (anti-join on the digest — one narrow shuffle);
+    3. near-dup vs the CORPUS: the batch's LSH bands equi-join the index
+       signatures' bands (``minhash_bands`` both sides; the batch side
+       is small → broadcast-eligible), candidates verified by signature
+       agreement (est Jaccard ≥ threshold ⇒ drop the batch doc) — no
+       text, no quadratic self-join;
+    4. within-batch near-dup (standard ``minhash_near_dups`` + keep the
+       min doc_id of each pair's cluster edge).
+
+    Returns the surviving new docs (all columns). ``update_index=True``
+    appends the survivors' digest/signature rows so the NEXT batch sees
+    this one. ``max_bucket`` guards viral bands exactly as in
+    ``minhash_candidates``. Eventual-exactness caveat: step 3 is the
+    estimator path (signatures only); run the LSH+exact-confirm
+    ``run_curate`` pipeline over the full corpus at a slower cadence if
+    exact-Jaccard confirmation is required."""
+    from .textops import (minhash_bands, minhash_near_dups,
+                          minhash_signatures)
+
+    fps_idx = read_table(spark, f"{index_dst}/fingerprints") \
+        .select("fingerprint")
+    sigs_idx = read_table(spark, f"{index_dst}/signatures")
+
+    # 1+2: exact, within batch then vs index
+    fp_new = fingerprint(new_docs)
+    keep = (fp_new.groupBy("fingerprint")
+            .agg(F.min("doc_id").alias("doc_id")))
+    keep = keep.join(fps_idx, "fingerprint", "left_anti").select("doc_id")
+    batch = new_docs.join(keep, "doc_id", "left_semi")
+
+    # 3: near-dup vs corpus (bands × bands equi-join, sig-only verify)
+    sig_new = minhash_signatures(batch, k, n)
+    nb = minhash_bands(sig_new, bands)
+    ib = minhash_bands(sigs_idx, bands)
+    if max_bucket is not None:
+        sizes = (ib.groupBy("band_idx", "band_hash")
+                 .agg(F.count("*").alias("_bsz"))
+                 .filter(F.col("_bsz") <= max_bucket).drop("_bsz"))
+        ib = ib.join(sizes, ["band_idx", "band_hash"])
+    cands = (nb.alias("n").join(
+        ib.alias("i"),
+        (F.col("n.band_idx") == F.col("i.band_idx"))
+        & (F.col("n.band_hash") == F.col("i.band_hash")))
+        .select(F.col("n.doc_id").alias("new_id"),
+                F.col("i.doc_id").alias("corpus_id"))
+        .distinct())
+    hits = (cands
+            .join(sig_new.select(F.col("doc_id").alias("new_id"),
+                                 F.col("sig").alias("sig_a")), "new_id")
+            .join(sigs_idx.select(F.col("doc_id").alias("corpus_id"),
+                                  F.col("sig").alias("sig_b")),
+                  "corpus_id")
+            .withColumn("est", F.expr(_EST_JACCARD))
+            .filter(F.col("est") >= threshold)
+            .select(F.col("new_id").alias("doc_id")).distinct())
+    batch = batch.join(hits, "doc_id", "left_anti")
+
+    # 4: within-batch near-dup — keep each pair's lower doc_id
+    pairs = minhash_near_dups(batch, k=k, n=n, bands=bands,
+                              threshold=threshold, max_bucket=max_bucket)
+    losers = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    survivors = batch.join(losers, "doc_id", "left_anti")
+
+    if update_index:
+        # materialize BEFORE mutating the index the plan reads from:
+        # the survivor plan anti-joins the index tables, so appending
+        # first would make any later re-evaluation of the returned
+        # frame see its own rows and drop everything. The checkpoint is
+        # batch-shaped (the whole point of the incremental path is that
+        # batches are small next to the corpus).
+        survivors = survivors.localCheckpoint(eager=True)
+        fingerprint(survivors).write.mode("append") \
+            .parquet(f"{index_dst}/fingerprints")
+        minhash_signatures(survivors, k, n).write.mode("append") \
+            .parquet(f"{index_dst}/signatures")
+    return survivors
+
+
 def run_corpus(spark: SparkSession, src: str, workdir: str, run_id: str, *,
                evals_src: Optional[str] = None,
                buckets: Optional[int] = None, dedup: str = "window",
@@ -413,4 +524,5 @@ def run_corpus(spark: SparkSession, src: str, workdir: str, run_id: str, *,
 __all__ = ["curate_df", "run_curate", "read_curated", "completed_stages",
            "quality_keep_ids", "exact_keeper_ids", "near_dup_loser_ids",
            "contaminated_ids", "CURATE_STAGES", "read_curate_lineage",
-           "extracted_to_documents", "run_corpus"]
+           "extracted_to_documents", "run_corpus",
+           "build_dedup_index", "dedup_increment"]

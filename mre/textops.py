@@ -456,6 +456,20 @@ def minhash_signatures(docs: DataFrame, k: int = 32,
             .select("doc_id", F.expr(f"array({mins})").alias("sig")))
 
 
+def minhash_bands(sigs: DataFrame, bands: int = 8) -> DataFrame:
+    """(doc_id, band_idx, band_hash) LSH banding rows for a signature
+    frame — the shared building block of the self-join candidate
+    generator (``minhash_candidates``) and the cross-corpus incremental
+    path (``mre.curate.dedup_increment``, where a new batch's bands
+    equi-join an existing index's bands)."""
+    return sigs.select(
+        "doc_id",
+        F.posexplode(F.expr(
+            f"transform(sequence(0, {bands - 1}),"
+            f" b -> hash(slice(sig, b * (size(sig) div {bands}) + 1,"
+            f" size(sig) div {bands})))")).alias("band_idx", "band_hash"))
+
+
 def minhash_candidates(sigs: DataFrame, bands: int = 8,
                        max_bucket: int | None = None) -> DataFrame:
     """LSH banding: docs agreeing on any band are candidate near-dups.
@@ -467,13 +481,7 @@ def minhash_candidates(sigs: DataFrame, bands: int = 8,
     job. Buckets past the cap are whole near-identical clusters anyway —
     route them to exact dedup, which is linear. Default None = no pruning
     (small-sf behavior and the driver oracle are unchanged)."""
-    k = bands  # r = k_total / bands rows per band
-    banded = sigs.select(
-        "doc_id",
-        F.posexplode(F.expr(
-            f"transform(sequence(0, {bands - 1}),"
-            f" b -> hash(slice(sig, b * (size(sig) div {bands}) + 1,"
-            f" size(sig) div {bands})))")).alias("band_idx", "band_hash"))
+    banded = minhash_bands(sigs, bands)
     if max_bucket is not None:
         sizes = (banded.groupBy("band_idx", "band_hash")
                  .agg(F.count("*").alias("_bsz"))
@@ -1279,6 +1287,7 @@ __all__ = [
     "token_stats", "quality_score", "lang_id", "lang_pred_expr",
     "fingerprint", "exact_dedup",
     "shingles", "jaccard_pairs", "minhash_signatures", "minhash_candidates",
+    "minhash_bands",
     "minhash_near_dups", "simhash", "simhash_near_dups", "ann_brute_force",
     "ann_lsh", "ivf_ann", "cosine_dup_pairs", "gopher_quality",
     "gopher_repetition",

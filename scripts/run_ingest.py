@@ -1,0 +1,63 @@
+#!/usr/bin/env python
+"""spark-submit entry point for INCREMENTAL ingestion dedup: maintain a
+narrow fingerprint+MinHash index of the corpus and deduplicate each new
+crawl batch against it in O(batch), never re-reading corpus text.
+
+Build the index once from the existing corpus::
+
+    spark-submit --py-files dist/mre.zip scripts/run_ingest.py \
+        --index iceberg:warehouse.dedup_index \
+        build --src iceberg:warehouse.documents
+
+Then per crawl batch::
+
+    spark-submit --py-files dist/mre.zip scripts/run_ingest.py \
+        --index iceberg:warehouse.dedup_index \
+        ingest --batch iceberg:warehouse.crawl_2024w34 \
+               --dst iceberg:warehouse.accepted_2024w34
+
+``ingest`` drops batch docs that are exact or near duplicates of the
+corpus or of each other, writes the survivors to --dst, and appends
+their digest/signature rows to the index so the next batch sees them.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description="mre incremental ingestion")
+    ap.add_argument("--index", required=True,
+                    help="dedup index root (fingerprints + signatures)")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    b = sub.add_parser("build", help="build the index from a corpus")
+    b.add_argument("--src", required=True)
+    g = sub.add_parser("ingest", help="dedup a new batch, update index")
+    g.add_argument("--batch", required=True)
+    g.add_argument("--dst", required=True)
+    g.add_argument("--threshold", type=float, default=0.5)
+    g.add_argument("--max-bucket", type=int, default=None)
+    g.add_argument("--no-index-update", action="store_true")
+    args = ap.parse_args()
+
+    from mre.curate import build_dedup_index, dedup_increment
+    from mre.io import get_spark, read_table
+
+    spark = get_spark(app="mre-ingest")
+    try:
+        if args.cmd == "build":
+            build_dedup_index(spark, read_table(spark, args.src),
+                              args.index)
+        else:
+            out = dedup_increment(
+                spark, read_table(spark, args.batch), args.index,
+                threshold=args.threshold, max_bucket=args.max_bucket,
+                update_index=not args.no_index_update)
+            out.write.mode("overwrite").parquet(args.dst)
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -395,3 +395,38 @@ def test_release_caches_is_scopeable(spark, docs, evals):
     assert len(_LIVE_CACHES) == outer            # outer caches survive
     release_caches()
     assert len(_LIVE_CACHES) == 0
+
+
+def test_dedup_increment_against_index(spark, docs, tmp_path):
+    """Incremental ingestion: a new batch is deduplicated against the
+    existing corpus through the narrow index only (no corpus text), and
+    surviving docs extend the index for the NEXT batch."""
+    from mre.curate import build_dedup_index, dedup_increment
+
+    idx = str(tmp_path / "index")
+    build_dedup_index(spark, docs, idx)
+
+    # batch: 500 = exact copy of corpus doc 0; 501 = near-dup of corpus
+    # doc 1 (one token changed); 502/503 = exact dups of each other;
+    # 504 = a second distinct new doc; 505 = near-dup of 504
+    t0 = docs.filter("doc_id = 0").first()["text"]
+    t1 = docs.filter("doc_id = 1").first()["text"]
+    fresh_a = _variant(900) + " totally new content nine hundred here"
+    fresh_b = _variant(901) + " other brand new material goes here now"
+    batch = spark.createDataFrame(
+        [(500, t0), (501, t1.replace("unique", "uniqxe", 1)),
+         (502, fresh_a), (503, fresh_a),
+         (504, fresh_b), (505, fresh_b.replace("other", "some"))],
+        "doc_id long, text string")
+
+    out = dedup_increment(spark, batch, idx, threshold=0.5)
+    ids = {r["doc_id"] for r in out.collect()}
+    assert 500 not in ids           # exact dup of corpus → dropped
+    assert 501 not in ids           # near-dup of corpus → dropped
+    assert 502 in ids and 503 not in ids   # within-batch exact: keep min
+    assert 504 in ids and 505 not in ids   # within-batch near: keep min
+
+    # index grew by the survivors → re-ingesting the same batch drops all
+    again = dedup_increment(spark, batch, idx, threshold=0.5,
+                            update_index=False)
+    assert again.count() == 0
