@@ -417,8 +417,10 @@ def dedup_increment(spark: SparkSession, new_docs: DataFrame,
        is small → broadcast-eligible), candidates verified by signature
        agreement (est Jaccard ≥ threshold ⇒ drop the batch doc) — no
        text, no quadratic self-join;
-    4. within-batch near-dup (standard ``minhash_near_dups`` + keep the
-       min doc_id of each pair's cluster edge).
+    4. within-batch near-dup (standard ``minhash_near_dups``; a batch
+       doc with any smaller-id near-dup neighbor is dropped — the
+       direct-edge keep rule; run a batch-sized ``dup_clusters`` pass
+       instead if component-min semantics are required).
 
     Returns the surviving new docs (all columns). ``update_index=True``
     appends the survivors' digest/signature rows so the NEXT batch sees
@@ -489,6 +491,26 @@ def dedup_increment(spark: SparkSession, new_docs: DataFrame,
     return survivors
 
 
+def compact_dedup_index(spark: SparkSession, index_dst: str,
+                        target_partitions: int | None = None) -> None:
+    """Index maintenance: every ``dedup_increment`` batch APPENDS a few
+    files to the fingerprint/signature tables, so after thousands of
+    batches the index is a small-file swarm that destroys scan and
+    planning time. Rewrites each table into ``target_partitions`` files
+    (default: the session's shuffle parallelism). Content-preserving;
+    same write-after-checkpoint pattern as ``mre.io.compact_partitions``
+    (the snapshot must be materialized before overwriting the path it
+    reads, and is released once the rewrite is on disk). On Iceberg this
+    maps to rewrite_data_files."""
+    from .textops import _release_local_checkpoint
+    n = target_partitions or spark.sparkContext.defaultParallelism
+    for table in ("fingerprints", "signatures"):
+        path = f"{index_dst}/{table}"
+        snap = read_table(spark, path).localCheckpoint(eager=True)
+        snap.repartition(n).write.mode("overwrite").parquet(path)
+        _release_local_checkpoint(snap)
+
+
 def run_corpus(spark: SparkSession, src: str, workdir: str, run_id: str, *,
                evals_src: Optional[str] = None,
                buckets: Optional[int] = None, dedup: str = "window",
@@ -525,4 +547,4 @@ __all__ = ["curate_df", "run_curate", "read_curated", "completed_stages",
            "quality_keep_ids", "exact_keeper_ids", "near_dup_loser_ids",
            "contaminated_ids", "CURATE_STAGES", "read_curate_lineage",
            "extracted_to_documents", "run_corpus",
-           "build_dedup_index", "dedup_increment"]
+           "build_dedup_index", "dedup_increment", "compact_dedup_index"]

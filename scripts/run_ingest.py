@@ -39,9 +39,13 @@ def main() -> None:
     g.add_argument("--threshold", type=float, default=0.5)
     g.add_argument("--max-bucket", type=int, default=None)
     g.add_argument("--no-index-update", action="store_true")
+    c = sub.add_parser("compact",
+                       help="rewrite the index's small-file swarm")
+    c.add_argument("--target-partitions", type=int, default=None)
     args = ap.parse_args()
 
-    from mre.curate import build_dedup_index, dedup_increment
+    from mre.curate import (build_dedup_index, compact_dedup_index,
+                            dedup_increment)
     from mre.io import get_spark, read_table
 
     spark = get_spark(app="mre-ingest")
@@ -49,6 +53,9 @@ def main() -> None:
         if args.cmd == "build":
             build_dedup_index(spark, read_table(spark, args.src),
                               args.index)
+        elif args.cmd == "compact":
+            compact_dedup_index(spark, args.index,
+                                args.target_partitions)
         else:
             out = dedup_increment(
                 spark, read_table(spark, args.batch), args.index,

@@ -430,3 +430,35 @@ def test_dedup_increment_against_index(spark, docs, tmp_path):
     again = dedup_increment(spark, batch, idx, threshold=0.5,
                             update_index=False)
     assert again.count() == 0
+
+
+def test_compact_dedup_index_preserves_content(spark, docs, tmp_path):
+    import glob
+    from mre.curate import (build_dedup_index, compact_dedup_index,
+                            dedup_increment)
+    idx = str(tmp_path / "idx")
+    build_dedup_index(spark, docs, idx)
+    # several append batches → small-file swarm
+    for b in range(3):
+        batch = spark.createDataFrame(
+            [(1000 + b * 10 + j,
+              _variant(1000 + b * 10 + j) + f" fresh tail {b} {j}")
+             for j in range(2)], "doc_id long, text string")
+        dedup_increment(spark, batch, idx, threshold=0.5)
+    before = {(r["doc_id"], r["fingerprint"])
+              for r in spark.read.parquet(f"{idx}/fingerprints")
+              .collect()}
+    n_files = len(glob.glob(f"{idx}/fingerprints/*.parquet"))
+    compact_dedup_index(spark, idx, target_partitions=1)
+    after = {(r["doc_id"], r["fingerprint"])
+             for r in spark.read.parquet(f"{idx}/fingerprints").collect()}
+    assert after == before                       # content byte-preserved
+    assert len(glob.glob(f"{idx}/fingerprints/*.parquet")) < n_files
+    assert len(glob.glob(f"{idx}/signatures/*.parquet")) == 1
+    # the compacted index still works
+    redo = dedup_increment(
+        spark, spark.createDataFrame(
+            [(2000, _variant(1000) + " fresh tail 0 0")],
+            "doc_id long, text string"),
+        idx, threshold=0.5, update_index=False)
+    assert redo.count() == 0                     # exact dup of batch 0
