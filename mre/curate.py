@@ -36,7 +36,7 @@ from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .io import read_table, write_append
+from .io import read_table, write_append, write_overwrite
 from .textops import (benchmark_contamination, dup_clusters, fingerprint,
                       gopher_quality, gopher_repetition, hash_split,
                       jaccard_on_candidates, minhash_near_dups,
@@ -379,8 +379,13 @@ def extracted_to_documents(results: DataFrame) -> DataFrame:
                     "headline", "pubdate", "authors"))
 
 
-_EST_JACCARD = ("round(size(filter(zip_with(sig_a, sig_b,"
-                " (x, y) -> int(x = y)), v -> v = 1)) / size(sig_a), 4)")
+def _index_meta(spark: SparkSession, index_dst: str):
+    """(k, n) the index was built with, or None for a pre-meta index."""
+    try:
+        r = read_table(spark, f"{index_dst}/meta").first()
+        return (r["k"], r["n"])
+    except Exception:
+        return None
 
 
 def build_dedup_index(spark: SparkSession, docs: DataFrame, dst: str, *,
@@ -391,14 +396,44 @@ def build_dedup_index(spark: SparkSession, docs: DataFrame, dst: str, *,
     needs — re-running full-corpus dedup per batch is O(corpus) a day,
     the index path is O(batch)):
 
+        {dst}/meta          (k, n)                   build parameters
         {dst}/fingerprints  (doc_id, fingerprint)    md5 digest, exact
         {dst}/signatures    (doc_id, sig)            MinHash k longs
 
-    ~300 B/doc total — 5 orders of magnitude below corpus text."""
-    fingerprint(docs).write.mode("overwrite") \
-        .parquet(f"{dst}/fingerprints")
-    minhash_signatures(docs, k, n).write.mode("overwrite") \
-        .parquet(f"{dst}/signatures")
+    ~300 B/doc total — 5 orders of magnitude below corpus text. The
+    meta row lets ``dedup_increment`` fail LOUDLY on a parameter
+    mismatch (signatures of different k would silently undercount the
+    estimated Jaccard — zip_with pads with nulls). All writers go
+    through the iceberg:-aware dispatch."""
+    write_overwrite(spark.createDataFrame([(k, n)], "k int, n int"),
+                    f"{dst}/meta")
+    write_overwrite(minhash_signatures(docs, k, n), f"{dst}/signatures")
+    write_overwrite(fingerprint(docs), f"{dst}/fingerprints")
+
+
+def update_dedup_index(spark: SparkSession, docs: DataFrame,
+                       index_dst: str, *, k: int = 32,
+                       n: int = 3) -> None:
+    """Idempotently add ``docs`` to the index. Docs whose fingerprint is
+    already present are skipped entirely; for the rest, signatures are
+    appended FIRST and fingerprints LAST, so a crash between the two
+    leaves a state a retry repairs (fingerprint absent → the doc is
+    re-selected; its duplicate signature rows are harmless — candidate
+    generation is distinct()-deduped). Fingerprint-present therefore
+    implies signature-present."""
+    fps_idx = read_table(spark, f"{index_dst}/fingerprints") \
+        .select("fingerprint")
+    fresh_ids = (fingerprint(docs)
+                 .join(fps_idx, "fingerprint", "left_anti")
+                 .select("doc_id"))
+    fresh = docs.join(fresh_ids, "doc_id", "left_semi") \
+        .localCheckpoint(eager=True)  # two appends read it; and never
+    # re-evaluate against the index mid-mutation
+    write_append(minhash_signatures(fresh, k, n),
+                 f"{index_dst}/signatures")
+    write_append(fingerprint(fresh), f"{index_dst}/fingerprints")
+    from .textops import _release_local_checkpoint
+    _release_local_checkpoint(fresh)
 
 
 def dedup_increment(spark: SparkSession, new_docs: DataFrame,
@@ -415,36 +450,59 @@ def dedup_increment(spark: SparkSession, new_docs: DataFrame,
     3. near-dup vs the CORPUS: the batch's LSH bands equi-join the index
        signatures' bands (``minhash_bands`` both sides; the batch side
        is small → broadcast-eligible), candidates verified by signature
-       agreement (est Jaccard ≥ threshold ⇒ drop the batch doc) — no
-       text, no quadratic self-join;
+       agreement (``EST_JACCARD_SQL``, the same expression the
+       within-corpus verifier uses; est ≥ threshold ⇒ drop the batch
+       doc) — no text, no quadratic self-join. Index rows carrying the
+       batch doc's OWN id are excluded, so a retry after a crashed
+       index update converges instead of self-matching;
     4. within-batch near-dup (standard ``minhash_near_dups``; a batch
        doc with any smaller-id near-dup neighbor is dropped — the
        direct-edge keep rule; run a batch-sized ``dup_clusters`` pass
        instead if component-min semantics are required).
 
     Returns the surviving new docs (all columns). ``update_index=True``
-    appends the survivors' digest/signature rows so the NEXT batch sees
-    this one. ``max_bucket`` guards viral bands exactly as in
-    ``minhash_candidates``. Eventual-exactness caveat: step 3 is the
-    estimator path (signatures only); run the LSH+exact-confirm
-    ``run_curate`` pipeline over the full corpus at a slower cadence if
-    exact-Jaccard confirmation is required."""
-    from .textops import (minhash_bands, minhash_near_dups,
-                          minhash_signatures)
+    checkpoints the survivors (batch-shaped) and appends their
+    digest/signature rows via ``update_dedup_index`` so the NEXT batch
+    sees this one; the intermediates this call persisted are then
+    released (scoped — other live plans' caches are untouched). With
+    ``update_index=False`` the caller owns both the write-ordering (see
+    scripts/run_ingest.py: commit the accepted table FIRST, then update
+    the index) and the cache release. ``max_bucket`` guards viral bands
+    exactly as in ``minhash_candidates``. Raises on a k/n mismatch with
+    the index's recorded build parameters. Eventual-exactness caveat:
+    step 3 is the estimator path (signatures only); run the
+    LSH+exact-confirm ``run_curate`` pipeline over the full corpus at a
+    slower cadence if exact-Jaccard confirmation is required."""
+    from pyspark import StorageLevel
+    from .textops import (EST_JACCARD_SQL, _CkptHandle, _register_cache,
+                          cache_mark, minhash_bands, minhash_near_dups,
+                          minhash_signatures, release_caches)
 
+    meta = _index_meta(spark, index_dst)
+    if meta is not None and meta != (k, n):
+        raise ValueError(
+            f"dedup index at {index_dst} was built with (k, n)={meta}; "
+            f"got (k={k}, n={n}) — signatures would silently disagree")
+    mark = cache_mark()
     fps_idx = read_table(spark, f"{index_dst}/fingerprints") \
         .select("fingerprint")
     sigs_idx = read_table(spark, f"{index_dst}/signatures")
 
-    # 1+2: exact, within batch then vs index
+    # 1+2: exact, within batch then vs index. The deduped batch feeds
+    # four downstream plan branches (signatures ×2, near-dup, final
+    # survivors) — persisted so the fingerprint shuffle and the source
+    # scan run once (module convention).
     fp_new = fingerprint(new_docs)
     keep = (fp_new.groupBy("fingerprint")
             .agg(F.min("doc_id").alias("doc_id")))
     keep = keep.join(fps_idx, "fingerprint", "left_anti").select("doc_id")
-    batch = new_docs.join(keep, "doc_id", "left_semi")
+    batch = _register_cache(
+        new_docs.join(keep, "doc_id", "left_semi")
+        .persist(StorageLevel.MEMORY_AND_DISK))
 
     # 3: near-dup vs corpus (bands × bands equi-join, sig-only verify)
-    sig_new = minhash_signatures(batch, k, n)
+    sig_new = _register_cache(minhash_signatures(batch, k, n)
+                              .persist(StorageLevel.MEMORY_AND_DISK))
     nb = minhash_bands(sig_new, bands)
     ib = minhash_bands(sigs_idx, bands)
     if max_bucket is not None:
@@ -455,7 +513,8 @@ def dedup_increment(spark: SparkSession, new_docs: DataFrame,
     cands = (nb.alias("n").join(
         ib.alias("i"),
         (F.col("n.band_idx") == F.col("i.band_idx"))
-        & (F.col("n.band_hash") == F.col("i.band_hash")))
+        & (F.col("n.band_hash") == F.col("i.band_hash"))
+        & (F.col("n.doc_id") != F.col("i.doc_id")))
         .select(F.col("n.doc_id").alias("new_id"),
                 F.col("i.doc_id").alias("corpus_id"))
         .distinct())
@@ -465,29 +524,27 @@ def dedup_increment(spark: SparkSession, new_docs: DataFrame,
             .join(sigs_idx.select(F.col("doc_id").alias("corpus_id"),
                                   F.col("sig").alias("sig_b")),
                   "corpus_id")
-            .withColumn("est", F.expr(_EST_JACCARD))
+            .withColumn("est", F.expr(EST_JACCARD_SQL))
             .filter(F.col("est") >= threshold)
             .select(F.col("new_id").alias("doc_id")).distinct())
-    batch = batch.join(hits, "doc_id", "left_anti")
+    deduped = batch.join(hits, "doc_id", "left_anti")
 
     # 4: within-batch near-dup — keep each pair's lower doc_id
-    pairs = minhash_near_dups(batch, k=k, n=n, bands=bands,
+    pairs = minhash_near_dups(deduped, k=k, n=n, bands=bands,
                               threshold=threshold, max_bucket=max_bucket)
     losers = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
-    survivors = batch.join(losers, "doc_id", "left_anti")
+    survivors = deduped.join(losers, "doc_id", "left_anti")
 
     if update_index:
-        # materialize BEFORE mutating the index the plan reads from:
-        # the survivor plan anti-joins the index tables, so appending
-        # first would make any later re-evaluation of the returned
-        # frame see its own rows and drop everything. The checkpoint is
-        # batch-shaped (the whole point of the incremental path is that
-        # batches are small next to the corpus).
+        # materialize BEFORE mutating the index the plan reads from
+        # (the survivor plan anti-joins those tables); batch-shaped
         survivors = survivors.localCheckpoint(eager=True)
-        fingerprint(survivors).write.mode("append") \
-            .parquet(f"{index_dst}/fingerprints")
-        minhash_signatures(survivors, k, n).write.mode("append") \
-            .parquet(f"{index_dst}/signatures")
+        update_dedup_index(spark, survivors, index_dst, k=k, n=n)
+        # the checkpoint truncated the lineage — this call's persisted
+        # intermediates are dead; the checkpoint itself goes to the
+        # registry for the caller to release after consuming the result
+        release_caches(since=mark)
+        _register_cache(_CkptHandle(survivors))
     return survivors
 
 
@@ -497,17 +554,18 @@ def compact_dedup_index(spark: SparkSession, index_dst: str,
     files to the fingerprint/signature tables, so after thousands of
     batches the index is a small-file swarm that destroys scan and
     planning time. Rewrites each table into ``target_partitions`` files
-    (default: the session's shuffle parallelism). Content-preserving;
-    same write-after-checkpoint pattern as ``mre.io.compact_partitions``
-    (the snapshot must be materialized before overwriting the path it
-    reads, and is released once the rewrite is on disk). On Iceberg this
-    maps to rewrite_data_files."""
+    (default: the session's ``spark.sql.shuffle.partitions``).
+    Content-preserving; same write-after-checkpoint pattern as
+    ``mre.io.compact_partitions`` (the snapshot must be materialized
+    before overwriting the path it reads, and is released once the
+    rewrite is on disk). On Iceberg this maps to rewrite_data_files."""
     from .textops import _release_local_checkpoint
-    n = target_partitions or spark.sparkContext.defaultParallelism
+    n = target_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions"))
     for table in ("fingerprints", "signatures"):
         path = f"{index_dst}/{table}"
         snap = read_table(spark, path).localCheckpoint(eager=True)
-        snap.repartition(n).write.mode("overwrite").parquet(path)
+        write_overwrite(snap.repartition(n), path)
         _release_local_checkpoint(snap)
 
 
@@ -547,4 +605,5 @@ __all__ = ["curate_df", "run_curate", "read_curated", "completed_stages",
            "quality_keep_ids", "exact_keeper_ids", "near_dup_loser_ids",
            "contaminated_ids", "CURATE_STAGES", "read_curate_lineage",
            "extracted_to_documents", "run_corpus",
-           "build_dedup_index", "dedup_increment", "compact_dedup_index"]
+           "build_dedup_index", "update_dedup_index", "dedup_increment",
+           "compact_dedup_index"]

@@ -97,6 +97,16 @@ def write_append(df: DataFrame, dst: str) -> None:
         df.write.mode("append").parquet(dst)
 
 
+def write_overwrite(df: DataFrame, dst: str) -> None:
+    """P7 sink, full-overwrite semantics, same ``iceberg:`` dispatch as
+    every other writer — raw ``df.write.parquet(dst)`` on an iceberg:
+    URI would hand Hadoop a bogus filesystem scheme."""
+    if dst.startswith(ICEBERG_PREFIX):
+        df.writeTo(dst[len(ICEBERG_PREFIX):]).createOrReplace()
+    else:
+        df.write.mode("overwrite").parquet(dst)
+
+
 def write_overwrite_partitions(df: DataFrame, dst: str,
                                partition_col: str) -> None:
     """P7 sink, dynamic-partition-overwrite semantics (idempotent re-write

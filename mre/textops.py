@@ -456,6 +456,16 @@ def minhash_signatures(docs: DataFrame, k: int = 32,
             .select("doc_id", F.expr(f"array({mins})").alias("sig")))
 
 
+# estimated Jaccard from two signature columns (sig_a, sig_b): fraction
+# of equal positions, on the 4-decimal grid. ONE definition — used by the
+# within-corpus verifier (minhash_near_dups) AND the cross-corpus
+# incremental path (mre.curate.dedup_increment), so the two verification
+# paths can never desynchronize their threshold semantics.
+EST_JACCARD_SQL = ("round(size(filter(zip_with(sig_a, sig_b,"
+                   " (x, y) -> int(x = y)), v -> v = 1))"
+                   " / size(sig_a), 4)")
+
+
 def minhash_bands(sigs: DataFrame, bands: int = 8) -> DataFrame:
     """(doc_id, band_idx, band_hash) LSH banding rows for a signature
     frame — the shared building block of the self-join candidate
@@ -518,9 +528,7 @@ def minhash_near_dups(docs: DataFrame, k: int = 32, n: int = 3,
     sb = sigs.select(F.col("doc_id").alias("doc_b"),
                      F.col("sig").alias("sig_b"))
     return (cands.join(sa, "doc_a").join(sb, "doc_b")
-            .withColumn("est_jaccard", F.expr(
-                "round(size(filter(zip_with(sig_a, sig_b,"
-                " (x, y) -> int(x = y)), v -> v = 1)) / size(sig_a), 4)"))
+            .withColumn("est_jaccard", F.expr(EST_JACCARD_SQL))
             .filter(F.col("est_jaccard") >= threshold)
             .select("doc_a", "doc_b", "est_jaccard"))
 
@@ -1287,7 +1295,7 @@ __all__ = [
     "token_stats", "quality_score", "lang_id", "lang_pred_expr",
     "fingerprint", "exact_dedup",
     "shingles", "jaccard_pairs", "minhash_signatures", "minhash_candidates",
-    "minhash_bands",
+    "minhash_bands", "EST_JACCARD_SQL",
     "minhash_near_dups", "simhash", "simhash_near_dups", "ann_brute_force",
     "ann_lsh", "ivf_ann", "cosine_dup_pairs", "gopher_quality",
     "gopher_repetition",

@@ -17,8 +17,11 @@ Then per crawl batch::
                --dst iceberg:warehouse.accepted_2024w34
 
 ``ingest`` drops batch docs that are exact or near duplicates of the
-corpus or of each other, writes the survivors to --dst, and appends
-their digest/signature rows to the index so the next batch sees them.
+corpus or of each other, COMMITS the survivors to --dst first, and only
+then appends their digest/signature rows to the index (write-then-
+update: a crash mid-index-update re-runs safely — the committed --dst
+is detected and reused, and the index update is idempotent). Re-running
+a fully-completed ingest is a no-op on both tables.
 """
 
 from __future__ import annotations
@@ -44,9 +47,12 @@ def main() -> None:
     c.add_argument("--target-partitions", type=int, default=None)
     args = ap.parse_args()
 
+    import os
+
     from mre.curate import (build_dedup_index, compact_dedup_index,
-                            dedup_increment)
-    from mre.io import get_spark, read_table
+                            dedup_increment, update_dedup_index)
+    from mre.io import get_spark, read_table, write_overwrite
+    from mre.textops import release_caches
 
     spark = get_spark(app="mre-ingest")
     try:
@@ -57,11 +63,31 @@ def main() -> None:
             compact_dedup_index(spark, args.index,
                                 args.target_partitions)
         else:
-            out = dedup_increment(
-                spark, read_table(spark, args.batch), args.index,
-                threshold=args.threshold, max_bucket=args.max_bucket,
-                update_index=not args.no_index_update)
-            out.write.mode("overwrite").parquet(args.dst)
+            # write-then-update ordering: commit --dst BEFORE touching
+            # the index, and resume from a committed --dst instead of
+            # recomputing (a recompute after a partial index update
+            # would see the batch's own rows and drop everything)
+            committed = False
+            if "://" not in args.dst \
+                    and not args.dst.startswith("iceberg:"):
+                committed = os.path.exists(
+                    os.path.join(args.dst, "_SUCCESS"))
+            else:
+                try:
+                    read_table(spark, args.dst)
+                    committed = True
+                except Exception:
+                    committed = False
+            if not committed:
+                out = dedup_increment(
+                    spark, read_table(spark, args.batch), args.index,
+                    threshold=args.threshold,
+                    max_bucket=args.max_bucket, update_index=False)
+                write_overwrite(out, args.dst)
+            accepted = read_table(spark, args.dst)
+            if not args.no_index_update:
+                update_dedup_index(spark, accepted, args.index)
+            release_caches()
     finally:
         spark.stop()
 

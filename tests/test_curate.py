@@ -462,3 +462,29 @@ def test_compact_dedup_index_preserves_content(spark, docs, tmp_path):
             "doc_id long, text string"),
         idx, threshold=0.5, update_index=False)
     assert redo.count() == 0                     # exact dup of batch 0
+
+
+def test_dedup_index_param_guard_and_idempotent_update(spark, docs,
+                                                       tmp_path):
+    """A k/n mismatch with the index's recorded build parameters fails
+    loudly; re-applying update_dedup_index is a no-op (fingerprint
+    guard), so crash-retry of an index update cannot duplicate docs."""
+    import pytest as _pytest
+    from mre.curate import (build_dedup_index, dedup_increment,
+                            update_dedup_index)
+    idx = str(tmp_path / "idx")
+    build_dedup_index(spark, docs, idx, k=32, n=3)
+    batch = spark.createDataFrame(
+        [(700, _variant(700) + " fresh seven hundred closing words")],
+        "doc_id long, text string")
+    with _pytest.raises(ValueError, match="built with"):
+        dedup_increment(spark, batch, idx, k=64)
+    n_before = spark.read.parquet(f"{idx}/fingerprints").count()
+    update_dedup_index(spark, batch, idx)
+    n_once = spark.read.parquet(f"{idx}/fingerprints").count()
+    assert n_once == n_before + 1
+    update_dedup_index(spark, batch, idx)   # retry → no-op
+    assert spark.read.parquet(f"{idx}/fingerprints").count() == n_once
+    sig_rows = spark.read.parquet(f"{idx}/signatures") \
+        .filter("doc_id = 700").count()
+    assert sig_rows == 1
