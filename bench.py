@@ -216,11 +216,22 @@ def main() -> None:
 
 
 def _write_baseline_md(scal: dict) -> None:
+    """Write the scaling summary. BENCH/BASELINE.md holds a hand-merged
+    MULTI-run history; overwrite it only when absent — otherwise land in
+    BASELINE_last_run.md for manual merging (a protocol run once
+    clobbered three runs of curated provenance)."""
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    if os.path.exists(os.path.join(REPO, "BENCH", "BASELINE.md")):
+        _write_baseline_md_to(scal, "BASELINE_last_run.md")
+        return
+    _write_baseline_md_to(scal, "BASELINE.md")
+
+
+def _write_baseline_md_to(scal: dict, fname: str) -> None:
     p2, p8, p32 = scal["local[2]"], scal["local[8]"], scal["local[32]"]
     eff28 = scal["scaling_efficiency_2_to_8"]
     eff832 = scal["scaling_efficiency_8_to_32"]
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+    with open(os.path.join(REPO, "BENCH", fname), "w") as f:
         f.write(f"""# BENCH/BASELINE — measured scaling numbers
 
 Corpus: `BENCH/corpus_v3_n{SCALING_N}` (fixture family F13 revision — v3;
