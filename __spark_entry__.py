@@ -627,11 +627,21 @@ def q_url_dedup(spark, sf_dir):
 
 
 def q_hash_sample(spark, sf_dir):
-    """Deterministic ~5% content-hash sample (md5-bucket, engine-stable)."""
-    from mre.textops import hash_sample
+    """Content-hash sampling, flat AND stratified, as one tagged union
+    (registry-window rule): op='flat' is the ~5% md5-bucket sample;
+    op='strat' applies per-language mixture quotas (en 5%, fr 60%,
+    everything else 25%) via the same engine-stable bucket — the
+    mixture-weighting step of corpus assembly, value-checked per row."""
+    from mre.textops import hash_sample, stratified_sample
     _prep(spark)
-    return hash_sample(_t(spark, sf_dir, "documents"), "text", 0.05) \
-        .select("doc_id", "lang", "n_chars")
+    docs = _t(spark, sf_dir, "documents")
+    flat = hash_sample(docs, "text", 0.05) \
+        .select(F.lit("flat").alias("op"), "doc_id", "lang", "n_chars")
+    strat = stratified_sample(docs, "text", "lang",
+                              {"en": 0.05, "fr": 0.6},
+                              default_rate=0.25) \
+        .select(F.lit("strat").alias("op"), "doc_id", "lang", "n_chars")
+    return flat.unionAll(strat)
 
 
 def q_hash_split(spark, sf_dir):
@@ -1391,9 +1401,16 @@ def oracle_sql() -> dict[str, str]:
             FROM aug
         """,
         "hash_sample": """
-            SELECT doc_id, lang, n_chars FROM documents
+            SELECT 'flat' AS op, doc_id, lang, n_chars FROM documents
             WHERE CAST(('0x' || substring(md5(text), 1, 4)) AS INTEGER)
                   < CAST(0.05 * 65536 AS INTEGER)
+            UNION ALL
+            SELECT 'strat' AS op, doc_id, lang, n_chars FROM documents
+            WHERE CAST(('0x' || substring(md5(text), 1, 4)) AS INTEGER)
+                  < CASE lang
+                        WHEN 'en' THEN CAST(0.05 * 65536 AS INTEGER)
+                        WHEN 'fr' THEN CAST(0.6 * 65536 AS INTEGER)
+                        ELSE CAST(0.25 * 65536 AS INTEGER) END
         """,
         "hash_split": """
             SELECT CASE WHEN CAST(('0x' || substring(md5(text), 1, 4))

@@ -1118,6 +1118,22 @@ def hash_sample(df: DataFrame, key_col: str, rate: float) -> DataFrame:
     return df.filter(hash_bucket_16(F.col(key_col)) < thr)
 
 
+def stratified_sample(df: DataFrame, key_col: str, strata_col: str,
+                      rates: dict, default_rate: float = 0.0) -> DataFrame:
+    """Deterministic PER-STRATUM content-hash sampling — the mixture-
+    weighting step of corpus assembly (e.g. keep 100% of low-resource
+    languages but 5% of English, or per-domain quotas). Same md5-bucket
+    mechanism as ``hash_sample``: stable under repartitioning, re-runs,
+    engine changes, and dedup (same content ⇒ same decision). A pure
+    filter over one scan — the rate lookup is a literal CASE chain, no
+    join, no shuffle; strata not in ``rates`` get ``default_rate``."""
+    thr = F.lit(int(default_rate * 65536))
+    for stratum, rate in sorted(rates.items()):
+        thr = F.when(F.col(strata_col) == stratum,
+                     F.lit(int(rate * 65536))).otherwise(thr)
+    return df.filter(hash_bucket_16(F.col(key_col)) < thr)
+
+
 def hash_split(df: DataFrame, key_col: str,
                train_frac: float = 0.9) -> DataFrame:
     """Deterministic train/test assignment by content hash; adds ``split``.
@@ -1290,6 +1306,7 @@ def table_profile(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
 __all__ = [
     "release_caches", "cache_mark",
     "table_profile", "hash_bucket_16", "hash_sample", "hash_split",
+    "stratified_sample",
     "sentence_dedup_stats", "remove_dup_passages", "pii_scrub",
     "PII_EMAIL", "PII_IP", "PII_PHONE",
     "token_stats", "quality_score", "lang_id", "lang_pred_expr",

@@ -450,3 +450,29 @@ def test_remove_dup_passages_reconstruction_identity(spark):
         "doc_id long, text string"))
     twice = pii_scrub(once.select("doc_id", "text")).collect()[0]
     assert twice["n_pii"] == 0
+
+
+def test_stratified_sample_quotas_and_stability(spark):
+    from mre.textops import hash_sample, stratified_sample
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = stratified_sample(docs, "text", "lang",
+                            {"en": 0.0, "fr": 1.0}, default_rate=0.05)
+    rows = out.collect()
+    langs = {r["lang"] for r in rows}
+    assert "en" not in langs                       # rate 0 → none
+    n_fr_all = docs.filter("lang = 'fr'").count()
+    assert sum(r["lang"] == "fr" for r in rows) == n_fr_all  # rate 1 → all
+    # per-stratum decisions match the flat sampler at the same rate
+    # (same bucket function → same kept set)
+    flat5 = {r["doc_id"]
+             for r in hash_sample(docs, "text", 0.05).collect()}
+    others = {r["doc_id"] for r in rows
+              if r["lang"] not in ("en", "fr")}
+    flat_others = {r["doc_id"] for r in docs.join(
+        spark.createDataFrame([(d,) for d in flat5], "doc_id long"),
+        "doc_id", "left_semi").filter("lang not in ('en','fr')")
+        .collect()}
+    assert others == flat_others
+    # deterministic: re-evaluation returns the identical set
+    assert {r["doc_id"] for r in out.collect()} \
+        == {r["doc_id"] for r in rows}
