@@ -655,7 +655,8 @@ def q_hash_split(spark, sf_dir):
                  F.min("doc_id").alias("min_doc_id")))
 
 
-_PII_FOOTER = "@example.com from 10.0.0.99 call 555-123-4567"
+_PII_FOOTER = ("@example.com from 10.0.0.99 call 555-123-4567"
+               " or (555) 123-4567 or +1 555 123 4567")
 
 
 def q_sentence_dedup(spark, sf_dir):
@@ -1138,7 +1139,7 @@ def oracle_sql() -> dict[str, str]:
             sp AS (
                 SELECT doc_id,
                        CASE WHEN CAST(('0x' || substring(md5(text), 1, 4))
-                                AS INTEGER) < CAST(0.5 * 65536 AS INTEGER)
+                                AS INTEGER) < CAST(FLOOR(0.5 * 65536) AS INTEGER)
                             THEN 'train' ELSE 'test' END AS split
                 FROM documents)
             SELECT c.doc_a, c.doc_b,
@@ -1262,7 +1263,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, d.lang,
                    CASE WHEN CAST(('0x' || substring(md5(d.text), 1, 4))
                                   AS INTEGER)
-                             < CAST(0.9 * 65536 AS INTEGER)
+                             < CAST(FLOOR(0.9 * 65536) AS INTEGER)
                         THEN 'train' ELSE 'test' END AS split
             FROM documents d JOIN final_ids f ON d.doc_id = f.doc_id{_PCUR}
         """,
@@ -1378,7 +1379,7 @@ def oracle_sql() -> dict[str, str]:
                        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}'
                        )) AS BIGINT) AS m1,
                    CAST(len(regexp_extract_all(text,
-                       '\+?\d{{3}}[-. ]\d{{3}}[-. ]\d{{4}}\b'
+                       '\+?\d{{1,2}}[-. ]\(?\d{{3}}\)?[-. ]?\d{{3}}[-. ]\d{{4}}\b|\(\d{{3}}\)[-. ]?\d{{3}}[-. ]\d{{4}}\b|\+?\d{{3}}[-. ]\d{{3}}[-. ]\d{{4}}\b'
                        )) AS BIGINT) AS m2,
                    CAST(len(regexp_extract_all(text,
                        '\b\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}\b'
@@ -1387,7 +1388,7 @@ def oracle_sql() -> dict[str, str]:
                        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}'
                        ))
                      + len(regexp_extract_all(text,
-                       '\+?\d{{3}}[-. ]\d{{3}}[-. ]\d{{4}}\b'))
+                       '\+?\d{{1,2}}[-. ]\(?\d{{3}}\)?[-. ]?\d{{3}}[-. ]\d{{4}}\b|\(\d{{3}}\)[-. ]?\d{{3}}[-. ]\d{{4}}\b|\+?\d{{3}}[-. ]\d{{3}}[-. ]\d{{4}}\b'))
                      + len(regexp_extract_all(text,
                        '\b\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}\b'))
                      AS BIGINT) AS m4,
@@ -1396,25 +1397,25 @@ def oracle_sql() -> dict[str, str]:
                        '<EMAIL>', 'g'),
                        '\b\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}\b',
                        '<IP>', 'g'),
-                       '\+?\d{{3}}[-. ]\d{{3}}[-. ]\d{{4}}\b',
+                       '\+?\d{{1,2}}[-. ]\(?\d{{3}}\)?[-. ]?\d{{3}}[-. ]\d{{4}}\b|\(\d{{3}}\)[-. ]?\d{{3}}[-. ]\d{{4}}\b|\+?\d{{3}}[-. ]\d{{3}}[-. ]\d{{4}}\b',
                        '<PHONE>', 'g') AS text_out
             FROM aug
         """,
         "hash_sample": """
             SELECT 'flat' AS op, doc_id, lang, n_chars FROM documents
             WHERE CAST(('0x' || substring(md5(text), 1, 4)) AS INTEGER)
-                  < CAST(0.05 * 65536 AS INTEGER)
+                  < CAST(FLOOR(0.05 * 65536) AS INTEGER)
             UNION ALL
             SELECT 'strat' AS op, doc_id, lang, n_chars FROM documents
             WHERE CAST(('0x' || substring(md5(text), 1, 4)) AS INTEGER)
                   < CASE lang
-                        WHEN 'en' THEN CAST(0.05 * 65536 AS INTEGER)
-                        WHEN 'fr' THEN CAST(0.6 * 65536 AS INTEGER)
-                        ELSE CAST(0.25 * 65536 AS INTEGER) END
+                        WHEN 'en' THEN CAST(FLOOR(0.05 * 65536) AS INTEGER)
+                        WHEN 'fr' THEN CAST(FLOOR(0.6 * 65536) AS INTEGER)
+                        ELSE CAST(FLOOR(0.25 * 65536) AS INTEGER) END
         """,
         "hash_split": """
             SELECT CASE WHEN CAST(('0x' || substring(md5(text), 1, 4))
-                             AS INTEGER) < CAST(0.9 * 65536 AS INTEGER)
+                             AS INTEGER) < CAST(FLOOR(0.9 * 65536) AS INTEGER)
                         THEN 'train' ELSE 'test' END AS split,
                    lang, count(*) AS n_docs,
                    CAST(min(doc_id) AS BIGINT) AS min_doc_id

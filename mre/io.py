@@ -178,6 +178,64 @@ def read_table(spark: SparkSession, path: str) -> DataFrame:
     return read_pages(spark, path)
 
 
+def _hadoop_fs(spark: SparkSession, path: str):
+    """(FileSystem, Path) for any Hadoop-readable URI (file://, hdfs://,
+    s3a://, ...) — the portable way to probe/rename outside the JVM-less
+    local-path fast paths."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, p
+
+
+def path_committed(spark: SparkSession, dst: str) -> bool:
+    """Has a previous write to ``dst`` COMMITTED? (ADVICE r5 #1.)
+
+    * ``iceberg:`` tables commit atomically (snapshot swap), so a
+      readable table IS a committed table — read-probe.
+    * Every other path (local AND remote parquet dirs) requires the
+      ``_SUCCESS`` marker, checked through the Hadoop FileSystem API.
+      Merely-readable is NOT committed: a crash mid-write under a v2
+      output committer leaves partially-promoted part files that
+      read_table happily loads — resuming from those silently adopts a
+      partial survivor set (and, for ingest, permanently pollutes the
+      dedup index with the dropped remainder's absence)."""
+    if dst.startswith(ICEBERG_PREFIX):
+        try:
+            read_table(spark, dst)
+            return True
+        except Exception:
+            return False
+    try:
+        fs, p = _hadoop_fs(spark, f"{dst}/_SUCCESS")
+        return bool(fs.exists(p))
+    except Exception:
+        return False
+
+
+def swap_dirs(spark: SparkSession, tmp: str, path: str) -> None:
+    """Promote a freshly-written sibling directory over ``path`` with
+    rename-level atomicity (ADVICE r5 #3): ``path`` → ``path.old``,
+    ``tmp`` → ``path``, delete ``path.old``. A crash between the two
+    renames leaves the data recoverable at ``path.old`` (and the
+    completed rewrite at ``tmp``) — never a deleted-then-half-rewritten
+    directory, which is unrecoverable when the source plan was a
+    lineage-free snapshot. Works through the Hadoop FileSystem API so
+    local and remote parquet behave identically; Iceberg callers should
+    use the atomic table-level ops instead."""
+    fs, p_old = _hadoop_fs(spark, f"{path}.old")
+    _, p_tmp = _hadoop_fs(spark, tmp)
+    _, p_dst = _hadoop_fs(spark, path)
+    if fs.exists(p_old):        # leftover from an earlier crash
+        fs.delete(p_old, True)
+    if fs.exists(p_dst):
+        if not fs.rename(p_dst, p_old):
+            raise IOError(f"rename {path} -> {path}.old failed")
+    if not fs.rename(p_tmp, p_dst):
+        raise IOError(f"rename {tmp} -> {path} failed")
+    fs.delete(p_old, True)
+
+
 def read_pages_jsonl(spark: SparkSession, src: str) -> DataFrame:
     """P1 scan over JSONL pages (one JSON object per line; ``html`` is
     base64 — JSON can't carry raw bytes). Yields PAGES_SCHEMA. Useful for
@@ -222,4 +280,5 @@ def write_bucketed(df: DataFrame, table: str, bucket_col: str,
 
 __all__ = ["get_spark", "read_pages", "write_append",
            "write_overwrite_partitions", "read_table", "read_pages_jsonl",
-           "write_bucketed", "ICEBERG_PREFIX"]
+           "write_bucketed", "path_committed", "swap_dirs",
+           "ICEBERG_PREFIX"]

@@ -1254,7 +1254,13 @@ def remove_dup_passages(docs: DataFrame, min_len: int = 20,
 
 PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
-PII_PHONE = r"\+?\d{3}[-. ]\d{3}[-. ]\d{4}\b"
+# Three alternations, longest-prefix first (alternation is ordered and
+# identical in Java regex and RE2): (a) country-code form
+# "+1 (555) 123-4567" / "1-555-123-4567", (b) parenthesized US form
+# "(555) 123-4567" (VERDICT r5 #6), (c) the bare 10-digit form.
+PII_PHONE = (r"\+?\d{1,2}[-. ]\(?\d{3}\)?[-. ]?\d{3}[-. ]\d{4}\b"
+             r"|\(\d{3}\)[-. ]?\d{3}[-. ]\d{4}\b"
+             r"|\+?\d{3}[-. ]\d{3}[-. ]\d{4}\b")
 
 
 def pii_scrub(docs: DataFrame) -> DataFrame:

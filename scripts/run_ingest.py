@@ -47,11 +47,10 @@ def main() -> None:
     c.add_argument("--target-partitions", type=int, default=None)
     args = ap.parse_args()
 
-    import os
-
     from mre.curate import (build_dedup_index, compact_dedup_index,
                             dedup_increment, update_dedup_index)
-    from mre.io import get_spark, read_table, write_overwrite
+    from mre.io import (get_spark, path_committed, read_table,
+                        write_overwrite)
     from mre.textops import release_caches
 
     spark = get_spark(app="mre-ingest")
@@ -66,19 +65,15 @@ def main() -> None:
             # write-then-update ordering: commit --dst BEFORE touching
             # the index, and resume from a committed --dst instead of
             # recomputing (a recompute after a partial index update
-            # would see the batch's own rows and drop everything)
-            committed = False
-            if "://" not in args.dst \
-                    and not args.dst.startswith("iceberg:"):
-                committed = os.path.exists(
-                    os.path.join(args.dst, "_SUCCESS"))
-            else:
-                try:
-                    read_table(spark, args.dst)
-                    committed = True
-                except Exception:
-                    committed = False
-            if not committed:
+            # would see the batch's own rows and drop everything).
+            # Committed means the _SUCCESS marker for every parquet dst
+            # — local AND remote — via the Hadoop FS API (ADVICE r5 #1:
+            # a merely-readable remote dir after a crash mid-write is
+            # partially-promoted part files, and adopting it as the
+            # accepted batch silently drops the rest of the batch and
+            # pollutes the index permanently); iceberg: commits are
+            # atomic, so there the read-probe is the right check.
+            if not path_committed(spark, args.dst):
                 out = dedup_increment(
                     spark, read_table(spark, args.batch), args.index,
                     threshold=args.threshold,

@@ -287,9 +287,14 @@ def test_quality_stage_pii_knob(spark, docs, evals):
 
 def test_run_corpus_end_to_end(spark, tmp_path):
     """VERDICT r4 #5: the crawl → extract → curate journey as one job,
-    with resumable lineage for both halves under one root."""
-    from mre.curate import read_curated, run_corpus
+    with resumable lineage for both halves under one root — and ZERO
+    corpus copies (VERDICT r5 #1): the adapter projection flows lazily
+    into the curate half, no ``documents`` table is ever written."""
+    import os
+    from mre.curate import (extracted_to_documents, read_curated,
+                            run_corpus)
     from mre.fixtures import write_fixture_parquet
+    from mre.pipeline import read_results
 
     fx = str(tmp_path / "fixtures")
     write_fixture_parquet(fx, n=120)
@@ -302,8 +307,10 @@ def test_run_corpus_end_to_end(spark, tmp_path):
     assert ex_lin.count() > 0
     assert ex_lin.agg(F.sum("n_rows")).first()[0] == 120
 
-    # adapter: doc_id-keyed documents table derived from the urls
-    docs = spark.read.parquet(f"{wd}/documents")
+    # zero-copy: the doc_id-keyed shape exists only as a lazy adapter
+    # over the extraction sink — no second corpus copy on disk
+    assert not os.path.exists(f"{wd}/documents")
+    docs = extracted_to_documents(read_results(spark, f"{wd}/extracted"))
     assert docs.count() == 120
     assert set(docs.columns) == {"doc_id", "url", "text", "lang",
                                  "source", "n_chars", "headline",
@@ -325,9 +332,47 @@ def test_run_corpus_end_to_end(spark, tmp_path):
                train_frac=0.9)
     assert spark.read.parquet(f"{wd}/lineage/extract").count() == n_ex
     assert spark.read.parquet(f"{wd}/lineage/curate").count() == n_cu
+    assert not os.path.exists(f"{wd}/documents")
     final2 = read_curated(spark, f"{wd}/curated").orderBy("doc_id") \
         .toPandas()
     assert final2["doc_id"].tolist() == final1["doc_id"].tolist()
+
+
+def test_run_corpus_materialized_copy_not_rewritten_on_resume(
+        spark, tmp_path):
+    """materialize_documents=True writes the physical copy ONCE; a no-op
+    resume (extract half unchanged) must NOT rewrite it (VERDICT r5 #1
+    done-criterion) — and a wide_id run carries the 128-bit identity
+    pair through to the curated output (VERDICT r5 #5)."""
+    import glob
+    import os
+    from mre.curate import read_curated, run_corpus
+    from mre.fixtures import write_fixture_parquet
+
+    fx = str(tmp_path / "fixtures")
+    write_fixture_parquet(fx, n=60)
+    wd = str(tmp_path / "corpus")
+    run_corpus(spark, f"{fx}/pages.parquet", wd, run_id="m1",
+               train_frac=0.9, materialize_documents=True, wide_id=True)
+    docs = spark.read.parquet(f"{wd}/documents")
+    assert docs.count() == 60
+    assert "doc_id_hi" in docs.columns
+    # the 128-bit pair is collision-free and genuinely two-dimensional
+    assert docs.select("doc_id", "doc_id_hi").distinct().count() == 60
+    assert docs.filter(F.col("doc_id") == F.col("doc_id_hi")).count() == 0
+    # wide id rides through curation to the final split table
+    out = read_curated(spark, f"{wd}/curated")
+    assert "doc_id_hi" in out.columns
+
+    mtimes1 = {p: os.path.getmtime(p)
+               for p in glob.glob(f"{wd}/documents/*")}
+    assert mtimes1
+    # no-op resume: extract lineage unchanged → adapter copy untouched
+    run_corpus(spark, f"{fx}/pages.parquet", wd, run_id="m1",
+               train_frac=0.9, materialize_documents=True, wide_id=True)
+    mtimes2 = {p: os.path.getmtime(p)
+               for p in glob.glob(f"{wd}/documents/*")}
+    assert mtimes2 == mtimes1
 
 
 def test_read_curate_lineage_resolves_attempts(spark, docs, evals,
@@ -462,6 +507,146 @@ def test_compact_dedup_index_preserves_content(spark, docs, tmp_path):
             "doc_id long, text string"),
         idx, threshold=0.5, update_index=False)
     assert redo.count() == 0                     # exact dup of batch 0
+
+
+def test_dedup_index_is_prebanded_and_ingest_plan_is_scan_only(
+        spark, docs, tmp_path):
+    """VERDICT r5 #2: the index stores PRE-BANDED LSH rows, and the
+    ingest candidate plan (a) never Generates (explodes) the index side
+    — bands come from a plain scan of {index}/bands — and (b) never
+    shuffles the index side — the batch bands are broadcast. Also: a
+    bands-width mismatch with the recorded build parameter fails
+    loudly, and update_dedup_index maintains the bands table."""
+    from mre.curate import (build_dedup_index, dedup_increment,
+                            update_dedup_index)
+    idx = str(tmp_path / "idx")
+    build_dedup_index(spark, docs, idx, k=32, n=3, bands=8)
+
+    # layout: bands table exists, one row per (doc, band), recorded meta
+    bands_t = spark.read.parquet(f"{idx}/bands")
+    n_sigs = spark.read.parquet(f"{idx}/signatures").count()
+    assert set(bands_t.columns) == {"doc_id", "band_idx", "band_hash"}
+    assert bands_t.count() == 8 * n_sigs
+    meta = spark.read.parquet(f"{idx}/meta").first()
+    assert (meta["k"], meta["n"], meta["bands"]) == (32, 3, 8)
+
+    batch = spark.createDataFrame(
+        [(800, _variant(800) + " new content eight hundred closing")],
+        "doc_id long, text string")
+    with pytest.raises(ValueError, match="pre-banded"):
+        dedup_increment(spark, batch, idx, bands=4)
+
+    # plan shape: no Generate over the index scan, index side unshuffled
+    out = dedup_increment(spark, batch, idx, threshold=0.5,
+                          update_index=False)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    scans = [ln for ln in plan.splitlines() if "FileScan" in ln]
+    # the stored pre-banded table is scanned as plain columns
+    assert any("band_idx" in ln and "band_hash" in ln for ln in scans)
+    # the signature index is scanned exactly ONCE (the verifier's sig_b
+    # fetch); the legacy layout scans it twice — the second feeding the
+    # per-batch band-explode Generate this layout exists to eliminate
+    assert sum(1 for ln in scans
+               if "sig#" in ln and "band_idx" not in ln) == 1, plan
+    # the index side never shuffles on the band keys (batch bands are
+    # broadcast into the candidate join)
+    assert "hashpartitioning(band" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert out.count() == 1
+
+    # update maintains the pre-banded layout for the NEXT batch
+    n_band_rows = spark.read.parquet(f"{idx}/bands").count()
+    update_dedup_index(spark, batch, idx)
+    assert spark.read.parquet(f"{idx}/bands").count() \
+        == n_band_rows + 8
+    again = dedup_increment(spark, batch, idx, threshold=0.5,
+                            update_index=False)
+    assert again.count() == 0  # now an exact dup of the index
+
+
+def test_ingest_within_batch_uses_cluster_min_semantics(spark, tmp_path):
+    """ADVICE r5 #4: the within-batch near-dup keep rule is cluster-min
+    (same as run_curate), not direct-edge. Chain topology where the two
+    rules DIVERGE: pairs (A,C) and (B,C) only — direct-edge drops just C
+    (the only doc_b) and keeps {A, B}; cluster-min collapses the
+    component {A, B, C} to its minimum {A}. C is built as A's text
+    followed by B's text, so C half-agrees with each of the two
+    mutually-disjoint docs; k=64 concentrates the estimator, and the
+    topology is asserted as an explicit precondition so a fixture drift
+    fails loudly instead of silently testing nothing."""
+    from mre.curate import build_dedup_index, dedup_increment
+    from mre.textops import minhash_near_dups
+    idx = str(tmp_path / "idx")
+    corpus = spark.createDataFrame(
+        [(i, _variant(i) + f" corpus filler number {i} here")
+         for i in range(3)], "doc_id long, text string")
+    build_dedup_index(spark, corpus, idx, k=64, n=3, bands=32)
+    ta = _variant(970) + " alpha beta gamma delta epsilon zeta eta theta"
+    tb = " ".join(f"w{j}q{j * 7 % 13}" for j in range(35))
+    chain = spark.createDataFrame(
+        [(900, ta), (901, tb), (902, ta + " " + tb)],
+        "doc_id long, text string")
+    # precondition: exactly the divergence topology at this threshold
+    pairs = {(r["doc_a"], r["doc_b"])
+             for r in minhash_near_dups(chain, k=64, n=3, bands=32,
+                                        threshold=0.3).collect()}
+    assert pairs == {(900, 902), (901, 902)}, pairs
+    out = dedup_increment(spark, chain, idx, k=64, n=3, bands=32,
+                          threshold=0.3, update_index=False)
+    ids = {r["doc_id"] for r in out.collect()}
+    assert ids == {900}          # cluster-min; direct-edge would be
+    #                              {900, 901} — the ADVICE divergence
+
+
+def test_compact_dedup_index_swaps_atomically(spark, docs, tmp_path):
+    """ADVICE r5 #3: compaction writes to a sibling temp dir and
+    promotes by rename — after it returns there is no .tmp/.old
+    residue, content is preserved, and the bands table keeps the
+    pre-banded layout working."""
+    import glob
+    import os
+    from mre.curate import (build_dedup_index, compact_dedup_index,
+                            dedup_increment)
+    idx = str(tmp_path / "idx")
+    build_dedup_index(spark, docs, idx)
+    for b in range(2):
+        batch = spark.createDataFrame(
+            [(3000 + b * 10 + j,
+              _variant(3000 + b * 10 + j) + f" swap tail {b} {j}")
+             for j in range(2)], "doc_id long, text string")
+        dedup_increment(spark, batch, idx, threshold=0.5)
+    before_b = {(r["doc_id"], r["band_idx"], r["band_hash"])
+                for r in spark.read.parquet(f"{idx}/bands").collect()}
+    compact_dedup_index(spark, idx, target_partitions=1)
+    for t in ("fingerprints", "signatures", "bands"):
+        assert not os.path.exists(f"{idx}/{t}.tmp")
+        assert not os.path.exists(f"{idx}/{t}.old")
+        assert len(glob.glob(f"{idx}/{t}/*.parquet")) == 1
+    after_b = {(r["doc_id"], r["band_idx"], r["band_hash"])
+               for r in spark.read.parquet(f"{idx}/bands").collect()}
+    assert after_b == before_b
+    # the compacted pre-banded index still dedups
+    redo = dedup_increment(
+        spark, spark.createDataFrame(
+            [(5000, _variant(3000) + " swap tail 0 0")],
+            "doc_id long, text string"),
+        idx, threshold=0.5, update_index=False)
+    assert redo.count() == 0
+
+
+def test_path_committed_requires_success_marker(spark, tmp_path):
+    """ADVICE r5 #1: a readable-but-uncommitted parquet dir (no _SUCCESS
+    — the crash-mid-write state on remote filesystems) is NOT treated
+    as committed; a properly written dir is."""
+    import os
+    from mre.io import path_committed
+    dst = str(tmp_path / "out")
+    spark.range(5).write.parquet(dst)
+    assert path_committed(spark, dst)
+    os.remove(f"{dst}/_SUCCESS")
+    assert spark.read.parquet(dst).count() == 5   # readable...
+    assert not path_committed(spark, dst)         # ...but not committed
+    assert not path_committed(spark, str(tmp_path / "absent"))
 
 
 def test_dedup_index_param_guard_and_idempotent_update(spark, docs,
