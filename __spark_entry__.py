@@ -523,9 +523,25 @@ def q_json_props(spark, sf_dir):
 
 
 def q_semi_anti_join(spark, sf_dir):
-    """LEFT SEMI and LEFT ANTI joins as one tagged union (registry-window
-    rule, SURVEY §7.4) — the two rows partition `documents` exactly, so
-    the union value-checks both join types at once."""
+    """LEFT SEMI and LEFT ANTI joins, plus the INCREMENTAL-INGEST dedup
+    path, as one tagged union (registry-window rule, SURVEY §7.4).
+    op='semi'/'anti' partition `documents` exactly, value-checking both
+    join types at once. op='ingest' (VERDICT r5 #3) drives the
+    index-based ingestion family end-to-end: the even-doc_id half of the
+    corpus is indexed (build_dedup_index → fingerprints + signatures +
+    pre-banded LSH rows in a temp dir), the batch is the odd half plus
+    planted exact copies of every doc_id%10==0 corpus doc (re-keyed
+    +10_000_000), and the rows are dedup_increment's survivors — so the
+    oracle value-checks within-batch exact keep-min, the
+    fingerprint-anti-join vs the index, the batch-vs-corpus banded
+    estimator (threshold 0.2 = the replay golden's), and the
+    cluster-min within-batch pass, all against DuckDB (golden pairs
+    restricted by endpoint parity + a recursive-CTE component replay —
+    signatures/bands/est are per-doc/per-pair pure, so full-corpus
+    golden pairs restricted to cross/batch endpoints ARE the ingest
+    candidates)."""
+    import tempfile
+    from mre.curate import build_dedup_index, dedup_increment
     _prep(spark)
     d = _t(spark, sf_dir, "documents")
     ev = _t(spark, sf_dir, "events").select(
@@ -534,7 +550,17 @@ def q_semi_anti_join(spark, sf_dir):
             .withColumn("op", F.lit("semi")))
     anti = (d.join(ev, "doc_id", "left_anti")
             .withColumn("op", F.lit("anti")))
-    return semi.unionAll(anti).select("op", "doc_id", "lang", "n_chars")
+    corpus = d.filter(F.col("doc_id") % 2 == 0)
+    planted = (corpus.filter(F.col("doc_id") % 10 == 0)
+               .withColumn("doc_id", F.col("doc_id") + 10000000))
+    batch = d.filter(F.col("doc_id") % 2 == 1).unionByName(planted)
+    idx = tempfile.mkdtemp(prefix="mre_ingest_q_")
+    build_dedup_index(spark, corpus, idx)
+    surv = dedup_increment(spark, batch, idx, threshold=0.2,
+                           update_index=False)
+    ing = surv.withColumn("op", F.lit("ingest"))
+    return (semi.unionAll(anti).unionAll(ing)
+            .select("op", "doc_id", "lang", "n_chars"))
 
 
 def q_grouping_sets(spark, sf_dir):
@@ -889,6 +915,7 @@ def oracle_sql() -> dict[str, str]:
     _P4W = _cov_probe(_COV, "VARCHAR", "BIGINT", "BIGINT", "BIGINT")
     _P3D = _cov_probe(_COV, "BIGINT", "BIGINT", "DOUBLE")
     _P4S = _cov_probe(_COV, "BIGINT", "BIGINT", "VARCHAR", "VARCHAR")
+    _P4I = _cov_probe(_COV, "VARCHAR", "BIGINT", "VARCHAR", "BIGINT")
     _PCUR = _cov_probe(_COV, "BIGINT", "VARCHAR", "VARCHAR")
     _PLIN = _cov_probe(_LCOV, "VARCHAR", "BIGINT", "BIGINT", "BIGINT",
                        "BIGINT", "BIGINT", "BIGINT")
@@ -1430,7 +1457,58 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events
             FROM events GROUP BY event_type
         """,
-        "semi_anti_join": """
+        # op='ingest' replays dedup_increment stage by stage: within-batch
+        # exact keep-min + fingerprint-anti vs the indexed (even) half in
+        # plain SQL; the banded estimator stage comes from the MinHash
+        # replay golden restricted by endpoint parity (signatures, band
+        # hashes, est are per-doc/per-pair pure and the ingest threshold
+        # 0.2 equals the golden's, so full-corpus pairs with one even
+        # endpoint ARE the batch-vs-index hits, and odd-odd pairs among
+        # survivors ARE the within-batch pairs); cluster-min resolves via
+        # the same recursive CTE as dup_clusters.
+        "semi_anti_join": f"""
+            WITH RECURSIVE batch AS (
+                SELECT doc_id, text, lang, n_chars FROM documents
+                WHERE doc_id % 2 = 1
+                UNION ALL
+                SELECT doc_id + 10000000, text, lang, n_chars
+                FROM documents WHERE doc_id % 10 = 0),
+            keepmin AS (
+                SELECT min(doc_id) AS doc_id FROM batch
+                GROUP BY md5(lower(trim(text)))),
+            b2 AS (
+                SELECT b.doc_id, b.lang, b.n_chars,
+                       md5(lower(trim(b.text))) AS f
+                FROM batch b JOIN keepmin USING (doc_id)),
+            b2x AS (
+                SELECT doc_id, lang, n_chars FROM b2
+                WHERE f NOT IN (SELECT md5(lower(trim(text)))
+                                FROM documents WHERE doc_id % 2 = 0)),
+            cand AS (
+                SELECT doc_a, doc_b
+                FROM read_parquet('{dedup["minhash_near_dups"]}')
+                WHERE corpus_key = {_CK}),
+            b3 AS (
+                SELECT doc_id, lang, n_chars FROM b2x
+                WHERE NOT EXISTS (
+                    SELECT 1 FROM cand c
+                    WHERE (c.doc_a = b2x.doc_id AND c.doc_b % 2 = 0)
+                       OR (c.doc_b = b2x.doc_id AND c.doc_a % 2 = 0))),
+            bpair AS (
+                SELECT c.doc_a, c.doc_b FROM cand c
+                JOIN b3 x ON x.doc_id = c.doc_a
+                JOIN b3 y ON y.doc_id = c.doc_b),
+            edges AS (
+                SELECT doc_a AS a, doc_b AS b FROM bpair
+                UNION SELECT doc_b, doc_a FROM bpair),
+            reach(node, label) AS (
+                SELECT a, a FROM edges
+                UNION
+                SELECT e.a, r.label FROM edges e JOIN reach r
+                  ON r.node = e.b),
+            losers AS (
+                SELECT node AS doc_id FROM reach
+                GROUP BY node HAVING node <> min(label))
             SELECT 'semi' AS op, doc_id, lang, n_chars FROM documents d
             WHERE EXISTS (SELECT 1 FROM events e
                           WHERE e.user_id = d.doc_id)
@@ -1438,6 +1516,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'anti' AS op, doc_id, lang, n_chars FROM documents d
             WHERE NOT EXISTS (SELECT 1 FROM events e
                               WHERE e.user_id = d.doc_id)
+            UNION ALL
+            SELECT 'ingest' AS op, doc_id, lang, n_chars FROM b3
+            WHERE doc_id NOT IN (SELECT doc_id FROM losers){_P4I}
         """,
         "grouping_sets": """
             SELECT lang, source, count(*) AS n_docs,
