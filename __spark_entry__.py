@@ -701,9 +701,15 @@ def q_sentence_dedup(spark, sf_dir):
       fixture corpus carries no organic PII; the footer makes both true
       positives and redaction value-checked, while untouched docs prove
       no false positives): m1=n_emails, m2=n_phones, m3=n_ips, m4=n_pii,
-      text_out=the redacted text."""
+      text_out=the redacted text.
+    * op='desub'     — remove_dup_windows (VERDICT r5 #7, substring-
+      level dedup): every 8-token window shared by >5 docs is stripped
+      at token granularity. m1=n_windows, m2=n_flagged,
+      m3=bytes_removed, m4=length(rewritten), text_out=the rewritten
+      text (value-hashed → the sub-passage rewrite is byte-checked
+      cross-engine)."""
     from mre.textops import (pii_scrub, remove_dup_passages,
-                             sentence_dedup_stats)
+                             remove_dup_windows, sentence_dedup_stats)
     _prep(spark)
     docs = _t(spark, sf_dir, "documents")
     stats = sentence_dedup_stats(docs).select(
@@ -734,7 +740,14 @@ def q_sentence_dedup(spark, sf_dir):
         F.col("n_ips").alias("m3"),
         F.col("n_pii").alias("m4"),
         F.col("text").alias("text_out"))
-    return stats.unionAll(dep).unionAll(pii)
+    desub = remove_dup_windows(docs, w=8, max_df=5).select(
+        F.lit("desub").alias("op"), "doc_id",
+        F.col("n_windows").cast("long").alias("m1"),
+        F.col("n_flagged").cast("long").alias("m2"),
+        F.col("bytes_removed").cast("long").alias("m3"),
+        F.length("text").cast("long").alias("m4"),
+        F.col("text").alias("text_out"))
+    return stats.unionAll(dep).unionAll(pii).unionAll(desub)
 
 
 def q_profile_docs(spark, sf_dir):
@@ -1384,7 +1397,41 @@ def oracle_sql() -> dict[str, str]:
                                  || CAST(doc_id AS VARCHAR)
                                  || '{_PII_FOOTER}'
                             ELSE text END AS text
-                FROM documents)
+                FROM documents),
+            dtoks AS (
+                SELECT doc_id, length(text) AS len0,
+                       string_split(text, ' ') AS tk
+                FROM documents),
+            dwins0 AS (
+                SELECT doc_id, tk,
+                       unnest(range(greatest(len(tk) - 7, 0))) AS pos
+                FROM dtoks),
+            dwins AS (
+                SELECT doc_id, pos,
+                       md5(array_to_string(tk[pos + 1 : pos + 8], ' '))
+                           AS wk
+                FROM dwins0),
+            ddup AS (
+                SELECT wk FROM dwins
+                GROUP BY wk HAVING count(DISTINCT doc_id) > 5),
+            dstarts AS (
+                SELECT doc_id, list_sort(list(pos)) AS ss
+                FROM dwins WHERE wk IN (SELECT wk FROM ddup)
+                GROUP BY doc_id),
+            dsub AS (
+                SELECT t.doc_id,
+                       greatest(len(tk) - 7, 0) AS m1,
+                       coalesce(len(ss), 0) AS m2,
+                       array_to_string(
+                           list_transform(
+                               list_filter(range(len(tk)),
+                                   ti -> len(list_filter(
+                                       coalesce(ss, []),
+                                       s -> s <= ti AND ti < s + 8)) = 0),
+                               ti -> tk[ti + 1]),
+                           ' ') AS text_out,
+                       t.len0
+                FROM dtoks t LEFT JOIN dstarts USING (doc_id))
             SELECT 'stats' AS op, doc_id,
                    CAST(n_sents AS BIGINT) AS m1,
                    n_dup_sents AS m2,
@@ -1427,6 +1474,14 @@ def oracle_sql() -> dict[str, str]:
                        '\+?\d{{1,2}}[-. ]\(?\d{{3}}\)?[-. ]?\d{{3}}[-. ]\d{{4}}\b|\(\d{{3}}\)[-. ]?\d{{3}}[-. ]\d{{4}}\b|\+?\d{{3}}[-. ]\d{{3}}[-. ]\d{{4}}\b',
                        '<PHONE>', 'g') AS text_out
             FROM aug
+            UNION ALL
+            SELECT 'desub' AS op, doc_id,
+                   CAST(m1 AS BIGINT) AS m1,
+                   CAST(m2 AS BIGINT) AS m2,
+                   CAST(len0 - length(text_out) AS BIGINT) AS m3,
+                   CAST(length(text_out) AS BIGINT) AS m4,
+                   text_out
+            FROM dsub
         """,
         "hash_sample": """
             SELECT 'flat' AS op, doc_id, lang, n_chars FROM documents

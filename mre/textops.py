@@ -1247,6 +1247,77 @@ def remove_dup_passages(docs: DataFrame, min_len: int = 20,
         .alias("bytes_removed"))
 
 
+def remove_dup_windows(docs: DataFrame, w: int = 8,
+                       max_df: int = 1) -> DataFrame:
+    """Substring-level dedup REWRITE (VERDICT r5 #7, the Lee-et-al
+    suffix-array family re-expressed for DataFrames): strip every
+    fixed-width token window that recurs across the corpus, at
+    sub-passage granularity — the corpus-prep step between
+    ``remove_dup_passages`` ('. '-span granularity, misses
+    non-sentence boilerplate like code/tables/minified text) and
+    document-level dedup.
+
+    A window is ``w`` consecutive space-separated tokens; windows whose
+    md5 appears in more than ``max_df`` DISTINCT docs are flagged, and
+    every token covered by ANY flagged window is removed (overlapping
+    flags merge into runs, approximating maximal duplicated substrings
+    without a suffix array). Returns (doc_id, text, n_windows,
+    n_flagged, bytes_removed); split-on-' '/rejoin-with-' ' is an EXACT
+    inverse (trailing/consecutive separators preserved as empty
+    tokens), so untouched docs come back byte-identical.
+
+    Scale shape: the exploded window frame is computed ONCE (persisted —
+    it feeds the df count and the flagged-starts rebuild); the df count
+    groups on md5(window) — one digest-keyed shuffle with map-side
+    combine; the join back is a semi-join against the (small) flagged
+    digest set; the rebuild is one doc_id-keyed groupBy whose
+    collect_list holds only that doc's OWN flagged starts. The kept-
+    token scan is O(tokens × flagged-starts) per doc — bounded by the
+    doc's own size, never corpus-shaped. Pure built-ins throughout, so
+    the DuckDB oracle replays it exactly (md5 over the identical joined
+    window string)."""
+    from pyspark import StorageLevel
+    toks = docs.select("doc_id", F.length("text").alias("_len0"),
+                       F.split("text", " ", -1).alias("toks"))
+    # IF-guard keeps the generator input TOTAL (SURVEY §7.4 rule 20:
+    # Catalyst can evaluate it on rows the size filter excludes, where
+    # sequence(0, negative) runs descending and indexes throw)
+    wins = _register_cache(
+        toks.filter(F.size("toks") >= w)
+        .select("doc_id", F.posexplode(F.expr(
+            f"if(size(toks) >= {w}, "
+            f"transform(sequence(0, size(toks) - {w}), "
+            f"i -> md5(concat_ws(' ', slice(toks, i + 1, {w})))), "
+            f"array())")).alias("pos", "wk"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    dup = (wins.groupBy("wk")
+           .agg(F.countDistinct("doc_id").alias("_df"))
+           .filter(F.col("_df") > max_df).select("wk"))
+    starts = (wins.join(dup, "wk", "left_semi")
+              .groupBy("doc_id")
+              .agg(F.sort_array(F.collect_list("pos")).alias("starts")))
+    rebuilt = (toks.join(starts, "doc_id", "left")
+               .withColumn("starts", F.coalesce(
+                   "starts", F.expr("cast(array() as array<int>)")))
+               .select(
+                   "doc_id",
+                   F.expr(
+                       f"array_join(filter(transform("
+                       f"sequence(0, size(toks) - 1), "
+                       f"t -> if(exists(starts, "
+                       f"s -> s <= t and t < s + {w}), "
+                       f"null, element_at(toks, t + 1))), "
+                       f"x -> x is not null), ' ')").alias("text"),
+                   F.greatest(F.size("toks") - F.lit(w - 1), F.lit(0))
+                   .cast("long").alias("n_windows"),
+                   F.size("starts").cast("long").alias("n_flagged"),
+                   F.col("_len0")))
+    return rebuilt.select(
+        "doc_id", "text", "n_windows", "n_flagged",
+        (F.col("_len0") - F.length("text")).cast("long")
+        .alias("bytes_removed"))
+
+
 # --------------------------------------------------------------------------
 # PII scrubbing (VERDICT r4 #4) — pure column expressions, RE2-safe
 # patterns (no backrefs/lookaround) so the DuckDB oracle replays them
@@ -1313,7 +1384,8 @@ __all__ = [
     "release_caches", "cache_mark",
     "table_profile", "hash_bucket_16", "hash_sample", "hash_split",
     "stratified_sample",
-    "sentence_dedup_stats", "remove_dup_passages", "pii_scrub",
+    "sentence_dedup_stats", "remove_dup_passages", "remove_dup_windows",
+    "pii_scrub",
     "PII_EMAIL", "PII_IP", "PII_PHONE",
     "token_stats", "quality_score", "lang_id", "lang_pred_expr",
     "fingerprint", "exact_dedup",

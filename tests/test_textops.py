@@ -452,6 +452,56 @@ def test_remove_dup_passages_reconstruction_identity(spark):
     assert twice["n_pii"] == 0
 
 
+def test_remove_dup_windows_identity_and_boilerplate(spark):
+    """Substring-level dedup (VERDICT r5 #7): (a) with nothing flagged
+    the split-on-' '/rejoin is byte-identical for adversarial inputs;
+    (b) a boilerplate run planted mid-document in many docs is stripped
+    at TOKEN granularity (no sentence boundary needed) while each doc's
+    unique prose survives; (c) overlapping flagged windows merge into
+    one removed run."""
+    from mre.textops import remove_dup_windows
+
+    # (a) identity: huge max_df → nothing flagged → exact reconstruction
+    texts = [
+        "plain words separated by single spaces here",
+        "double  space and trailing space ",
+        " leading space",
+        "",
+        "one",
+        "tabs\tstay inside tokens and so. do dots",
+        "unicode ünïcødé 中文 done",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           remove_dup_windows(docs, w=3, max_df=10**9).collect()}
+    for i, t in enumerate(texts):
+        assert out[i]["text"] == t, (i, t, out[i]["text"])
+        assert out[i]["n_flagged"] == 0
+        assert out[i]["bytes_removed"] == 0
+
+    # (b) + (c): a 10-token license run inside each doc; every token
+    # adjacent to it is doc-unique, so the true duplicated substring is
+    # exactly the boilerplate
+    boiler = ("this content is licensed under the creative commons "
+              "attribution license")                     # 10 tokens
+    rows = [(i, f"intro{i} alpha{i} opener{i} " + boiler +
+             f" tail{i} beta{i} gamma{i} closing{i}")
+            for i in range(6)]
+    docs2 = spark.createDataFrame(rows, "doc_id long, text string")
+    out2 = {r["doc_id"]: r for r in
+            remove_dup_windows(docs2, w=8, max_df=2).collect()}
+    for i in range(6):
+        t = out2[i]["text"]
+        assert "licensed under the creative" not in t
+        assert t == (f"intro{i} alpha{i} opener{i} "
+                     f"tail{i} beta{i} gamma{i} closing{i}")
+        # 10 boiler tokens, w=8 → exactly 3 overlapping flagged windows
+        # merging into ONE removed run of exactly the boilerplate span
+        assert out2[i]["n_flagged"] == 3
+        assert out2[i]["bytes_removed"] == len(boiler) + 1
+
+
 def test_stratified_sample_quotas_and_stability(spark):
     from mre.textops import hash_sample, stratified_sample
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
