@@ -213,7 +213,9 @@ def run_curate(spark: SparkSession, src, dst: str, lineage_dst: str,
                jaccard_threshold: float = 0.5, contamination_n: int = 5,
                contamination_min_shared: int = 1, train_frac: float = 0.9,
                strict_quality: bool = False, pii_max: int | None = None,
-               max_bucket: int | None = None, resume: bool = True) -> None:
+               max_bucket: int | None = None, resume: bool = True,
+               rewrite: str | None = None,
+               rewrite_max_df: int = 1) -> None:
     """Run the curation pipeline end-to-end with stage checkpoints.
 
     ``src`` is a documents table (doc_id, text, …) — a path/URI, or a
@@ -232,8 +234,25 @@ def run_curate(spark: SparkSession, src, dst: str, lineage_dst: str,
     (write-then-commit, overwrite sinks). A recomputed stage appends a
     new lineage row with a bumped ``attempt`` counter, so duplicate
     (run_id, stage) rows are ordered and rollups can pick the latest
-    (ADVICE r4)."""
+    (ADVICE r4).
+
+    ``rewrite`` (round 6, opt-in) inserts a boilerplate-REWRITE stage
+    between quality and exact dedup: ``'passages'`` strips '. '-spans
+    (``remove_dup_passages``) and ``'windows'`` strips 8-token runs
+    (``remove_dup_windows``) whose digest recurs in more than
+    ``rewrite_max_df`` distinct docs. Running the rewrite BEFORE dedup
+    is the point: two docs that differ only in shared boilerplate
+    become exact duplicates and collapse in the next stage. Unlike the
+    id-list stages this one materializes ``{dst}/rewrite`` =
+    (doc_id, text) — a rewrite IS new corpus data (one corpus-text
+    write, same class as the extract sink; SURVEY §7.4 rule 24 governs
+    checkpoints, not data products) — and every downstream stage reads
+    its text from there. Default None leaves the pipeline exactly as
+    before."""
     from .textops import cache_mark, release_caches
+    if rewrite not in (None, "passages", "windows"):
+        raise ValueError(f"rewrite must be None|'passages'|'windows', "
+                         f"got {rewrite!r}")
     _mark = cache_mark()
     docs = src if isinstance(src, DataFrame) else read_table(spark, src)
     evals = read_table(spark, evals_src) if evals_src else None
@@ -244,7 +263,8 @@ def run_curate(spark: SparkSession, src, dst: str, lineage_dst: str,
         contamination_n=contamination_n,
         contamination_min_shared=contamination_min_shared,
         train_frac=train_frac, strict_quality=strict_quality,
-        pii_max=pii_max, max_bucket=max_bucket)
+        pii_max=pii_max, max_bucket=max_bucket,
+        rewrite=rewrite, rewrite_max_df=rewrite_max_df)
     done = completed_stages(spark, lineage_dst, run_id, ph) if resume \
         else set()
 
@@ -285,8 +305,21 @@ def run_curate(spark: SparkSession, src, dst: str, lineage_dst: str,
                                          pii_max=pii_max),
                 docs)
     d2 = docs.join(s1, "doc_id", "left_semi")
+    base = docs
+    if rewrite is not None:
+        from .textops import remove_dup_passages, remove_dup_windows
+        _rw = (remove_dup_passages if rewrite == "passages"
+               else remove_dup_windows)
+        sR = _stage("rewrite",
+                    lambda: _rw(d2, max_df=rewrite_max_df)
+                    .select("doc_id", "text"),
+                    s1)
+        # downstream stages consume the REWRITTEN text with the
+        # original metadata columns riding along
+        base = docs.drop("text").join(sR, "doc_id")
+        d2 = base
     s2 = _stage("exact_dedup", lambda: exact_keeper_ids(d2), s1)
-    d3 = docs.join(s2, "doc_id", "left_semi")
+    d3 = base.join(s2, "doc_id", "left_semi")
     s3 = _stage(
         "near_dup",
         lambda: s2.join(
@@ -296,7 +329,7 @@ def run_curate(spark: SparkSession, src, dst: str, lineage_dst: str,
                                max_bucket=max_bucket),
             "doc_id", "left_anti"),
         s2)
-    d4 = docs.join(s3, "doc_id", "left_semi")
+    d4 = base.join(s3, "doc_id", "left_semi")
     if evals is not None:
         s4 = _stage(
             "decontaminate",
@@ -307,7 +340,7 @@ def run_curate(spark: SparkSession, src, dst: str, lineage_dst: str,
             s3)
     else:
         s4 = _stage("decontaminate", lambda: s3, s3)
-    d5 = docs.join(s4, "doc_id", "left_semi")
+    d5 = base.join(s4, "doc_id", "left_semi")
     _stage("split",
            lambda: hash_split(d5, "text", train_frac).drop("text"),
            s4)

@@ -104,6 +104,37 @@ def main() -> None:
         "exactly once.",
         fmt_plan(remove_dup_passages(docs))))
 
+    sections.append((
+        "remove_dup_windows (substring-level dedup rewrite)",
+        "Expected: the exploded window frame is persisted (ONE parquet "
+        "scan feeds both the df count and the flagged-starts rebuild); "
+        "df count is partial+final HashAggregate on the md5(window) "
+        "digest; the flagged-digest semi-join builds on the small dup "
+        "side; the rebuild groupBy collects only each doc's OWN flagged "
+        "starts, and the kept-token reconstruction is a Project.",
+        fmt_plan(em.queries()["sentence_dedup"](spark, sf)
+                 .filter("op = 'desub'"))))
+
+    import tempfile
+    from mre.curate import build_dedup_index, dedup_increment
+    from pyspark.sql import functions as F
+    idx = tempfile.mkdtemp(prefix="mre_plans_idx_")
+    build_dedup_index(spark, docs.filter(F.col("doc_id") % 2 == 0), idx)
+    sections.append((
+        "dedup_increment (incremental ingest vs pre-banded index)",
+        "Expected (round-6 layout): the stored {index}/bands table is "
+        "scanned as plain columns — NO Generate/explode over the "
+        "signature index, NO Exchange hashpartitioning(band_...) "
+        "anywhere (batch bands are broadcast into the candidate join); "
+        "the signature index is scanned exactly ONCE (the verifier's "
+        "sig_b fetch, feeding a BroadcastHashJoin against the "
+        "batch-shaped candidate set). The fingerprint anti-join is a "
+        "digest equi-join — AQE broadcasts whichever side is small "
+        "(the index at sandbox scale, the batch at corpus scale).",
+        fmt_plan(dedup_increment(
+            spark, docs.filter(F.col("doc_id") % 2 == 1), idx,
+            threshold=0.5, update_index=False))))
+
     with open(os.path.join(REPO, "PLANS.md"), "w") as f:
         f.write("# PLANS — physical plans the design depends on\n\n"
                 "Generated by `python scripts/dump_plans.py` "

@@ -51,6 +51,14 @@ def main() -> None:
                     help="drop docs with more than this many PII matches "
                          "(emails+phones+IPv4; default: rule off)")
     ap.add_argument("--max-bucket", type=int, default=None)
+    ap.add_argument("--rewrite", choices=("passages", "windows"),
+                    default=None,
+                    help="insert a boilerplate-rewrite stage before "
+                         "dedup: strip '. '-spans (passages) or 8-token "
+                         "runs (windows) recurring in > --rewrite-max-df "
+                         "distinct docs; docs differing only in shared "
+                         "boilerplate then collapse as exact dups")
+    ap.add_argument("--rewrite-max-df", type=int, default=1)
     ap.add_argument("--no-resume", action="store_true")
     args = ap.parse_args()
 
@@ -70,6 +78,8 @@ def main() -> None:
                    strict_quality=args.strict_quality,
                    pii_max=args.pii_max,
                    max_bucket=args.max_bucket,
+                   rewrite=args.rewrite,
+                   rewrite_max_df=args.rewrite_max_df,
                    resume=not args.no_resume)
     finally:
         spark.stop()

@@ -375,6 +375,60 @@ def test_run_corpus_materialized_copy_not_rewritten_on_resume(
     assert mtimes2 == mtimes1
 
 
+def test_run_curate_rewrite_stage_collapses_boilerplate_dups(
+        spark, tmp_path):
+    """Round-6 opt-in rewrite stage: stripping shared boilerplate BEFORE
+    dedup makes docs that differ only in boilerplate exact duplicates.
+    Doc 300 = core1 + boiler, doc 306 = core1 alone; boiler rides in 5
+    docs (df=5 > rewrite_max_df=2), each core is in ≤2 docs (kept).
+    Without the rewrite both survive; with it, 306 keeps (min doc_id is
+    300... the rewritten 300 == core1 == 306's text, keeper = min id
+    300, loser 306)."""
+    from mre.curate import read_curated, run_curate
+    # boiler = 3 long '. '-sentences, ~180 tokens — large enough that
+    # core-vs-core+boiler stays BELOW the 0.5 exact-Jaccard confirm in
+    # the control run (the rewrite is what collapses the pair, not the
+    # near-dup stage)
+    boiler = ". ".join(
+        " ".join(f"legal{j} notice{j} clause{j}"
+                 for j in range(s * 20, s * 20 + 20))
+        for s in range(3))
+    rows = [(300 + i, _variant(300 + i) + ". " + boiler)
+            for i in range(5)]
+    rows.append((306, _variant(300)))        # == doc 300 minus boiler
+    docs2 = spark.createDataFrame(rows, "doc_id long, text string")
+    src = str(tmp_path / "docs")
+    docs2.write.parquet(src)
+
+    # control: no rewrite → 306 is NOT an exact dup of 300
+    run_curate(spark, src, str(tmp_path / "plain"),
+               str(tmp_path / "lin_plain"), run_id="rw0")
+    plain = {r["doc_id"] for r in
+             read_curated(spark, str(tmp_path / "plain")).collect()}
+    assert {300, 306} <= plain
+
+    run_curate(spark, src, str(tmp_path / "rw"),
+               str(tmp_path / "lin_rw"), run_id="rw1",
+               rewrite="passages", rewrite_max_df=2)
+    # the rewrite stage materialized rewritten text, boilerplate gone
+    rw = {r["doc_id"]: r["text"] for r in
+          spark.read.parquet(str(tmp_path / "rw" / "rewrite")).collect()}
+    assert all("legal0 notice0" not in t for t in rw.values())
+    assert rw[300] == _variant(300)          # now byte-equal to 306
+    out = {r["doc_id"] for r in
+           read_curated(spark, str(tmp_path / "rw")).collect()}
+    assert 300 in out and 306 not in out     # collapsed as exact dups
+    lin = spark.read.parquet(str(tmp_path / "lin_rw")).toPandas()
+    assert "rewrite" in set(lin["stage"])
+    assert len(lin) == len(CURATE_STAGES) + 1
+    # resume: same run_id + params → nothing recomputes
+    run_curate(spark, src, str(tmp_path / "rw"),
+               str(tmp_path / "lin_rw"), run_id="rw1",
+               rewrite="passages", rewrite_max_df=2)
+    assert spark.read.parquet(str(tmp_path / "lin_rw")).count() \
+        == len(CURATE_STAGES) + 1
+
+
 def test_read_curate_lineage_resolves_attempts(spark, docs, evals,
                                                tmp_path):
     """Rollups consume ONE row per (run_id, stage) — the latest attempt —
