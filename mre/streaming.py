@@ -146,6 +146,70 @@ def sessionize_events(events: DataFrame, gap_minutes: int = 10,
                 GroupStateTimeout.EventTimeTimeout))
 
 
+def start_ingest_stream(spark: SparkSession, src_dir: str, index_dst: str,
+                        accepted_dst: str, checkpoint_dir: str, *,
+                        schema: str = "doc_id long, text string",
+                        max_files_per_trigger: int = 16,
+                        available_now: bool = False,
+                        threshold: float = 0.5,
+                        max_bucket: int | None = None):
+    """CONTINUOUS ingestion dedup (round 6): the Structured-Streaming
+    twin of ``scripts/run_ingest.py`` — each micro-batch of newly
+    crawled documents is deduplicated against the pre-banded corpus
+    index via ``mre.curate.dedup_increment`` (exact + near, vs corpus
+    AND within the batch), survivors land under
+    ``{accepted_dst}/epoch=N``, and the index is extended so the NEXT
+    micro-batch sees this one. Returns the StreamingQuery.
+
+    Delivery semantics: foreachBatch re-runs a micro-batch after a
+    failure, so both sinks are idempotent per epoch — the accepted
+    table is a DYNAMIC-PARTITION overwrite of exactly this epoch's
+    partition (a retry rewrites, never duplicates), and
+    ``update_dedup_index`` is fingerprint-guarded (re-applying is a
+    no-op; partial band/signature appends are converged by the retry —
+    same write-ordering contract as the batch CLI). Survivors are
+    localCheckpointed BEFORE the index append because their plan
+    anti-joins the very tables being mutated.
+
+    Scale notes: the per-batch cost is O(batch) — the index side of
+    every join is scan-only (pre-banded layout) or digest-keyed; the
+    per-epoch partition layout doubles as time-ordered lineage (epoch
+    → files) and compacts with ``compact_partitions``. Use
+    ``available_now=True`` for a drain-and-stop backfill run."""
+    from .curate import dedup_increment, update_dedup_index
+    from .io import write_overwrite_partitions
+    from .textops import (_release_local_checkpoint, cache_mark,
+                          release_caches)
+
+    batches = (spark.readStream
+               .schema(schema)
+               .option("maxFilesPerTrigger", max_files_per_trigger)
+               .parquet(src_dir))
+
+    def _one_batch(df, epoch_id: int) -> None:
+        s = df.sparkSession
+        mark = cache_mark()
+        surv = dedup_increment(s, df, index_dst, threshold=threshold,
+                               max_bucket=max_bucket,
+                               update_index=False)
+        surv = surv.localCheckpoint(eager=True)
+        try:
+            write_overwrite_partitions(
+                surv.withColumn("epoch", F.lit(int(epoch_id))),
+                accepted_dst, "epoch")
+            update_dedup_index(s, surv, index_dst)
+        finally:
+            _release_local_checkpoint(surv)
+            release_caches(since=mark)
+
+    writer = (batches.writeStream
+              .foreachBatch(_one_batch)
+              .option("checkpointLocation", checkpoint_dir))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def start_extract_stream(spark: SparkSession, src_dir: str, dst_dir: str,
                          checkpoint_dir: str, buckets: int = 32,
                          keep: str = "first", watermark: str = "1 hour",
@@ -164,4 +228,4 @@ def start_extract_stream(spark: SparkSession, src_dir: str, dst_dir: str,
 
 
 __all__ = ["read_pages_stream", "streaming_extract", "start_extract_stream",
-           "sessionize_events"]
+           "start_ingest_stream", "sessionize_events"]

@@ -688,6 +688,53 @@ def test_compact_dedup_index_swaps_atomically(spark, docs, tmp_path):
     assert redo.count() == 0
 
 
+def test_dedup_increment_legacy_index_fallback(spark, docs, tmp_path):
+    """An index built BEFORE the pre-banded layout (no bands table, meta
+    without a bands column) still ingests correctly — bands derive at
+    read — and update_dedup_index skips the bands append for it."""
+    import shutil
+    from mre.curate import (build_dedup_index, dedup_increment,
+                            update_dedup_index)
+    idx = str(tmp_path / "idx")
+    build_dedup_index(spark, docs, idx)
+    # strip the round-6 layout back to the legacy shape
+    shutil.rmtree(f"{idx}/bands")
+    spark.createDataFrame([(32, 3)], "k int, n int") \
+        .write.mode("overwrite").parquet(f"{idx}/meta")
+
+    t0 = docs.filter("doc_id = 0").first()["text"]
+    batch = spark.createDataFrame(
+        [(600, t0),
+         (601, _variant(601) + " legacy path fresh six hundred one")],
+        "doc_id long, text string")
+    out = dedup_increment(spark, batch, idx, threshold=0.5)
+    assert {r["doc_id"] for r in out.collect()} == {601}
+    # survivor entered fp+sig tables; no bands table was (re)created
+    assert spark.read.parquet(f"{idx}/fingerprints") \
+        .filter("doc_id = 601").count() == 1
+    import os
+    assert not os.path.exists(f"{idx}/bands")
+    # and the updated legacy index catches a re-ingest
+    again = dedup_increment(spark, batch, idx, threshold=0.5,
+                            update_index=False)
+    assert again.count() == 0
+
+
+def test_swap_dirs_recovers_from_leftover_old(spark, tmp_path):
+    """A crash that left a `.old` sibling behind must not wedge the next
+    compaction: swap_dirs clears it and promotes the fresh rewrite."""
+    from mre.io import swap_dirs
+    live = str(tmp_path / "t")
+    spark.range(10).write.parquet(live)
+    spark.range(99).write.parquet(f"{live}.old")   # crash residue
+    spark.range(20).write.parquet(f"{live}.tmp")   # fresh rewrite
+    swap_dirs(spark, f"{live}.tmp", live)
+    import os
+    assert spark.read.parquet(live).count() == 20
+    assert not os.path.exists(f"{live}.tmp")
+    assert not os.path.exists(f"{live}.old")
+
+
 def test_path_committed_requires_success_marker(spark, tmp_path):
     """ADVICE r5 #1: a readable-but-uncommitted parquet dir (no _SUCCESS
     — the crash-mid-write state on remote filesystems) is NOT treated

@@ -37,6 +37,67 @@ def test_streaming_extract_matches_batch(spark, fixture_dir, tmp_path):
         ~(F.col("headline").eqNullSafe(F.col("g")))).count() == 0
 
 
+def test_streaming_ingest_dedups_across_micro_batches(spark, tmp_path):
+    """start_ingest_stream (round 6): micro-batches dedup against the
+    pre-banded index AND extend it, so a batch-2 copy of a batch-1 doc
+    is dropped; survivors land per-epoch (idempotent dynamic
+    overwrite); the stream resumes from its checkpoint across two
+    availableNow passes."""
+    from mre.curate import build_dedup_index
+    from mre.streaming import start_ingest_stream
+
+    def words(tag):
+        # per-doc-unique token stream: no cross-doc shingles, so only
+        # PLANTED duplicates trip the near/exact dedup
+        return " ".join(f"{tag}w{j}" for j in range(30))
+
+    corpus = spark.createDataFrame(
+        [(i, f"corpus doc {i} " + words(f"c{i}")) for i in range(5)],
+        "doc_id long, text string")
+    idx = str(tmp_path / "idx")
+    build_dedup_index(spark, corpus, idx)
+
+    src = str(tmp_path / "incoming")
+    os.makedirs(src)
+    acc = str(tmp_path / "accepted")
+    ckpt = str(tmp_path / "ckpt")
+    t0 = corpus.filter("doc_id = 0").first()["text"]
+    fresh1 = "entirely fresh streaming doc one " + words("f1")
+    fresh2 = "another new streaming doc two " + words("f2")
+    # batch 1: one exact dup of the corpus + one fresh doc
+    spark.createDataFrame([(100, t0), (101, fresh1)],
+                          "doc_id long, text string") \
+        .coalesce(1).write.mode("append").parquet(src)
+    q = start_ingest_stream(spark, src, idx, acc, ckpt,
+                            available_now=True)
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+    got1 = {r["doc_id"] for r in spark.read.parquet(acc).collect()}
+    assert got1 == {101}            # corpus dup dropped, fresh kept
+
+    # batch 2: a copy of batch 1's survivor (now IN the index) + fresh
+    spark.createDataFrame([(200, fresh1), (201, fresh2)],
+                          "doc_id long, text string") \
+        .coalesce(1).write.mode("append").parquet(src)
+    q = start_ingest_stream(spark, src, idx, acc, ckpt,
+                            available_now=True)
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+    rows = spark.read.parquet(acc).select("doc_id", "epoch").collect()
+    got = {r["doc_id"] for r in rows}
+    assert got == {101, 201}        # cross-batch dup 200 dropped
+    # per-epoch partitions: batch-2 survivor sits in a later epoch
+    ep = {r["doc_id"]: r["epoch"] for r in rows}
+    assert ep[201] > ep[101]
+    # the index grew by exactly the two survivors
+    fp = spark.read.parquet(f"{idx}/fingerprints")
+    assert fp.count() == 5 + 2
+
+
 def test_textops_are_streaming_compatible(spark, tmp_path):
     """The stateless curation scorers (Gopher rules, repetition is NOT
     stateless — excluded; lang-ID, quality, token stats) are pure column
