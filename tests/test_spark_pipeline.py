@@ -431,3 +431,26 @@ def test_round5_ops_plan_shapes(spark):
     # digest-count exchanges which carry (pk, count) rows and the
     # broadcast — no second corpus-text shuffle)
     assert "CartesianProduct" not in plan
+
+
+def test_round6_windows_plan_shape(spark):
+    """remove_dup_windows: the exploded window frame is persisted and
+    REUSED (InMemoryTableScan) by both its consumers (df count +
+    flagged-starts), so the source parquet is scanned at most twice
+    (window derivation + the token rebuild) — never once per branch;
+    no cartesian products anywhere."""
+    from mre.textops import remove_dup_windows
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = remove_dup_windows(docs, w=8, max_df=5) \
+        ._jdf.queryExecution().executedPlan().toString()
+    # BOTH consumers (df count, flagged-starts) read the cache
+    assert plan.count("InMemoryTableScan") >= 2, plan[:3000]
+    # live source scans: the rebuild's token scan + the cache build
+    # (the cached subtree's FileScan is re-PRINTED under every
+    # InMemoryRelation occurrence but executes once)
+    live = plan.count("Scan parquet") - (
+        plan.count("InMemoryRelation") - 1)
+    assert live <= 2, plan[:3000]
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan

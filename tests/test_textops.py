@@ -480,6 +480,21 @@ def test_remove_dup_windows_identity_and_boilerplate(spark):
         assert out[i]["n_flagged"] == 0
         assert out[i]["bytes_removed"] == 0
 
+    # (a2) seeded-random adversarial corpus: 200 texts over an alphabet
+    # of spaces, control chars, unicode, and dots — identity must hold
+    # byte-for-byte for every one (one Spark job, not one per example)
+    import random
+    rng = random.Random(40406)
+    alpha = list("ab .\t\n\x00\xa0é中.  ")
+    fuzz = ["".join(rng.choice(alpha) for _ in range(rng.randrange(0, 60)))
+            for _ in range(200)]
+    fdocs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(fuzz)], "doc_id long, text string")
+    fout = {r["doc_id"]: r["text"] for r in
+            remove_dup_windows(fdocs, w=4, max_df=10**9).collect()}
+    for i, t in enumerate(fuzz):
+        assert fout[i] == t, (i, repr(t), repr(fout[i]))
+
     # (b) + (c): a 10-token license run inside each doc; every token
     # adjacent to it is doc-unique, so the true duplicated substring is
     # exactly the boilerplate
