@@ -22,6 +22,17 @@ then appends their digest/signature rows to the index (write-then-
 update: a crash mid-index-update re-runs safely — the committed --dst
 is detected and reused, and the index update is idempotent). Re-running
 a fully-completed ingest is a no-op on both tables.
+
+``stream`` is the continuous twin: a Structured-Streaming job that
+watches a drop directory and runs the same dedup per micro-batch with
+per-epoch idempotent sinks (checkpointed — restarts resume; pass
+``--available-now`` to drain-and-stop for backfills)::
+
+    spark-submit --py-files dist/mre.zip scripts/run_ingest.py \
+        --index iceberg:warehouse.dedup_index \
+        stream --src hdfs:/crawl/incoming \
+               --dst iceberg:warehouse.accepted \
+               --checkpoint hdfs:/crawl/ckpt/ingest
 """
 
 from __future__ import annotations
@@ -45,6 +56,21 @@ def main() -> None:
     c = sub.add_parser("compact",
                        help="rewrite the index's small-file swarm")
     c.add_argument("--target-partitions", type=int, default=None)
+    s = sub.add_parser(
+        "stream",
+        help="continuous ingestion: watch a directory of incoming "
+             "document parquet files, dedup each micro-batch against "
+             "the index and extend it (mre.streaming.start_ingest_stream)")
+    s.add_argument("--src", required=True,
+                   help="directory the crawler drops parquet files into")
+    s.add_argument("--dst", required=True,
+                   help="accepted-docs sink root (per-epoch partitions)")
+    s.add_argument("--checkpoint", required=True)
+    s.add_argument("--threshold", type=float, default=0.5)
+    s.add_argument("--max-bucket", type=int, default=None)
+    s.add_argument("--max-files-per-trigger", type=int, default=16)
+    s.add_argument("--available-now", action="store_true",
+                   help="drain everything currently in --src, then stop")
     args = ap.parse_args()
 
     from mre.curate import (build_dedup_index, compact_dedup_index,
@@ -61,6 +87,14 @@ def main() -> None:
         elif args.cmd == "compact":
             compact_dedup_index(spark, args.index,
                                 args.target_partitions)
+        elif args.cmd == "stream":
+            from mre.streaming import start_ingest_stream
+            q = start_ingest_stream(
+                spark, args.src, args.index, args.dst, args.checkpoint,
+                max_files_per_trigger=args.max_files_per_trigger,
+                available_now=args.available_now,
+                threshold=args.threshold, max_bucket=args.max_bucket)
+            q.awaitTermination()
         else:
             # write-then-update ordering: commit --dst BEFORE touching
             # the index, and resume from a committed --dst instead of
