@@ -392,15 +392,28 @@ def q_length_deciles(spark, sf_dir):
 
 
 def q_media_meta(spark, sf_dir):
-    """Multimodal metadata extraction with REAL container parsing (no
-    decode libs): deterministic PNG/JPEG/GIF/WAV payloads are built per
-    doc_id inside the executors, then format + dimensions / sample rate
-    are sniffed back out of the BYTES (PNG IHDR, JPEG SOF marker scan,
-    GIF screen descriptor, WAV fmt chunk). The builders and the sniffer
-    meet only at the container byte layout, so the arithmetic oracle
-    value-checks genuine header parsing."""
-    from mre.multimodal import (make_gif, make_jpeg, make_png, make_wav,
-                                media_meta)
+    """The multimodal family as one tagged union (registry-window rule),
+    all REAL byte-level parsing, no decode libs. Shared schema
+    (op, media_id, fmt, a, b, c):
+
+    * op='meta'   — deterministic PNG/JPEG/GIF/WAV payloads built per
+      doc_id in the executors, format + dimensions / sample rate
+      sniffed back out of the BYTES (PNG IHDR, JPEG SOF scan, GIF
+      screen descriptor, WAV fmt chunk): a=width, b=height,
+      c=sample_rate_hz.
+    * op='resize' — the image payloads run through ``resize_media``
+      (REAL container re-write at 32×24) and the RESIZED bytes are
+      re-sniffed by ``media_meta``: a=32, b=24 prove the emitted
+      containers genuinely carry the target dimensions.
+    * op='audio'  — the WAV payloads carry a deterministic s16 ramp;
+      ``audio_frame_windows`` REALLY decodes the PCM bytes and emits
+      integer-exact per-window stats: a=window_idx, b=peak, c=sum_sq —
+      replayed arithmetically by the oracle (builder and decoder meet
+      only at the RIFF byte layout).
+    """
+    from mre.multimodal import (audio_frame_windows, make_gif, make_jpeg,
+                                make_png, make_wav, media_meta,
+                                resize_media)
     _prep(spark)
     ids = _t(spark, sf_dir, "documents") \
         .select(F.col("doc_id").alias("media_id"))
@@ -413,15 +426,31 @@ def q_media_meta(spark, sf_dir):
             for mid in pdf["media_id"]:
                 i = int(mid)
                 if i % 4 == 3:
-                    payload = make_wav(8000 + (i % 8) * 1000)
+                    payload = make_wav(
+                        8000 + (i % 8) * 1000,
+                        samples=[((i * 7 + j * 13) % 2048) - 1024
+                                 for j in range(16)])
                 else:
                     payload = builders[i % 4](16 + i % 317, 16 + i % 211)
                 rows.append({"media_id": i, "payload": payload})
             yield pd.DataFrame(rows)
 
     media = ids.mapInPandas(gen, "media_id bigint, payload binary")
-    return media_meta(media).select("media_id", "fmt", "width", "height",
-                                    "sample_rate_hz")
+    meta = media_meta(media).select(
+        F.lit("meta").alias("op"), "media_id", "fmt",
+        F.col("width").alias("a"), F.col("height").alias("b"),
+        F.col("sample_rate_hz").cast("long").alias("c"))
+    resized = media_meta(
+        resize_media(media, 32, 24).filter("resize_ok = 1")).select(
+        F.lit("resize").alias("op"), "media_id", "fmt",
+        F.col("width").alias("a"), F.col("height").alias("b"),
+        F.lit(None).cast("long").alias("c"))
+    audio = audio_frame_windows(media, window=4).select(
+        F.lit("audio").alias("op"), "media_id",
+        F.lit("wav").alias("fmt"),
+        F.col("window_idx").alias("a"), F.col("peak").alias("b"),
+        F.col("sum_sq").alias("c"))
+    return meta.unionAll(resized).unionAll(audio)
 
 
 def q_dup_clusters(spark, sf_dir):
@@ -1108,19 +1137,37 @@ def oracle_sql() -> dict[str, str]:
             FROM d GROUP BY decile
         """,
         "media_meta": """
-            SELECT doc_id AS media_id,
+            SELECT 'meta' AS op, doc_id AS media_id,
                    CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
                         WHEN 2 THEN 'gif' ELSE 'wav' END AS fmt,
                    CASE WHEN doc_id % 4 < 3
                         THEN CAST(16 + doc_id % 317 AS INTEGER) END
-                       AS width,
+                       AS a,
                    CASE WHEN doc_id % 4 < 3
                         THEN CAST(16 + doc_id % 211 AS INTEGER) END
-                       AS height,
+                       AS b,
                    CASE WHEN doc_id % 4 = 3
-                        THEN CAST(8000 + (doc_id % 8) * 1000 AS INTEGER)
-                        END AS sample_rate_hz
+                        THEN CAST(8000 + (doc_id % 8) * 1000 AS BIGINT)
+                        END AS c
             FROM documents
+            UNION ALL
+            SELECT 'resize', doc_id,
+                   CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+                        ELSE 'gif' END,
+                   CAST(32 AS INTEGER), CAST(24 AS INTEGER),
+                   CAST(NULL AS BIGINT)
+            FROM documents WHERE doc_id % 4 < 3
+            UNION ALL
+            SELECT 'audio', t.doc_id, 'wav',
+                   CAST(pos // 4 AS INTEGER),
+                   CAST(max(abs(((t.doc_id * 7 + pos * 13) % 2048)
+                                - 1024)) AS INTEGER),
+                   CAST(sum((((t.doc_id * 7 + pos * 13) % 2048) - 1024)
+                            * (((t.doc_id * 7 + pos * 13) % 2048)
+                               - 1024)) AS BIGINT)
+            FROM (SELECT doc_id, unnest(range(16)) AS pos
+                  FROM documents WHERE doc_id % 4 = 3) t
+            GROUP BY t.doc_id, pos // 4
         """,
         "contamination": r"""
             WITH toks AS (

@@ -170,14 +170,57 @@ def make_gif(width: int, height: int) -> bytes:
         + b"\x00\x00\x00" + b"\x3b"
 
 
-def make_wav(sample_rate: int, n_samples: int = 8) -> bytes:
+def make_wav(sample_rate: int, n_samples: int = 8,
+             samples: list[int] | None = None) -> bytes:
+    """Minimal valid mono 16-bit PCM WAV; ``samples`` (s16 ints) override
+    the default silence — the builder and ``wav_pcm_samples`` meet only
+    at the RIFF byte layout."""
     import struct
 
-    data = b"\x00\x00" * n_samples
+    if samples is not None:
+        data = b"".join(struct.pack("<h", s) for s in samples)
+    else:
+        data = b"\x00\x00" * n_samples
     fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
     body = (b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
             + b"data" + struct.pack("<I", len(data)) + data)
     return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def wav_pcm_samples(payload: bytes | None):
+    """REAL (pure-stdlib) PCM decode for 16-bit WAV: walk the RIFF
+    chunks, read the fmt chunk (PCM, 16-bit required), return the data
+    chunk as a list of s16 ints (first channel if multi-channel). None
+    for non-WAV / non-PCM16 / truncated payloads; never raises. This is
+    the one media family whose SAMPLE decode needs no external library —
+    images keep the documented decode stub."""
+    import struct
+    try:
+        if (payload is None or len(payload) < 12
+                or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE"):
+            return None
+        i, n = 12, len(payload)
+        channels = bits = None
+        while i + 8 <= n:
+            cid = payload[i:i + 4]
+            clen = int.from_bytes(payload[i + 4:i + 8], "little")
+            body = payload[i + 8:i + 8 + clen]
+            if cid == b"fmt " and len(body) >= 16:
+                audio_fmt, channels = struct.unpack("<HH", body[:4])
+                bits = int.from_bytes(body[14:16], "little")
+                if audio_fmt != 1 or bits != 16 or channels < 1:
+                    return None
+            elif cid == b"data":
+                if channels is None:
+                    return None
+                n_frames = len(body) // (2 * channels)
+                return [struct.unpack_from("<h", body,
+                                           f * 2 * channels)[0]
+                        for f in range(n_frames)]
+            i += 8 + clen + (clen & 1)
+        return None
+    except Exception:
+        return None
 
 
 MEDIA_META_SCHEMA = ("media_id bigint, fmt string, width int, height int, "
@@ -201,6 +244,102 @@ def media_meta(media: DataFrame) -> DataFrame:
 
     return media.select("media_id", "payload").mapInPandas(
         run, MEDIA_META_SCHEMA)
+
+
+RESIZE_SCHEMA = ("media_id bigint, fmt string, payload binary, "
+                 "orig_width int, orig_height int, width int, height int, "
+                 "src_sha1 string, resize_ok int")
+
+
+def resize_media(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Image resize over the binary column (training-data thumbnailing /
+    normalization step). REAL halves: the source container is parsed
+    with ``sniff_media_meta`` (format + original dimensions from actual
+    header bytes) and the output is a VALID container of the same format
+    re-written at the target dimensions (``make_png/jpeg/gif`` — real
+    signatures, real IHDR/SOF/descriptor, real CRCs), with src_sha1
+    provenance. The one faked piece — pixel RESAMPLING — needs Pillow
+    (absent in this container; documented like ``decode_media``), so the
+    emitted container carries no pixel data; prod swaps the body for
+    `Image.open(...).resize(...)` and nothing else changes (schema,
+    batching, re-sniff contract are identical). Non-image / unsniffable
+    payloads pass through with resize_ok=0 and a null payload.
+
+    The contract a test can hold byte-level: re-sniffing the OUTPUT
+    payload yields exactly (fmt, width, height) — builder and sniffer
+    meet only at the container byte layout."""
+    builders = {"png": make_png, "jpeg": make_jpeg, "gif": make_gif}
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                p = bytes(payload) if payload is not None else None
+                fmt, w, h, _sr = sniff_media_meta(p)
+                if fmt in builders:
+                    rows.append({
+                        "media_id": mid, "fmt": fmt,
+                        "payload": builders[fmt](width, height),
+                        "orig_width": w, "orig_height": h,
+                        "width": width, "height": height,
+                        "src_sha1": hashlib.sha1(p).hexdigest(),
+                        "resize_ok": 1})
+                else:
+                    rows.append({
+                        "media_id": mid, "fmt": fmt, "payload": None,
+                        "orig_width": w, "orig_height": h,
+                        "width": None, "height": None,
+                        "src_sha1": hashlib.sha1(p).hexdigest()
+                        if p is not None else None,
+                        "resize_ok": 0})
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "fmt", "payload", "orig_width", "orig_height",
+                "width", "height", "src_sha1", "resize_ok"])
+
+    return media.select("media_id", "payload").mapInPandas(
+        run, RESIZE_SCHEMA)
+
+
+AUDIO_WINDOW_SCHEMA = ("media_id bigint, window_idx int, start_sample "
+                       "bigint, n_samples int, peak int, sum_sq bigint")
+
+
+def audio_frame_windows(media: DataFrame, window: int = 4,
+                        hop: int | None = None) -> DataFrame:
+    """Frame-sampling over audio payloads: slice each WAV's REAL decoded
+    PCM stream (``wav_pcm_samples`` — pure-stdlib s16 parse, no fake)
+    into fixed-size windows at ``hop`` stride (default: non-overlapping)
+    and emit integer-exact per-window stats (peak = max |s|, sum_sq =
+    Σs²) — integers so a cross-engine oracle can replay them with no
+    float hazard. Rows explode per window; non-WAV payloads emit
+    nothing. The video analogue (decode + frame grab) needs ffmpeg and
+    stays behind the documented decode stub; this is the media family
+    where the full sample path is implementable from the stdlib."""
+    hop = hop or window
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                p = bytes(payload) if payload is not None else None
+                samples = wav_pcm_samples(p)
+                if not samples:
+                    continue
+                widx = 0
+                for start in range(0, len(samples) - window + 1, hop):
+                    win = samples[start:start + window]
+                    rows.append({
+                        "media_id": mid, "window_idx": widx,
+                        "start_sample": start, "n_samples": len(win),
+                        "peak": max(abs(s) for s in win),
+                        "sum_sq": sum(s * s for s in win)})
+                    widx += 1
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "window_idx", "start_sample", "n_samples",
+                "peak", "sum_sq"])
+
+    return media.select("media_id", "payload").mapInPandas(
+        run, AUDIO_WINDOW_SCHEMA)
 
 
 def decode_media(payload: bytes, media_type: str, fake: bool = False):
@@ -270,6 +409,8 @@ def extract_media_features(media: DataFrame,
 
 
 __all__ = ["MEDIA_SCHEMA", "FEATURE_SCHEMA", "MEDIA_META_SCHEMA",
+           "RESIZE_SCHEMA", "AUDIO_WINDOW_SCHEMA",
            "synth_media", "decode_media", "extract_media_features",
-           "sniff_media_meta", "media_meta", "make_png", "make_jpeg",
-           "make_gif", "make_wav"]
+           "sniff_media_meta", "media_meta", "resize_media",
+           "audio_frame_windows", "wav_pcm_samples",
+           "make_png", "make_jpeg", "make_gif", "make_wav"]

@@ -181,6 +181,63 @@ def test_streaming_keep_semantics(spark, tmp_path):
         assert got == {expect}, f"keep={keep}: {got}"
 
 
+def test_resize_media_resniffs_to_target_dims(spark):
+    """resize_media emits REAL containers: re-sniffing the output bytes
+    yields exactly (fmt, target_w, target_h); non-images pass through
+    with resize_ok=0; provenance sha1 matches the source payload."""
+    import hashlib as _hl
+    from mre.multimodal import (make_gif, make_jpeg, make_png, make_wav,
+                                media_meta, resize_media)
+    payloads = [(0, make_png(100, 50)), (1, make_jpeg(64, 64)),
+                (2, make_gif(31, 97)), (3, make_wav(16000)),
+                (4, b"not a container"), (5, None)]
+    media = spark.createDataFrame(payloads,
+                                  "media_id long, payload binary")
+    out = {r["media_id"]: r for r in
+           resize_media(media, 32, 24).collect()}
+    assert (out[0]["fmt"], out[0]["orig_width"], out[0]["orig_height"]) \
+        == ("png", 100, 50)
+    for i in (0, 1, 2):
+        assert out[i]["resize_ok"] == 1
+        assert out[i]["src_sha1"] == _hl.sha1(
+            bytes(payloads[i][1])).hexdigest()
+    for i in (3, 4, 5):
+        assert out[i]["resize_ok"] == 0 and out[i]["payload"] is None
+    # the round-trip contract: re-sniff the RESIZED bytes
+    resized = resize_media(media, 32, 24).filter("resize_ok = 1")
+    meta = {r["media_id"]: r for r in media_meta(resized).collect()}
+    for i in (0, 1, 2):
+        assert (meta[i]["width"], meta[i]["height"]) == (32, 24)
+    assert [meta[i]["fmt"] for i in (0, 1, 2)] == ["png", "jpeg", "gif"]
+
+
+def test_audio_frame_windows_real_pcm(spark):
+    """audio_frame_windows decodes REAL s16le PCM (no fake): a known
+    ramp round-trips to exact integer window stats; stride/hop
+    semantics; non-WAV rows emit nothing."""
+    from mre.multimodal import (audio_frame_windows, make_png, make_wav,
+                                wav_pcm_samples)
+    ramp = [-3, 5, -7, 2, 100, -100, 1, 0]
+    wav = make_wav(8000, samples=ramp)
+    assert wav_pcm_samples(wav) == ramp        # byte-layout round trip
+    media = spark.createDataFrame(
+        [(0, wav), (1, make_png(4, 4)), (2, None)],
+        "media_id long, payload binary")
+    rows = audio_frame_windows(media, window=4).collect()
+    assert {r["media_id"] for r in rows} == {0}
+    w = {r["window_idx"]: r for r in rows}
+    assert len(w) == 2
+    assert (w[0]["peak"], w[0]["sum_sq"]) == (7, 9 + 25 + 49 + 4)
+    assert (w[1]["peak"], w[1]["sum_sq"]) == (100, 20001)
+    assert w[1]["start_sample"] == 4
+    # overlapping hop: 3 windows of 4 at stride 2
+    rows2 = audio_frame_windows(media, window=4, hop=2).collect()
+    assert len(rows2) == 3
+    mid = [r for r in rows2 if r["window_idx"] == 1][0]
+    assert mid["start_sample"] == 2
+    assert mid["peak"] == 100 and mid["sum_sq"] == 49 + 4 + 10000 + 10000
+
+
 def test_synth_media_and_features(spark):
     from mre.multimodal import extract_media_features, synth_media
 
