@@ -410,10 +410,15 @@ def q_media_meta(spark, sf_dir):
       integer-exact per-window stats: a=window_idx, b=peak, c=sum_sq —
       replayed arithmetically by the oracle (builder and decoder meet
       only at the RIFF byte layout).
+    * op='frames' — the GIF payloads are ANIMATED (1–3 image
+      descriptors with real sub-block streams); ``sample_frames``
+      walks the block structure (extensions, descriptors, LZW
+      sub-block length prefixes) and emits per-frame geometry:
+      a=frame_idx, b=frame width, c=frame height.
     """
     from mre.multimodal import (audio_frame_windows, make_gif, make_jpeg,
                                 make_png, make_wav, media_meta,
-                                resize_media)
+                                resize_media, sample_frames)
     _prep(spark)
     ids = _t(spark, sf_dir, "documents") \
         .select(F.col("doc_id").alias("media_id"))
@@ -430,6 +435,12 @@ def q_media_meta(spark, sf_dir):
                         8000 + (i % 8) * 1000,
                         samples=[((i * 7 + j * 13) % 2048) - 1024
                                  for j in range(16)])
+                elif i % 4 == 2:
+                    payload = make_gif(
+                        16 + i % 317, 16 + i % 211,
+                        frames=[(j, 2 * j, 8 + (i + 7 * j) % 64,
+                                 8 + (i + 11 * j) % 48)
+                                for j in range(1 + i % 3)])
                 else:
                     payload = builders[i % 4](16 + i % 317, 16 + i % 211)
                 rows.append({"media_id": i, "payload": payload})
@@ -450,7 +461,12 @@ def q_media_meta(spark, sf_dir):
         F.lit("wav").alias("fmt"),
         F.col("window_idx").alias("a"), F.col("peak").alias("b"),
         F.col("sum_sq").alias("c"))
-    return meta.unionAll(resized).unionAll(audio)
+    frames = sample_frames(media, every_n=1).select(
+        F.lit("frames").alias("op"), "media_id",
+        F.lit("gif").alias("fmt"),
+        F.col("frame_idx").alias("a"), F.col("width").alias("b"),
+        F.col("height").cast("long").alias("c"))
+    return meta.unionAll(resized).unionAll(audio).unionAll(frames)
 
 
 def q_dup_clusters(spark, sf_dir):
@@ -1168,6 +1184,13 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT doc_id, unnest(range(16)) AS pos
                   FROM documents WHERE doc_id % 4 = 3) t
             GROUP BY t.doc_id, pos // 4
+            UNION ALL
+            SELECT 'frames', doc_id, 'gif',
+                   CAST(j AS INTEGER),
+                   CAST(8 + (doc_id + 7 * j) % 64 AS INTEGER),
+                   CAST(8 + (doc_id + 11 * j) % 48 AS BIGINT)
+            FROM (SELECT doc_id, unnest(range(1 + doc_id % 3)) AS j
+                  FROM documents WHERE doc_id % 4 = 2)
         """,
         "contamination": r"""
             WITH toks AS (

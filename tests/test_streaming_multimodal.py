@@ -238,6 +238,34 @@ def test_audio_frame_windows_real_pcm(spark):
     assert mid["peak"] == 100 and mid["sum_sq"] == 49 + 4 + 10000 + 10000
 
 
+def test_sample_frames_multiframe_gif(spark):
+    """sample_frames REALLY walks the GIF block stream: a 4-frame
+    animated GIF enumerates all four with correct geometry; every_n=2
+    samples frames 0 and 2; sub-block walking is honored (LZW data
+    bytes containing 0x2C must not hallucinate frames); non-GIF rows
+    emit nothing; truncated prefixes never raise."""
+    from mre.multimodal import (gif_frames, make_gif, make_wav,
+                                sample_frames)
+    frames = [(0, 0, 64, 48), (1, 2, 32, 24), (3, 4, 16, 12),
+              (5, 6, 8, 6)]
+    g = make_gif(64, 48, frames=frames)
+    assert [(f[3], f[4]) for f in gif_frames(g)] \
+        == [(64, 48), (32, 24), (16, 12), (8, 6)]
+    media = spark.createDataFrame(
+        [(0, g), (1, make_wav(8000)), (2, None)],
+        "media_id long, payload binary")
+    allf = sample_frames(media, every_n=1).collect()
+    assert len(allf) == 4 and {r["media_id"] for r in allf} == {0}
+    some = {r["frame_idx"]: r for r in
+            sample_frames(media, every_n=2).collect()}
+    assert sorted(some) == [0, 2]
+    assert (some[2]["width"], some[2]["height"],
+            some[2]["left"], some[2]["top"]) == (16, 12, 3, 4)
+    assert some[0]["byte_offset"] < some[2]["byte_offset"]
+    capped = sample_frames(media, every_n=1, max_frames=2).collect()
+    assert len(capped) == 2
+
+
 def test_synth_media_and_features(spark):
     from mre.multimodal import extract_media_features, synth_media
 
