@@ -41,6 +41,17 @@ def main() -> None:
     ap.add_argument("--strict-quality", action="store_true")
     ap.add_argument("--pii-max", type=int, default=None)
     ap.add_argument("--max-bucket", type=int, default=None)
+    ap.add_argument("--rewrite", choices=("passages", "windows"),
+                    default=None,
+                    help="insert the boilerplate-rewrite curation stage "
+                         "(see run_curate.py --rewrite)")
+    ap.add_argument("--rewrite-max-df", type=int, default=1)
+    ap.add_argument("--materialize-documents", action="store_true",
+                    help="also write the doc_id-keyed corpus copy under "
+                         "{workdir}/documents (skipped on no-op resume); "
+                         "default is the zero-copy lazy adapter")
+    ap.add_argument("--wide-id", action="store_true",
+                    help="128-bit doc identity (doc_id + doc_id_hi)")
     ap.add_argument("--no-resume", action="store_true")
     args = ap.parse_args()
 
@@ -54,7 +65,11 @@ def main() -> None:
                    dedup=args.dedup, resume=not args.no_resume,
                    train_frac=args.train_frac,
                    strict_quality=args.strict_quality,
-                   pii_max=args.pii_max, max_bucket=args.max_bucket)
+                   pii_max=args.pii_max, max_bucket=args.max_bucket,
+                   rewrite=args.rewrite,
+                   rewrite_max_df=args.rewrite_max_df,
+                   materialize_documents=args.materialize_documents,
+                   wide_id=args.wide_id)
     finally:
         spark.stop()
 
