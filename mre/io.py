@@ -88,23 +88,40 @@ def read_pages(spark: SparkSession, src: str) -> DataFrame:
     return spark.read.parquet(src)
 
 
-def write_append(df: DataFrame, dst: str) -> None:
+def write_append(df: DataFrame, dst: str,
+                 partition_col: str | None = None) -> None:
     """P7 sink, append semantics (idempotence is handled one level up by
-    the lineage/resume protocol — pipeline.run_extract)."""
+    the lineage/resume protocol — pipeline.run_extract). With
+    ``partition_col``, appended rows land in the matching hash-bucket
+    directories of a partitioned layout (the dedup-index tables use this
+    so ingest can statically prune to touched buckets)."""
     if dst.startswith(ICEBERG_PREFIX):
+        # Iceberg owns layout at the table level — partitioning was
+        # declared at create time, appends inherit it
         df.writeTo(dst[len(ICEBERG_PREFIX):]).append()
     else:
-        df.write.mode("append").parquet(dst)
+        w = df.write.mode("append")
+        if partition_col is not None:
+            w = w.partitionBy(partition_col)
+        w.parquet(dst)
 
 
-def write_overwrite(df: DataFrame, dst: str) -> None:
+def write_overwrite(df: DataFrame, dst: str,
+                    partition_col: str | None = None) -> None:
     """P7 sink, full-overwrite semantics, same ``iceberg:`` dispatch as
     every other writer — raw ``df.write.parquet(dst)`` on an iceberg:
     URI would hand Hadoop a bogus filesystem scheme."""
     if dst.startswith(ICEBERG_PREFIX):
-        df.writeTo(dst[len(ICEBERG_PREFIX):]).createOrReplace()
+        w = df.writeTo(dst[len(ICEBERG_PREFIX):])
+        if partition_col is not None:
+            from pyspark.sql import functions as F
+            w = w.partitionedBy(F.col(partition_col))
+        w.createOrReplace()
     else:
-        df.write.mode("overwrite").parquet(dst)
+        w = df.write.mode("overwrite")
+        if partition_col is not None:
+            w = w.partitionBy(partition_col)
+        w.parquet(dst)
 
 
 def write_overwrite_partitions(df: DataFrame, dst: str,
@@ -213,6 +230,36 @@ def path_committed(spark: SparkSession, dst: str) -> bool:
         return False
 
 
+def atomic_rename_fs(path: str) -> bool:
+    """True when ``path`` lives on a filesystem whose directory rename is
+    atomic (local paths, file://, hdfs://, viewfs://) — there the
+    swap_dirs promotion is the safe compaction strategy (ADVICE r6 #2:
+    hdfs: paths were wrongly routed to the overwrite-in-place fallback).
+    Object stores (s3a://, gs://, ...) emulate rename by copy+delete and
+    table formats commit at the catalog, so both take the non-swap
+    path."""
+    if path.startswith(ICEBERG_PREFIX):
+        return False
+    if "://" not in path:
+        return True
+    return path.split("://", 1)[0] in ("file", "hdfs", "viewfs")
+
+
+def recover_swapped_dir(spark: SparkSession, path: str) -> bool:
+    """Crash-window repair for ``swap_dirs`` (ADVICE r6 #4): between its
+    two renames ``path`` does not exist — a crash there leaves the data
+    at ``path.old``. If ``path`` is missing and ``path.old`` survives,
+    rename it back and return True; a live ``path`` is never touched
+    (swap_dirs itself clears stale ``.old`` residue on its next run)."""
+    fs, p_dst = _hadoop_fs(spark, path)
+    _, p_old = _hadoop_fs(spark, f"{path}.old")
+    if fs.exists(p_dst) or not fs.exists(p_old):
+        return False
+    if not fs.rename(p_old, p_dst):
+        raise IOError(f"recovery rename {path}.old -> {path} failed")
+    return True
+
+
 def swap_dirs(spark: SparkSession, tmp: str, path: str) -> None:
     """Promote a freshly-written sibling directory over ``path`` with
     rename-level atomicity (ADVICE r5 #3): ``path`` → ``path.old``,
@@ -222,7 +269,15 @@ def swap_dirs(spark: SparkSession, tmp: str, path: str) -> None:
     directory, which is unrecoverable when the source plan was a
     lineage-free snapshot. Works through the Hadoop FileSystem API so
     local and remote parquet behave identically; Iceberg callers should
-    use the atomic table-level ops instead."""
+    use the atomic table-level ops instead.
+
+    CONCURRENCY CONTRACT (ADVICE r6 #4): a reader that lists ``path``
+    inside the between-renames window sees FileNotFound, so maintenance
+    jobs that swap a live table (e.g. ``compact_dedup_index``) must not
+    run concurrently with jobs reading it (e.g. an ingest stream against
+    the same index) — schedule compaction in the ingest's idle window.
+    If a crash lands in the window, ``recover_swapped_dir`` restores
+    ``path`` from ``path.old``."""
     fs, p_old = _hadoop_fs(spark, f"{path}.old")
     _, p_tmp = _hadoop_fs(spark, tmp)
     _, p_dst = _hadoop_fs(spark, path)
@@ -281,4 +336,4 @@ def write_bucketed(df: DataFrame, table: str, bucket_col: str,
 __all__ = ["get_spark", "read_pages", "write_append",
            "write_overwrite_partitions", "read_table", "read_pages_jsonl",
            "write_bucketed", "path_committed", "swap_dirs",
-           "ICEBERG_PREFIX"]
+           "atomic_rename_fs", "recover_swapped_dir", "ICEBERG_PREFIX"]

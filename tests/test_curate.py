@@ -547,13 +547,17 @@ def test_compact_dedup_index_preserves_content(spark, docs, tmp_path):
     before = {(r["doc_id"], r["fingerprint"])
               for r in spark.read.parquet(f"{idx}/fingerprints")
               .collect()}
-    n_files = len(glob.glob(f"{idx}/fingerprints/*.parquet"))
+    n_files = len(glob.glob(f"{idx}/fingerprints/**/*.parquet",
+                            recursive=True))
     compact_dedup_index(spark, idx, target_partitions=1)
     after = {(r["doc_id"], r["fingerprint"])
              for r in spark.read.parquet(f"{idx}/fingerprints").collect()}
     assert after == before                       # content byte-preserved
-    assert len(glob.glob(f"{idx}/fingerprints/*.parquet")) < n_files
-    assert len(glob.glob(f"{idx}/signatures/*.parquet")) == 1
+    assert len(glob.glob(f"{idx}/fingerprints/**/*.parquet",
+                         recursive=True)) < n_files
+    # hash-bucketed layout preserved, compacted to ≤1 file per bucket
+    for d in glob.glob(f"{idx}/signatures/pb=*"):
+        assert len(glob.glob(f"{d}/*.parquet")) == 1
     # the compacted index still works
     redo = dedup_increment(
         spark, spark.createDataFrame(
@@ -579,13 +583,21 @@ def test_dedup_index_is_prebanded_and_ingest_plan_is_scan_only(
     # layout: bands table exists, one row per (doc, band), recorded meta
     bands_t = spark.read.parquet(f"{idx}/bands")
     n_sigs = spark.read.parquet(f"{idx}/signatures").count()
-    assert set(bands_t.columns) == {"doc_id", "band_idx", "band_hash"}
+    assert set(bands_t.columns) == {"doc_id", "band_idx", "band_hash",
+                                    "pb"}   # pb = round-7 hash bucket
     assert bands_t.count() == 8 * n_sigs
     meta = spark.read.parquet(f"{idx}/meta").first()
     assert (meta["k"], meta["n"], meta["bands"]) == (32, 3, 8)
 
+    # one fresh doc + one corpus near-dup: the near-dup keeps the
+    # candidate set non-empty, so the corpus-verify branch (bands scan +
+    # signature fetch) stays in the plan — an all-fresh batch yields an
+    # empty touched-bucket list whose isin([]) constant-folds and the
+    # optimizer (correctly) eliminates the whole branch (round 7)
+    t1 = docs.filter("doc_id = 1").first()["text"]
     batch = spark.createDataFrame(
-        [(800, _variant(800) + " new content eight hundred closing")],
+        [(800, _variant(800) + " new content eight hundred closing"),
+         (801, t1.replace("unique", "uniqxe", 1))],
         "doc_id long, text string")
     with pytest.raises(ValueError, match="pre-banded"):
         dedup_increment(spark, batch, idx, bands=4)
@@ -608,11 +620,12 @@ def test_dedup_index_is_prebanded_and_ingest_plan_is_scan_only(
     assert "BroadcastHashJoin" in plan
     assert out.count() == 1
 
-    # update maintains the pre-banded layout for the NEXT batch
+    # update maintains the pre-banded layout for the NEXT batch (both
+    # batch docs fingerprint-fresh → 2 × 8 band rows appended)
     n_band_rows = spark.read.parquet(f"{idx}/bands").count()
     update_dedup_index(spark, batch, idx)
     assert spark.read.parquet(f"{idx}/bands").count() \
-        == n_band_rows + 8
+        == n_band_rows + 16
     again = dedup_increment(spark, batch, idx, threshold=0.5,
                             update_index=False)
     assert again.count() == 0  # now an exact dup of the index
@@ -675,7 +688,11 @@ def test_compact_dedup_index_swaps_atomically(spark, docs, tmp_path):
     for t in ("fingerprints", "signatures", "bands"):
         assert not os.path.exists(f"{idx}/{t}.tmp")
         assert not os.path.exists(f"{idx}/{t}.old")
-        assert len(glob.glob(f"{idx}/{t}/*.parquet")) == 1
+        # bucketed layout: ≤1 compacted file per pb directory
+        dirs = glob.glob(f"{idx}/{t}/pb=*")
+        assert dirs, f"{t} lost its hash-bucketed layout"
+        for d in dirs:
+            assert len(glob.glob(f"{d}/*.parquet")) == 1
     after_b = {(r["doc_id"], r["band_idx"], r["band_hash"])
                for r in spark.read.parquet(f"{idx}/bands").collect()}
     assert after_b == before_b
@@ -696,7 +713,7 @@ def test_dedup_increment_legacy_index_fallback(spark, docs, tmp_path):
     from mre.curate import (build_dedup_index, dedup_increment,
                             update_dedup_index)
     idx = str(tmp_path / "idx")
-    build_dedup_index(spark, docs, idx)
+    build_dedup_index(spark, docs, idx, parts=None)   # flat legacy layout
     # strip the round-6 layout back to the legacy shape
     shutil.rmtree(f"{idx}/bands")
     spark.createDataFrame([(32, 3)], "k int, n int") \
@@ -774,3 +791,86 @@ def test_dedup_index_param_guard_and_idempotent_update(spark, docs,
     sig_rows = spark.read.parquet(f"{idx}/signatures") \
         .filter("doc_id = 700").count()
     assert sig_rows == 1
+
+
+def test_ingest_index_scans_are_bucket_pruned(spark, docs, tmp_path):
+    """VERDICT r6 #1: per-batch ingest I/O is O(touched buckets), not
+    O(index). The hash-bucketed layout (pb partition directories on
+    every index table) plus the batch-derived static isin filter means
+    every index scan in the ingest plan carries a PartitionFilter on pb
+    — Catalyst prunes untouched bucket directories at file-listing time,
+    so they are never opened. Also: pruning is semantics-preserving —
+    the survivor set equals the flat-layout (unpruned) run's."""
+    from mre.curate import build_dedup_index, dedup_increment
+
+    t1 = docs.filter("doc_id = 1").first()["text"]
+    batch = spark.createDataFrame(
+        [(8000, _variant(8000) + " pruned ingest fresh doc tail"),
+         (8001, t1.replace("unique", "uniqxe", 1)),   # near-dup of corpus
+         (8002, docs.filter("doc_id = 0").first()["text"])],  # exact dup
+        "doc_id long, text string")
+
+    idx = str(tmp_path / "idx")
+    build_dedup_index(spark, docs, idx, parts=32)
+    out = dedup_increment(spark, batch, idx, threshold=0.5,
+                          update_index=False)
+    got = {r["doc_id"] for r in out.collect()}
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    scans = [ln for ln in plan.splitlines() if "FileScan" in ln]
+    idx_scans = [ln for ln in scans if "/idx/" in ln or "idx" in ln]
+    assert idx_scans, plan
+    for ln in idx_scans:
+        assert "PartitionFilters: [" in ln, ln
+        pf = ln.split("PartitionFilters:", 1)[1]
+        assert "pb#" in pf, ln    # the bucket filter reached the scan
+
+    # equivalence: a flat (legacy-layout) index yields the same survivors
+    flat = str(tmp_path / "flat")
+    build_dedup_index(spark, docs, flat, parts=None)
+    ref = {r["doc_id"] for r in
+           dedup_increment(spark, batch, flat, threshold=0.5,
+                           update_index=False).collect()}
+    assert got == ref == {8000}
+
+
+def test_update_dedup_index_param_guard_and_strict_meta(spark, docs,
+                                                        tmp_path):
+    """ADVICE r6 #3: update_dedup_index (a) raises on a (k, n) mismatch
+    with the recorded build parameters instead of silently appending
+    incompatible signatures, and (b) propagates a meta READ failure
+    instead of treating it as a legacy index (which would silently skip
+    the bands append and leave {index}/bands stale)."""
+    import glob
+    import os
+    from mre.curate import build_dedup_index, update_dedup_index
+    idx = str(tmp_path / "idx")
+    build_dedup_index(spark, docs, idx, k=32, n=3)
+    batch = spark.createDataFrame(
+        [(7100, _variant(7100) + " strict meta fresh tail")],
+        "doc_id long, text string")
+    with pytest.raises(ValueError, match="built with"):
+        update_dedup_index(spark, batch, idx, k=64)
+    # corrupt the meta table: present but unreadable → loud, not legacy
+    for f in glob.glob(f"{idx}/meta/*.parquet"):
+        os.remove(f)
+    with open(f"{idx}/meta/part-corrupt.parquet", "w") as fh:
+        fh.write("not parquet")
+    with pytest.raises(Exception):
+        update_dedup_index(spark, batch, idx)
+
+
+def test_recover_swapped_dir(spark, tmp_path):
+    """ADVICE r6 #4: a crash between swap_dirs' two renames leaves the
+    table only at path.old — recover_swapped_dir restores it, and a
+    live path is never touched."""
+    from mre.io import recover_swapped_dir
+    live = str(tmp_path / "t")
+    spark.range(7).write.parquet(f"{live}.old")   # crash-window state
+    assert recover_swapped_dir(spark, live)
+    assert spark.read.parquet(live).count() == 7
+    # idempotent / no-op on a healthy dir
+    assert not recover_swapped_dir(spark, live)
+    spark.range(3).write.parquet(f"{live}.old")   # stale residue
+    assert not recover_swapped_dir(spark, live)   # live wins
+    assert spark.read.parquet(live).count() == 7
