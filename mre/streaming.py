@@ -146,13 +146,106 @@ def sessionize_events(events: DataFrame, gap_minutes: int = 10,
                 GroupStateTimeout.EventTimeTimeout))
 
 
+def _epoch_phases(spark: SparkSession, epochs_dst: str,
+                  epoch_id: int) -> set:
+    """Marker phases already committed for this epoch ('written',
+    'indexed') — a tiny table read + constant-shaped collect."""
+    from .io import read_table
+    try:
+        e = read_table(spark, epochs_dst) \
+            .filter(F.col("epoch") == int(epoch_id))
+        return {r["phase"] for r in e.select("phase").distinct().collect()}
+    except Exception:
+        return set()
+
+
+def _mark_epoch(spark: SparkSession, epochs_dst: str, epoch_id: int,
+                phase: str, n_docs: int) -> None:
+    from .io import write_append
+    write_append(
+        spark.createDataFrame([(int(epoch_id), phase, int(n_docs))],
+                              "epoch long, phase string, n_docs long")
+        .withColumn("committed_at", F.current_timestamp()),
+        epochs_dst)
+
+
+def ingest_epoch(spark: SparkSession, df: DataFrame, epoch_id: int,
+                 index_dst: str, accepted_dst: str, epochs_dst: str, *,
+                 threshold: float = 0.5,
+                 max_bucket: int | None = None) -> None:
+    """One idempotent ingest micro-batch: dedup ``df`` against the
+    corpus index, land survivors under ``{accepted_dst}/epoch=N``,
+    extend the index, and record progress in the tiny ``epochs_dst``
+    marker table ('written' after the partition commit, 'indexed' after
+    the index append).
+
+    The markers exist for the retry path (ADVICE r6 #1 — the MEDIUM):
+    ``update_dedup_index`` can crash after SOME of the batch's
+    fingerprint rows became visible (v2 committer / partial task
+    promotion). A retry that recomputed ``dedup_increment`` would see
+    those rows, drop the already-accepted docs at the exact-vs-index
+    anti-join, and dynamic-overwrite epoch=N with the REDUCED survivor
+    set — silent permanent loss. So on retry:
+
+    * 'indexed' present → the epoch fully converged; no-op.
+    * 'written' present → the survivor set on disk is authoritative;
+      SKIP the recompute-and-rewrite entirely, re-read epoch=N's rows
+      and go straight to the idempotent ``update_dedup_index``
+      (fingerprint-guarded — re-applying converges the partial append).
+    * neither → full compute. A crash between the partition write and
+      the 'written' marker re-enters here, which is safe precisely
+      because the index has not been touched yet in that window — the
+      recompute is deterministic and rewrites the same partition.
+
+    Duplicate marker rows (crash between a sink and its marker) are
+    harmless: phases are read as a set. Residual caveat: the guarantee
+    assumes this function is the only writer mutating the index between
+    a batch's two phases — which the per-epoch serial foreachBatch
+    contract provides."""
+    from .curate import dedup_increment, update_dedup_index
+    from .io import read_table, write_overwrite_partitions
+    from .textops import (_release_local_checkpoint, cache_mark,
+                          release_caches)
+    phases = _epoch_phases(spark, epochs_dst, epoch_id)
+    if "indexed" in phases:
+        return
+    mark = cache_mark()
+    if "written" in phases:
+        surv = (read_table(spark, accepted_dst)
+                .filter(F.col("epoch") == int(epoch_id)).drop("epoch")
+                .localCheckpoint(eager=True))
+        try:
+            update_dedup_index(spark, surv, index_dst)
+            _mark_epoch(spark, epochs_dst, epoch_id, "indexed",
+                        surv.count())
+        finally:
+            _release_local_checkpoint(surv)
+            release_caches(since=mark)
+        return
+    surv = dedup_increment(spark, df, index_dst, threshold=threshold,
+                           max_bucket=max_bucket, update_index=False)
+    surv = surv.localCheckpoint(eager=True)
+    try:
+        n = surv.count()
+        write_overwrite_partitions(
+            surv.withColumn("epoch", F.lit(int(epoch_id))),
+            accepted_dst, "epoch")
+        _mark_epoch(spark, epochs_dst, epoch_id, "written", n)
+        update_dedup_index(spark, surv, index_dst)
+        _mark_epoch(spark, epochs_dst, epoch_id, "indexed", n)
+    finally:
+        _release_local_checkpoint(surv)
+        release_caches(since=mark)
+
+
 def start_ingest_stream(spark: SparkSession, src_dir: str, index_dst: str,
                         accepted_dst: str, checkpoint_dir: str, *,
                         schema: str = "doc_id long, text string",
                         max_files_per_trigger: int = 16,
                         available_now: bool = False,
                         threshold: float = 0.5,
-                        max_bucket: int | None = None):
+                        max_bucket: int | None = None,
+                        epochs_dst: str | None = None):
     """CONTINUOUS ingestion dedup (round 6): the Structured-Streaming
     twin of ``scripts/run_ingest.py`` — each micro-batch of newly
     crawled documents is deduplicated against the pre-banded corpus
@@ -162,45 +255,30 @@ def start_ingest_stream(spark: SparkSession, src_dir: str, index_dst: str,
     micro-batch sees this one. Returns the StreamingQuery.
 
     Delivery semantics: foreachBatch re-runs a micro-batch after a
-    failure, so both sinks are idempotent per epoch — the accepted
-    table is a DYNAMIC-PARTITION overwrite of exactly this epoch's
-    partition (a retry rewrites, never duplicates), and
-    ``update_dedup_index`` is fingerprint-guarded (re-applying is a
-    no-op; partial band/signature appends are converged by the retry —
-    same write-ordering contract as the batch CLI). Survivors are
-    localCheckpointed BEFORE the index append because their plan
-    anti-joins the very tables being mutated.
+    failure; each epoch converges through the phase-marker protocol in
+    ``ingest_epoch`` (see its docstring) — the accepted partition is a
+    dynamic overwrite, the index append is fingerprint-guarded, and a
+    retry after a PARTIAL index append re-reads the committed survivor
+    set instead of recomputing it, so already-accepted docs can never
+    be silently dropped (ADVICE r6 #1). ``epochs_dst`` is the tiny
+    marker table backing that protocol (default:
+    ``{accepted_dst}_epochs``).
 
     Scale notes: the per-batch cost is O(batch) — the index side of
-    every join is scan-only (pre-banded layout) or digest-keyed; the
+    every join is a bucket-pruned scan feeding broadcast probes; the
     per-epoch partition layout doubles as time-ordered lineage (epoch
     → files) and compacts with ``compact_partitions``. Use
     ``available_now=True`` for a drain-and-stop backfill run."""
-    from .curate import dedup_increment, update_dedup_index
-    from .io import write_overwrite_partitions
-    from .textops import (_release_local_checkpoint, cache_mark,
-                          release_caches)
-
+    ep_dst = epochs_dst or f"{accepted_dst}_epochs"
     batches = (spark.readStream
                .schema(schema)
                .option("maxFilesPerTrigger", max_files_per_trigger)
                .parquet(src_dir))
 
     def _one_batch(df, epoch_id: int) -> None:
-        s = df.sparkSession
-        mark = cache_mark()
-        surv = dedup_increment(s, df, index_dst, threshold=threshold,
-                               max_bucket=max_bucket,
-                               update_index=False)
-        surv = surv.localCheckpoint(eager=True)
-        try:
-            write_overwrite_partitions(
-                surv.withColumn("epoch", F.lit(int(epoch_id))),
-                accepted_dst, "epoch")
-            update_dedup_index(s, surv, index_dst)
-        finally:
-            _release_local_checkpoint(surv)
-            release_caches(since=mark)
+        ingest_epoch(df.sparkSession, df, epoch_id, index_dst,
+                     accepted_dst, ep_dst, threshold=threshold,
+                     max_bucket=max_bucket)
 
     writer = (batches.writeStream
               .foreachBatch(_one_batch)
@@ -228,4 +306,4 @@ def start_extract_stream(spark: SparkSession, src_dir: str, dst_dir: str,
 
 
 __all__ = ["read_pages_stream", "streaming_extract", "start_extract_stream",
-           "start_ingest_stream", "sessionize_events"]
+           "start_ingest_stream", "ingest_epoch", "sessionize_events"]

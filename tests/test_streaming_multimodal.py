@@ -336,3 +336,61 @@ def test_media_meta_spark(spark):
             for r in media_meta(media).collect()}
     assert rows[3] == ("png", 103, 50)
     assert len(rows) == 8
+
+
+def test_ingest_epoch_retry_after_partial_index_update(spark, tmp_path):
+    """ADVICE r6 #1 (medium): a foreachBatch retry after
+    update_dedup_index crashed MID-APPEND (some survivor fingerprints
+    already visible in the index) must NOT recompute dedup_increment —
+    the recompute would see the partial rows, drop the already-accepted
+    docs, and dynamic-overwrite the epoch with the reduced set. With the
+    'written' phase marker committed, ingest_epoch re-reads the stored
+    survivor set and goes straight to the idempotent index update."""
+    from mre.curate import build_dedup_index, update_dedup_index
+    from mre.io import write_overwrite_partitions
+    from mre.streaming import _mark_epoch, ingest_epoch
+
+    def words(tag):
+        return " ".join(f"{tag}w{j}" for j in range(30))
+
+    corpus = spark.createDataFrame(
+        [(i, f"corpus doc {i} " + words(f"c{i}")) for i in range(5)],
+        "doc_id long, text string")
+    idx = str(tmp_path / "idx")
+    build_dedup_index(spark, corpus, idx)
+    acc = str(tmp_path / "accepted")
+    eps = str(tmp_path / "epochs")
+
+    batch = spark.createDataFrame(
+        [(100, "fresh alpha " + words("a")),
+         (101, "fresh beta " + words("b"))],
+        "doc_id long, text string")
+
+    # simulate the crash window: survivors {100, 101} committed to
+    # epoch=0 + 'written' marker, but only doc 100 made it into the
+    # index before the crash (partial task promotion)
+    write_overwrite_partitions(batch.withColumn("epoch", F.lit(0)),
+                               acc, "epoch")
+    _mark_epoch(spark, eps, 0, "written", 2)
+    update_dedup_index(spark, batch.filter("doc_id = 100"), idx)
+
+    # the retry: epoch 0 re-enters ingest_epoch with the SAME input df
+    ingest_epoch(spark, batch, 0, idx, acc, eps)
+
+    # the accepted partition still holds BOTH docs (the old recompute
+    # path would have rewritten it as {101} only)
+    got = {r["doc_id"] for r in spark.read.parquet(acc).collect()}
+    assert got == {100, 101}
+    # the index converged: both survivors present exactly once
+    fp = spark.read.parquet(f"{idx}/fingerprints")
+    assert fp.filter("doc_id in (100, 101)").count() == 2
+    # and the epoch is now fully marked
+    phases = {r["phase"] for r in spark.read.parquet(eps).collect()}
+    assert phases == {"written", "indexed"}
+
+    # a further retry of a fully-converged epoch is a pure no-op
+    n_fp = fp.count()
+    n_eps = spark.read.parquet(eps).count()
+    ingest_epoch(spark, batch, 0, idx, acc, eps)
+    assert spark.read.parquet(f"{idx}/fingerprints").count() == n_fp
+    assert spark.read.parquet(eps).count() == n_eps
