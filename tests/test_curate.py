@@ -874,3 +874,80 @@ def test_recover_swapped_dir(spark, tmp_path):
     spark.range(3).write.parquet(f"{live}.old")   # stale residue
     assert not recover_swapped_dir(spark, live)   # live wins
     assert spark.read.parquet(live).count() == 7
+
+
+def test_remove_from_dedup_index_readmits_content(spark, docs, tmp_path):
+    """VERDICT r6 #8 (index lifecycle): retracting docs removes their
+    suppression — a re-ingest of the same (exact) and near-same content
+    is admitted again; untouched docs keep deduping; compaction
+    preserves the removal; the delete is idempotent."""
+    import glob
+    from mre.curate import (build_dedup_index, compact_dedup_index,
+                            dedup_increment, remove_from_dedup_index)
+    idx = str(tmp_path / "idx")
+    build_dedup_index(spark, docs, idx)
+
+    t0 = docs.filter("doc_id = 0").first()["text"]
+    t1 = docs.filter("doc_id = 1").first()["text"]
+    t2 = docs.filter("doc_id = 2").first()["text"]
+    batch = spark.createDataFrame(
+        [(9000, t0),                                    # exact of removed
+         (9001, t1.replace("unique", "uniqxe", 1)),     # near of removed
+         (9002, t2)],                                   # exact of KEPT doc
+        "doc_id long, text string")
+    # precondition: all three suppressed before the retraction
+    pre = dedup_increment(spark, batch, idx, threshold=0.5,
+                          update_index=False)
+    assert pre.count() == 0
+    # the precondition call persisted frames OVER the index tables —
+    # release them, or Spark's plan-matching cache would serve the
+    # pre-removal rows to the post-removal run (module convention:
+    # update_index=False means the caller owns the release)
+    from mre.textops import release_caches
+    release_caches()
+
+    remove_from_dedup_index(spark, [0, 1], idx)
+    out = dedup_increment(spark, batch, idx, threshold=0.5,
+                          update_index=False)
+    got = {r["doc_id"] for r in out.collect()}
+    assert got == {9000, 9001}   # retracted content readmitted; 9002 not
+
+    # no trace of the victims in any table; no stale empty buckets
+    for t in ("fingerprints", "signatures", "bands"):
+        tbl = spark.read.parquet(f"{idx}/{t}")
+        assert tbl.filter("doc_id in (0, 1)").count() == 0
+        for d in glob.glob(f"{idx}/{t}/pb=*"):
+            assert glob.glob(f"{d}/*.parquet"), f"stale empty bucket {d}"
+
+    # idempotent: re-applying the same removal is a no-op
+    counts = {t: spark.read.parquet(f"{idx}/{t}").count()
+              for t in ("fingerprints", "signatures", "bands")}
+    remove_from_dedup_index(spark, [0, 1], idx)
+    for t, n in counts.items():
+        assert spark.read.parquet(f"{idx}/{t}").count() == n
+
+    # compaction preserves the removal
+    compact_dedup_index(spark, idx, target_partitions=1)
+    redo = dedup_increment(spark, batch, idx, threshold=0.5,
+                           update_index=False)
+    assert {r["doc_id"] for r in redo.collect()} == {9000, 9001}
+
+
+def test_remove_from_dedup_index_flat_layout(spark, docs, tmp_path):
+    """The legacy flat layout takes the full-rewrite path and reaches
+    the same post-retraction semantics."""
+    from mre.curate import (build_dedup_index, dedup_increment,
+                            remove_from_dedup_index)
+    idx = str(tmp_path / "idx")
+    build_dedup_index(spark, docs, idx, parts=None)
+    t0 = docs.filter("doc_id = 0").first()["text"]
+    batch = spark.createDataFrame([(9100, t0)], "doc_id long, text string")
+    assert dedup_increment(spark, batch, idx, threshold=0.5,
+                           update_index=False).count() == 0
+    from mre.textops import release_caches
+    release_caches()   # see readmits test: drop pre-removal cached scans
+    remove_from_dedup_index(
+        spark, spark.createDataFrame([(0,)], "doc_id long"), idx)
+    out = dedup_increment(spark, batch, idx, threshold=0.5,
+                          update_index=False)
+    assert {r["doc_id"] for r in out.collect()} == {9100}
