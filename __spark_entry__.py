@@ -415,9 +415,22 @@ def q_media_meta(spark, sf_dir):
       walks the block structure (extensions, descriptors, LZW
       sub-block length prefixes) and emits per-frame geometry:
       a=frame_idx, b=frame width, c=frame height.
+    * op='dedup' / op='band' (round 7, VERDICT r6 #2) — media-payload
+      dedup over a SECOND, coarsely-parameterized payload set (fmt =
+      i%3, dims = (16+i%7, 16+i%5); the gif variant additionally
+      varies its frame geometry by i%2, so byte-exact groups are
+      strictly FINER than container bands). 'dedup' = exact sha1
+      groups (a=keeper min id, b=copy count); 'band' = no-decode
+      (fmt, sniffed width, sniffed height) groups. Oracle validity:
+      the builders are deterministic and injective in their parameters
+      (dims live in the IHDR/SOF/descriptor bytes, the gif frame
+      geometry in its image descriptor), so byte-equality ⇔
+      parameter-tuple equality and DuckDB replays the groups from the
+      parameter formulas.
     """
     from mre.multimodal import (audio_frame_windows, make_gif, make_jpeg,
-                                make_png, make_wav, media_meta,
+                                make_png, make_wav, media_band_dedup,
+                                media_exact_dedup, media_meta,
                                 resize_media, sample_frames)
     _prep(spark)
     ids = _t(spark, sf_dir, "documents") \
@@ -466,7 +479,40 @@ def q_media_meta(spark, sf_dir):
         F.lit("gif").alias("fmt"),
         F.col("frame_idx").alias("a"), F.col("width").alias("b"),
         F.col("height").cast("long").alias("c"))
-    return meta.unionAll(resized).unionAll(audio).unionAll(frames)
+
+    def gen_dup(batches):
+        import pandas as pd
+        for pdf in batches:
+            rows = []
+            for mid in pdf["media_id"]:
+                i = int(mid)
+                w, h = 16 + i % 7, 16 + i % 5
+                if i % 3 == 0:
+                    payload = make_png(w, h)
+                elif i % 3 == 1:
+                    payload = make_jpeg(w, h)
+                else:
+                    payload = make_gif(w, h,
+                                       frames=[(0, 0, 8 + i % 2, 8)])
+                rows.append({"media_id": i, "payload": payload})
+            yield pd.DataFrame(rows)
+
+    dup_media = ids.mapInPandas(gen_dup,
+                                "media_id bigint, payload binary")
+    fmt3 = F.expr("CASE media_id % 3 WHEN 0 THEN 'png' "
+                  "WHEN 1 THEN 'jpeg' ELSE 'gif' END")
+    ded = media_exact_dedup(dup_media).select(
+        F.lit("dedup").alias("op"), "media_id", fmt3.alias("fmt"),
+        F.col("keeper_id").cast("int").alias("a"),
+        F.col("n_copies").cast("int").alias("b"),
+        F.lit(None).cast("long").alias("c"))
+    band = media_band_dedup(dup_media).select(
+        F.lit("band").alias("op"), "media_id", "fmt",
+        F.col("keeper_id").cast("int").alias("a"),
+        F.col("band_size").cast("int").alias("b"),
+        F.lit(None).cast("long").alias("c"))
+    return (meta.unionAll(resized).unionAll(audio).unionAll(frames)
+            .unionAll(ded).unionAll(band))
 
 
 def q_dup_clusters(spark, sf_dir):
@@ -1191,6 +1237,37 @@ def oracle_sql() -> dict[str, str]:
                    CAST(8 + (doc_id + 11 * j) % 48 AS BIGINT)
             FROM (SELECT doc_id, unnest(range(1 + doc_id % 3)) AS j
                   FROM documents WHERE doc_id % 4 = 2)
+            UNION ALL
+            -- round 7: exact payload dedup groups = builder parameter
+            -- tuples (builders are injective: dims / gif frame geometry
+            -- live in the container bytes)
+            SELECT 'dedup', doc_id,
+                   CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+                        ELSE 'gif' END,
+                   CAST(min(doc_id) OVER (
+                        PARTITION BY doc_id % 3, doc_id % 7, doc_id % 5,
+                        CASE WHEN doc_id % 3 = 2 THEN doc_id % 2
+                             ELSE 0 END) AS INTEGER),
+                   CAST(count(*) OVER (
+                        PARTITION BY doc_id % 3, doc_id % 7, doc_id % 5,
+                        CASE WHEN doc_id % 3 = 2 THEN doc_id % 2
+                             ELSE 0 END) AS INTEGER),
+                   CAST(NULL AS BIGINT)
+            FROM documents
+            UNION ALL
+            -- no-decode banding = (fmt, sniffed dims) — coarser than
+            -- exact for the gif family (frame geometry ignored)
+            SELECT 'band', doc_id,
+                   CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+                        ELSE 'gif' END,
+                   CAST(min(doc_id) OVER (
+                        PARTITION BY doc_id % 3, doc_id % 7, doc_id % 5)
+                        AS INTEGER),
+                   CAST(count(*) OVER (
+                        PARTITION BY doc_id % 3, doc_id % 7, doc_id % 5)
+                        AS INTEGER),
+                   CAST(NULL AS BIGINT)
+            FROM documents
         """,
         "contamination": r"""
             WITH toks AS (

@@ -115,6 +115,32 @@ def contaminated_ids(docs: DataFrame, evals: DataFrame, *, n: int = 5,
             .select("doc_id").distinct())
 
 
+def media_loser_ids(media: DataFrame, mode: str = "exact", *,
+                    size_bucket_bytes: int | None = None) -> DataFrame:
+    """Media-payload dedup stage (VERDICT r6 #2) — the doc_ids to DROP
+    from a (doc_id, payload) media table: every doc that is not its
+    group's min doc_id, grouped by sha1 payload digest
+    (``mode='exact'``) or by no-decode container band (``mode='band'``
+    — fmt + sniffed dimensions, optionally a byte-size bucket; the
+    aggressive analogue for re-encoded copies, see
+    ``mre.multimodal.media_band_dedup``). Same keep-min semantics as
+    text exact dedup. Emitting LOSERS (anti-join shape) means docs
+    with no media row pass the stage untouched — a mixed corpus is the
+    normal case. One digest/band-keyed window shuffle; payload bytes
+    never shuffle in exact mode."""
+    from .multimodal import media_band_dedup, media_exact_dedup
+    m = media.select(F.col("doc_id").alias("media_id"), "payload")
+    if mode == "exact":
+        d = media_exact_dedup(m)
+    elif mode == "band":
+        d = media_band_dedup(m, size_bucket_bytes=size_bucket_bytes)
+    else:
+        raise ValueError(f"media dedup mode must be 'exact'|'band', "
+                         f"got {mode!r}")
+    return (d.filter(F.col("media_id") != F.col("keeper_id"))
+            .select(F.col("media_id").alias("doc_id")))
+
+
 # --------------------------------------------------------------------------
 # the composed pipeline as one DataFrame (driver-checkable, no sink)
 
@@ -125,7 +151,9 @@ def curate_df(docs: DataFrame, evals: Optional[DataFrame] = None, *,
               contamination_min_shared: int = 1,
               train_frac: float = 0.9, strict_quality: bool = False,
               pii_max: int | None = None,
-              max_bucket: int | None = None) -> DataFrame:
+              max_bucket: int | None = None,
+              media: Optional[DataFrame] = None,
+              media_dedup: str = "exact") -> DataFrame:
     """The full curation chain as a single DataFrame: surviving docs with
     their train/test ``split`` assignment (text column dropped).
 
@@ -134,6 +162,13 @@ def curate_df(docs: DataFrame, evals: Optional[DataFrame] = None, *,
     scans (near-dup, decontamination, split) — persisted so the quality +
     dedup semi-joins run once; ``run_curate`` materializes stage id-lists
     to parquet instead, which is the 10^12-doc shape.
+
+    ``media`` (round 7, VERDICT r6 #2): an optional (doc_id, payload)
+    table of the docs' media attachments; when given, a media-payload
+    dedup stage runs right after text exact dedup — docs whose payload
+    duplicates a kept doc's (``media_dedup='exact'``: byte-identical
+    sha1; ``'band'``: same no-decode container band) are dropped, docs
+    without a media row pass through.
 
     Cache ownership (ADVICE r4): the persisted survivor frame (and the
     intermediates the textops helpers persist) are registered in
@@ -144,9 +179,15 @@ def curate_df(docs: DataFrame, evals: Optional[DataFrame] = None, *,
     kept = docs.join(
         quality_keep_ids(docs, strict=strict_quality, pii_max=pii_max),
         "doc_id", "left_semi")
-    kept = _register_cache(
-        kept.join(exact_keeper_ids(kept), "doc_id", "left_semi")
-        .persist(StorageLevel.MEMORY_AND_DISK))
+    kept = kept.join(exact_keeper_ids(kept), "doc_id", "left_semi")
+    if media is not None:
+        # media restricted to LIVE docs first, so a dead doc can never
+        # claim keeper-min over a surviving copy
+        live_media = media.join(kept.select("doc_id"), "doc_id",
+                                "left_semi")
+        kept = kept.join(media_loser_ids(live_media, mode=media_dedup),
+                         "doc_id", "left_anti")
+    kept = _register_cache(kept.persist(StorageLevel.MEMORY_AND_DISK))
     losers = near_dup_loser_ids(kept, shingle_n=shingle_n,
                                 minhash_threshold=minhash_threshold,
                                 jaccard_threshold=jaccard_threshold,
@@ -215,7 +256,9 @@ def run_curate(spark: SparkSession, src, dst: str, lineage_dst: str,
                strict_quality: bool = False, pii_max: int | None = None,
                max_bucket: int | None = None, resume: bool = True,
                rewrite: str | None = None,
-               rewrite_max_df: int = 1) -> None:
+               rewrite_max_df: int = 1,
+               media_src: Optional[str] = None,
+               media_dedup: str = "exact") -> None:
     """Run the curation pipeline end-to-end with stage checkpoints.
 
     ``src`` is a documents table (doc_id, text, …) — a path/URI, or a
@@ -248,7 +291,14 @@ def run_curate(spark: SparkSession, src, dst: str, lineage_dst: str,
     write, same class as the extract sink; SURVEY §7.4 rule 24 governs
     checkpoints, not data products) — and every downstream stage reads
     its text from there. Default None leaves the pipeline exactly as
-    before."""
+    before.
+
+    ``media_src`` (round 7, VERDICT r6 #2): optional (doc_id, payload)
+    table of media attachments — inserts a ``media_dedup`` stage after
+    text exact dedup (exact sha1 payload dedup, or no-decode banding
+    with ``media_dedup='band'``; docs without media pass through). Like
+    every other stage it materializes a narrow id-list and is resumed
+    through the lineage."""
     from .textops import cache_mark, release_caches
     if rewrite not in (None, "passages", "windows"):
         raise ValueError(f"rewrite must be None|'passages'|'windows', "
@@ -256,6 +306,7 @@ def run_curate(spark: SparkSession, src, dst: str, lineage_dst: str,
     _mark = cache_mark()
     docs = src if isinstance(src, DataFrame) else read_table(spark, src)
     evals = read_table(spark, evals_src) if evals_src else None
+    media = read_table(spark, media_src) if media_src else None
     ph = _params_hash(
         evals_src=evals_src, shingle_n=shingle_n,
         minhash_threshold=minhash_threshold,
@@ -264,7 +315,8 @@ def run_curate(spark: SparkSession, src, dst: str, lineage_dst: str,
         contamination_min_shared=contamination_min_shared,
         train_frac=train_frac, strict_quality=strict_quality,
         pii_max=pii_max, max_bucket=max_bucket,
-        rewrite=rewrite, rewrite_max_df=rewrite_max_df)
+        rewrite=rewrite, rewrite_max_df=rewrite_max_df,
+        media_src=media_src, media_dedup=media_dedup)
     done = completed_stages(spark, lineage_dst, run_id, ph) if resume \
         else set()
 
@@ -319,6 +371,16 @@ def run_curate(spark: SparkSession, src, dst: str, lineage_dst: str,
         base = docs.drop("text").join(sR, "doc_id")
         d2 = base
     s2 = _stage("exact_dedup", lambda: exact_keeper_ids(d2), s1)
+    if media is not None:
+        _s2_text = s2   # pin: the lambda must see the TEXT-dedup ids
+        s2 = _stage(
+            "media_dedup",
+            lambda: _s2_text.join(
+                media_loser_ids(
+                    media.join(_s2_text, "doc_id", "left_semi"),
+                    mode=media_dedup),
+                "doc_id", "left_anti"),
+            _s2_text)
     d3 = base.join(s2, "doc_id", "left_semi")
     s3 = _stage(
         "near_dup",
@@ -1052,7 +1114,8 @@ def run_corpus(spark: SparkSession, src: str, workdir: str, run_id: str, *,
 
 __all__ = ["curate_df", "run_curate", "read_curated", "completed_stages",
            "quality_keep_ids", "exact_keeper_ids", "near_dup_loser_ids",
-           "contaminated_ids", "CURATE_STAGES", "read_curate_lineage",
+           "contaminated_ids", "media_loser_ids", "CURATE_STAGES",
+           "read_curate_lineage",
            "extracted_to_documents", "run_corpus",
            "build_dedup_index", "update_dedup_index", "dedup_increment",
            "compact_dedup_index", "remove_from_dedup_index"]

@@ -450,6 +450,58 @@ def audio_frame_windows(media: DataFrame, window: int = 4,
         run, AUDIO_WINDOW_SCHEMA)
 
 
+def media_exact_dedup(media: DataFrame) -> DataFrame:
+    """EXACT payload-level dedup over a media column (VERDICT r6 #2):
+    per media row, the sha1 digest of the raw bytes, the group's keeper
+    (min media_id per digest — the same keep-min rule as text exact
+    dedup) and the copy count. A row is a duplicate iff
+    ``media_id != keeper_id``.
+
+    100 TB shape: the digest is ``F.sha1`` over the binary column — a
+    pure JVM-side projection, no Python, and the payload bytes never
+    shuffle (only the 40-char digest + id do). keeper/count ride ONE
+    window over the digest hash-partitioning — a single Exchange."""
+    from pyspark.sql import Window
+    d = media.select("media_id", F.sha1(F.col("payload")).alias("digest"))
+    w = Window.partitionBy("digest")
+    return d.select(
+        "media_id", "digest",
+        F.min("media_id").over(w).alias("keeper_id"),
+        F.count("*").over(w).alias("n_copies"))
+
+
+def media_band_dedup(media: DataFrame,
+                     size_bucket_bytes: int | None = None) -> DataFrame:
+    """NO-DECODE near-dup banding over a media column (VERDICT r6 #2):
+    payloads sharing a band — (fmt, width, height) from REAL header
+    sniffing, optionally coarsened with a byte-size bucket — are
+    treated as one duplicate group, keep-min. This is the multimodal
+    analogue of LSH banding when pixel decode is unavailable or too
+    expensive: re-encodes / metadata-stripped copies keep their
+    container geometry, so they land in the same band even though
+    their bytes differ. Aggressive by construction (same-dimension
+    DISTINCT images collapse too) — the knob for corpora where
+    dimension collisions are rare (thumbnails pipelines) or as a
+    candidate generator for a decode-based verifier.
+
+    Same single-Exchange shape as ``media_exact_dedup``; the sniff is
+    the existing ``media_meta`` batch map (header bytes only, no
+    decode). ``size_bucket_bytes`` adds ``floor(n_bytes / bucket)`` to
+    the band key."""
+    from pyspark.sql import Window
+    m = media_meta(media)
+    band_cols = [F.col("fmt"), F.col("width"), F.col("height")]
+    if size_bucket_bytes is not None:
+        band_cols.append(
+            (F.col("n_bytes") / F.lit(size_bucket_bytes))
+            .cast("long").alias("size_bucket"))
+    w = Window.partitionBy(*band_cols)
+    return m.select(
+        "media_id", "fmt", "width", "height",
+        F.min("media_id").over(w).alias("keeper_id"),
+        F.count("*").over(w).alias("band_size"))
+
+
 def decode_media(payload: bytes, media_type: str, fake: bool = False):
     """STUB — media decoding needs Pillow/soundfile/ffmpeg, none of which
     exist in this container. ``fake=True`` returns a deterministic
@@ -522,4 +574,5 @@ __all__ = ["MEDIA_SCHEMA", "FEATURE_SCHEMA", "MEDIA_META_SCHEMA",
            "sniff_media_meta", "media_meta", "resize_media",
            "audio_frame_windows", "wav_pcm_samples",
            "gif_frames", "sample_frames", "FRAME_SCHEMA",
+           "media_exact_dedup", "media_band_dedup",
            "make_png", "make_jpeg", "make_gif", "make_wav"]

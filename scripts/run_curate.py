@@ -59,6 +59,14 @@ def main() -> None:
                          "distinct docs; docs differing only in shared "
                          "boilerplate then collapse as exact dups")
     ap.add_argument("--rewrite-max-df", type=int, default=1)
+    ap.add_argument("--media-src", default=None,
+                    help="(doc_id, payload) media table: inserts a "
+                         "media-payload dedup stage after text exact "
+                         "dedup (docs without media pass through)")
+    ap.add_argument("--media-dedup", choices=("exact", "band"),
+                    default="exact",
+                    help="exact = sha1 byte dedup; band = no-decode "
+                         "container banding (fmt + sniffed dims)")
     ap.add_argument("--no-resume", action="store_true")
     args = ap.parse_args()
 
@@ -80,6 +88,8 @@ def main() -> None:
                    max_bucket=args.max_bucket,
                    rewrite=args.rewrite,
                    rewrite_max_df=args.rewrite_max_df,
+                   media_src=args.media_src,
+                   media_dedup=args.media_dedup,
                    resume=not args.no_resume)
     finally:
         spark.stop()

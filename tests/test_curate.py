@@ -951,3 +951,54 @@ def test_remove_from_dedup_index_flat_layout(spark, docs, tmp_path):
     out = dedup_increment(spark, batch, idx, threshold=0.5,
                           update_index=False)
     assert {r["doc_id"] for r in out.collect()} == {9100}
+
+
+def test_media_dedup_stage_in_curation(spark, docs, evals, tmp_path):
+    """VERDICT r6 #2: media-payload dedup composed into the pipeline.
+    Docs whose media payload is byte-identical to a kept doc's are
+    dropped (keep-min), docs without media pass through, and the
+    'band' mode additionally collapses same-container-geometry
+    payloads whose bytes differ. Exercised through curate_df AND the
+    resumable run_curate (stage lineage row + id-list)."""
+    from mre.curate import media_loser_ids
+    from mre.multimodal import make_gif, make_png
+
+    # docs 0..3 get media; 0 and 1 share EXACT bytes; 2's gif shares
+    # dims with 3's but differs in frame geometry (band-dup only)
+    rows = [(0, make_png(20, 10)), (1, make_png(20, 10)),
+            (2, make_gif(30, 12, frames=[(0, 0, 8, 8)])),
+            (3, make_gif(30, 12, frames=[(0, 0, 9, 8)]))]
+    media = spark.createDataFrame(rows, "doc_id long, payload binary")
+
+    exact_losers = {r["doc_id"]
+                    for r in media_loser_ids(media).collect()}
+    assert exact_losers == {1}
+    band_losers = {r["doc_id"]
+                   for r in media_loser_ids(media, mode="band").collect()}
+    assert band_losers == {1, 3}
+
+    out = curate_df(docs, evals, media=media)
+    ids = {r["doc_id"] for r in out.collect()}
+    assert 1 not in ids          # exact media dup dropped
+    assert {0, 2, 3} <= ids      # keeper + band-only dups survive
+    assert 19 in ids             # doc without media passes through
+    out_band = curate_df(docs, evals, media=media, media_dedup="band")
+    ids_b = {r["doc_id"] for r in out_band.collect()}
+    assert 1 not in ids_b and 3 not in ids_b and {0, 2} <= ids_b
+
+    # the resumable job: media_dedup gets a lineage row + an id-list
+    src = str(tmp_path / "docs")
+    msrc = str(tmp_path / "media")
+    dst = str(tmp_path / "curated")
+    lin = str(tmp_path / "lineage")
+    docs.write.parquet(src)
+    media.write.parquet(msrc)
+    run_curate(spark, src, dst, lin, run_id="m1", media_src=msrc)
+    stages = {r["stage"] for r in spark.read.parquet(lin).collect()}
+    assert "media_dedup" in stages
+    final = {r["doc_id"] for r in read_curated(spark, dst).collect()}
+    assert 1 not in final and {0, 2, 3} <= final
+    # resume: nothing recomputes, no new lineage rows
+    n_lin = spark.read.parquet(lin).count()
+    run_curate(spark, src, dst, lin, run_id="m1", media_src=msrc)
+    assert spark.read.parquet(lin).count() == n_lin
