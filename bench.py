@@ -106,6 +106,44 @@ def _dedup_increment(spark, sf_dir):
                            idx, threshold=0.5, update_index=False)
 
 
+# staged inputs for the STREAMING ingest entry (round 7, VERDICT r6 #6):
+# index over the even half + the odd half as incoming files, built once;
+# each timed run streams against a fresh COPY of the index (the stream
+# extends the index, so reusing it would hand later runs near-zero work)
+_STREAM_ROOT: dict[str, str] = {}
+
+
+def _ingest_stream(spark, sf_dir):
+    """Drained (availableNow) continuous-ingest run of the odd half —
+    times the micro-batch overhead (foreachBatch + epoch markers +
+    per-epoch index extension) against the batch `dedup_increment`
+    entry on the same input. The per-run index copy (a few MB of
+    narrow tables) rides inside the timing; it is the price of a fair
+    steady-state comparison, not part of the stream itself."""
+    import shutil
+    import tempfile
+    import uuid
+    from pyspark.sql import functions as F
+    from mre.curate import build_dedup_index
+    from mre.streaming import start_ingest_stream
+    root = _STREAM_ROOT.get(sf_dir)
+    if root is None:
+        root = tempfile.mkdtemp(prefix="mre_bench_stream_")
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        build_dedup_index(spark, docs.filter(F.col("doc_id") % 2 == 0),
+                          f"{root}/idx0")
+        docs.filter(F.col("doc_id") % 2 == 1).coalesce(4) \
+            .write.parquet(f"{root}/incoming")
+        _STREAM_ROOT[sf_dir] = root
+    run = f"{root}/run_{uuid.uuid4().hex[:8]}"
+    shutil.copytree(f"{root}/idx0", f"{run}/idx")
+    q = start_ingest_stream(spark, f"{root}/incoming", f"{run}/idx",
+                            f"{run}/acc", f"{run}/ckpt",
+                            available_now=True, threshold=0.5)
+    q.awaitTermination()
+    return spark.read.parquet(f"{run}/acc")
+
+
 EXTRA_BENCH = {
     "winnow_dup_pairs_guarded": _winnow_guarded,
     # round-5 ops benched standalone (their driver row is the
@@ -117,6 +155,8 @@ EXTRA_BENCH = {
     # the sentence_dedup op='desub' / semi_anti_join op='ingest' unions)
     "remove_dup_windows": _remove_dup_windows,
     "dedup_increment": _dedup_increment,
+    # round-7: the continuous (Structured-Streaming) twin, drained
+    "ingest_stream": _ingest_stream,
 }
 
 
@@ -126,13 +166,14 @@ def _session(cpus: int):
                      shuffle_partitions=max(cpus, 8))
 
 
-BENCH_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+BENCH_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 
 
 def run_bench(spark, sf_dir: str) -> dict:
     import __spark_entry__ as entrymod
     qs = entrymod.queries()
     times: dict[str, float] = {}
+    runs_by_query: dict[str, list] = {}
     extra: dict[str, float] = {}
     # warm-up AT THE BENCH SF (not sf0.001): python worker spawn, JIT, and
     # first-touch of this SF's parquet files all land here, not in the
@@ -141,16 +182,22 @@ def run_bench(spark, sf_dir: str) -> dict:
     qs["extract_flagship"](spark, sf_dir).count()
     for name in BENCH_QUERIES + list(EXTRA_BENCH):
         fn = qs[name] if name in qs else EXTRA_BENCH[name]
-        best = float("inf")
         n = 0
+        runs = []
         for _ in range(BENCH_RUNS):
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             n = df.count()
-            best = min(best, time.perf_counter() - t0)
+            runs.append(round(time.perf_counter() - t0, 3))
         # best-of-N: shared-VM interference is one-sided (only ever slows
-        # a run), so min is the low-noise estimator (BENCH/BASELINE.md)
-        times[name] = round(best, 3)
+        # a run), so min is the low-noise estimator (BENCH/BASELINE.md);
+        # the raw per-run array is emitted alongside so the artifact is
+        # self-adjudicating — a contended window shows as a wide spread
+        # around an unchanged best, a real regression shifts the best
+        best = min(runs)
+        times[name] = best
+        runs_by_query[name] = runs
+        extra["query_runs"] = runs_by_query
         # isolation: drop frames the query persisted internally (minhash
         # sigs, shingle sets, …) so earlier queries' cached blocks can't
         # perturb later timings; OS page cache (the warm-up) is untouched
@@ -226,11 +273,16 @@ def main() -> None:
         result_extra["scaling"] = scal
         _write_baseline_md(scal)
 
+    # VERDICT r6 #3: make the artifact self-adjudicating — record system
+    # load around the run so a contended capture window is visible in
+    # the JSON itself, not inferred from prose three rounds running
+    load_before = [round(v, 2) for v in os.getloadavg()]
     spark = _session(CPUS)
     try:
         r = run_bench(spark, SF_DIR)
     finally:
         spark.stop()
+    load_after = [round(v, 2) for v in os.getloadavg()]
 
     total = round(sum(r["times"].values()), 3)
     line = {
@@ -238,6 +290,10 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": r["times"],
+        "query_runs": r.get("query_runs"),
+        "bench_runs_per_query": BENCH_RUNS,
+        "loadavg_before": load_before,
+        "loadavg_after": load_after,
         "sf": SF_DIR,
         "cpus": CPUS,
         "extract_docs_per_sec": r.get("extract_docs_per_sec"),
