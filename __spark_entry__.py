@@ -251,10 +251,65 @@ def q_event_stats(spark, sf_dir):
                  F.round(F.stddev_pop("value"), 3).alias("sd_value")))
 
 
+# BPE driver-row constants (shared by the Spark branch and the oracle
+# generator — VERDICT r6 #4): 12 merges learned from the top-120 words of
+# the first 300 chars of every 13th doc. Small enough that the oracle
+# replays the FULL learn as an unrolled 12-iteration CTE chain and the
+# apply as a pure replace chain; the corpus-scale operators
+# (mre.bpe.bpe_learn / bpe_tokenize) take production-sized parameters.
+_BPE_M, _BPE_V, _BPE_CAP, _BPE_MOD = 12, 120, 300, 13
+
+
 def q_token_stats(spark, sf_dir):
+    """Token accounting as a tagged union (registry-window rule,
+    SURVEY §7.4 #19). Shared schema (op, doc_id, m1..m4, s1):
+
+    * op='ws'     — the original whitespace/regex stats over the full
+      corpus: m1=n_chars, m2=n_ws_tokens, m3=n_regex_tokens, m4=n_punct.
+    * op='merges' — the learned BPE merge table itself (doc_id=rank,
+      m1=the winning pair's count at selection time, s1='left|right') —
+      the LEARNER is value-checked, not just its downstream counts.
+    * op='bpe'    — subword accounting over the learning slice under
+      those merges: m1=n_words, m2=n_subword_tokens, m3=token-string
+      length, s1=the full space-joined token sequence (value-hashed →
+      the segmentation is byte-checked cross-engine).
+
+    Learning is mre.bpe.bpe_learn (single distributed word count, then
+    the driver-side merge loop over a bounded top-V vocabulary);
+    application is the pure-JVM mre.bpe.bpe_apply_expr replace chain —
+    single-pass merge semantics, see mre/bpe.py."""
+    from mre.bpe import bpe_apply_expr, bpe_learn
     from mre.textops import token_stats
     _prep(spark)
-    return token_stats(_t(spark, sf_dir, "documents"))
+    docs = _t(spark, sf_dir, "documents")
+    ws = token_stats(docs).select(
+        F.lit("ws").alias("op"), "doc_id",
+        F.col("n_chars_calc").cast("long").alias("m1"),
+        F.col("n_ws_tokens").cast("long").alias("m2"),
+        F.col("n_bpe_tokens").cast("long").alias("m3"),
+        F.col("n_punct").cast("long").alias("m4"),
+        F.lit(None).cast("string").alias("s1"))
+    sl = docs.filter(F.col("doc_id") % _BPE_MOD == 0)
+    merges = bpe_learn(sl, num_merges=_BPE_M, vocab_top=_BPE_V,
+                       text_cap=_BPE_CAP)
+    toks = F.transform(
+        F.filter(F.split(F.substring("text", 1, _BPE_CAP), r"\s+"),
+                 lambda w: w != ""),
+        lambda w: bpe_apply_expr(w, merges))
+    joined = F.array_join(toks, " ")
+    bpe = sl.select(
+        F.lit("bpe").alias("op"), "doc_id",
+        F.size(toks).cast("long").alias("m1"),
+        F.size(F.split(joined, " ")).cast("long").alias("m2"),
+        F.length(joined).cast("long").alias("m3"),
+        F.lit(None).cast("long").alias("m4"),
+        joined.alias("s1"))
+    mrows = spark.createDataFrame(
+        [("merges", i + 1, c, None, None, None, f"{l}|{r}")
+         for i, (l, r, c) in enumerate(merges)],
+        "op string, doc_id long, m1 long, m2 long, m3 long, m4 long, "
+        "s1 string")
+    return ws.unionByName(bpe).unionByName(mrows)
 
 
 def q_quality(spark, sf_dir):
@@ -966,6 +1021,91 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 _STOPWORDS_SQL = "'the', 'a', 'of', 'and', 'in', 'to', 'is'"
+
+
+def _token_stats_oracle_sql() -> str:
+    """Generated oracle for the q_token_stats tagged union: the 'ws'
+    branch is the original per-doc stats SQL; the 'merges' + 'bpe'
+    branches replay the ENTIRE BPE stack in DuckDB — learning as an
+    unrolled _BPE_M-iteration CTE chain (word count → top-_BPE_V vocab →
+    per-iteration pair count / (cnt DESC, pair ASC) argmax / single-pass
+    replace rewrite) and application as the same replace chain inside a
+    list_transform lambda. MATERIALIZED is load-bearing: DuckDB inlines
+    plain CTEs, and the 12-deep best/vocab chain re-expands
+    exponentially without it. replace() here, in Spark and in Python
+    shares left-to-right non-overlapping semantics — the cross-engine
+    contract (tests/test_bpe.py::test_duckdb_replace_twin) the whole
+    replay rests on; see mre/bpe.py for the single-pass spec."""
+    ctes = [f"""
+bpe_words AS MATERIALIZED (
+  SELECT unnest(list_filter(string_split_regex(substr(text, 1, {_BPE_CAP}),
+                                               '\\s+'),
+                            w -> w <> '')) AS word
+  FROM documents WHERE doc_id % {_BPE_MOD} = 0
+),
+vocab0 AS MATERIALIZED (
+  SELECT ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') || '</w> ' AS seq,
+         cnt AS freq
+  FROM (SELECT word, count(*) AS cnt FROM bpe_words GROUP BY 1
+        ORDER BY cnt DESC, word LIMIT {_BPE_V})
+)"""]
+    for i in range(1, _BPE_M + 1):
+        p = i - 1
+        ctes.append(f"""
+best{i} AS MATERIALIZED (
+  SELECT z[1] AS l, z[2] AS r, sum(freq) AS cnt
+  FROM (SELECT freq,
+               unnest(list_zip(syms[1:len(syms)-1], syms[2:len(syms)])) AS z
+        FROM (SELECT freq,
+                     list_filter(string_split(seq, ' '), s -> s <> '') AS syms
+              FROM vocab{p}))
+  GROUP BY 1, 2 ORDER BY cnt DESC, l, r LIMIT 1
+),
+vocab{i} AS MATERIALIZED (
+  SELECT replace(v.seq, ' '||b.l||' '||b.r||' ', ' '||b.l||b.r||' ') AS seq,
+         v.freq
+  FROM vocab{p} v, best{i} b
+)""")
+    ctes.append("mw AS MATERIALIZED (SELECT " + ", ".join(
+        f"(SELECT ' '||l||' '||r||' ' FROM best{i}) AS p{i}, "
+        f"(SELECT ' '||l||r||' ' FROM best{i}) AS q{i}"
+        for i in range(1, _BPE_M + 1)) + ")")
+    apply_expr = "' ' || regexp_replace(w, '(.)', '\\1 ', 'g') || '</w> '"
+    for i in range(1, _BPE_M + 1):
+        apply_expr = f"replace({apply_expr}, mw.p{i}, mw.q{i})"
+    merges_rows = "\nUNION ALL\n".join(
+        f"SELECT 'merges' AS op, {i}::BIGINT AS doc_id, cnt::BIGINT AS m1, "
+        f"NULL::BIGINT AS m2, NULL::BIGINT AS m3, NULL::BIGINT AS m4, "
+        f"l||'|'||r AS s1 FROM best{i}"
+        for i in range(1, _BPE_M + 1))
+    return f"""WITH {','.join(ctes)},
+bpe AS (
+  SELECT doc_id,
+         list_transform(
+             list_filter(string_split_regex(substr(text, 1, {_BPE_CAP}),
+                                            '\\s+'),
+                         w -> w <> ''),
+             w -> trim({apply_expr})) AS toks
+  FROM documents, mw WHERE doc_id % {_BPE_MOD} = 0
+)
+SELECT 'ws' AS op, doc_id,
+       length(text)::BIGINT AS m1,
+       len(regexp_split_to_array(trim(text), '\\s+'))::BIGINT AS m2,
+       len(regexp_extract_all(text,
+           '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))::BIGINT AS m3,
+       len(regexp_extract_all(text, '[.,;:!?]'))::BIGINT AS m4,
+       NULL::VARCHAR AS s1
+FROM documents
+UNION ALL
+SELECT 'bpe' AS op, doc_id, len(toks)::BIGINT AS m1,
+       len(string_split(array_to_string(toks, ' '), ' '))::BIGINT AS m2,
+       length(array_to_string(toks, ' '))::BIGINT AS m3,
+       NULL::BIGINT AS m4,
+       array_to_string(toks, ' ') AS s1
+FROM bpe
+UNION ALL
+{merges_rows}
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1861,16 +2001,7 @@ def oracle_sql() -> dict[str, str]:
                    round(stddev_pop(value), 3) AS sd_value
             FROM events GROUP BY event_type
         """,
-        "token_stats": r"""
-            SELECT doc_id,
-                   length(text) AS n_chars_calc,
-                   len(regexp_split_to_array(trim(text), '\s+'))
-                       AS n_ws_tokens,
-                   len(regexp_extract_all(text,
-                       '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens,
-                   len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct
-            FROM documents
-        """,
+        "token_stats": _token_stats_oracle_sql(),
         "quality_score": rf"""
             WITH t AS (
                 SELECT doc_id,

@@ -144,6 +144,18 @@ def _ingest_stream(spark, sf_dir):
     return spark.read.parquet(f"{run}/acc")
 
 
+def _bpe_tokenize(spark, sf_dir):
+    """End-to-end production BPE: learn 200 merges (one distributed word
+    count + the driver-side loop over a top-5000 vocab) and tokenize the
+    full corpus through the memoized pandas-UDF path. The driver row
+    (token_stats op='bpe') uses the 12-merge JVM expression chain; this
+    times the production-sized configuration."""
+    from mre.bpe import bpe_learn, bpe_tokenize
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    merges = bpe_learn(docs, num_merges=200, vocab_top=5000)
+    return bpe_tokenize(docs, merges)
+
+
 EXTRA_BENCH = {
     "winnow_dup_pairs_guarded": _winnow_guarded,
     # round-5 ops benched standalone (their driver row is the
@@ -157,6 +169,8 @@ EXTRA_BENCH = {
     "dedup_increment": _dedup_increment,
     # round-7: the continuous (Structured-Streaming) twin, drained
     "ingest_stream": _ingest_stream,
+    # round-7: production-sized subword tokenization (learn + apply)
+    "bpe_tokenize": _bpe_tokenize,
 }
 
 
