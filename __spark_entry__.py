@@ -451,11 +451,14 @@ def q_media_meta(spark, sf_dir):
     all REAL byte-level parsing, no decode libs. Shared schema
     (op, media_id, fmt, a, b, c):
 
-    * op='meta'   — deterministic PNG/JPEG/GIF/WAV payloads built per
-      doc_id in the executors, format + dimensions / sample rate
-      sniffed back out of the BYTES (PNG IHDR, JPEG SOF scan, GIF
-      screen descriptor, WAV fmt chunk): a=width, b=height,
-      c=sample_rate_hz.
+    * op='meta'   — deterministic PNG/JPEG/GIF/WAV/MP4 payloads built
+      per doc_id (doc_id % 5 selects the container) in the executors,
+      format + dimensions / sample rate / duration sniffed back out of
+      the BYTES (PNG IHDR, JPEG SOF scan, GIF screen descriptor, WAV
+      fmt chunk, ISO-BMFF box walk — VERDICT r6 #5): a=width, b=height,
+      c=sample_rate_hz for wav / duration_ms for mp4. The mp4 payloads
+      alternate a 600-unit timescale so the sniffer's floor-division
+      duration recovery is oracle-observable, not a pass-through.
     * op='resize' — the image payloads run through ``resize_media``
       (REAL container re-write at 32×24) and the RESIZED bytes are
       re-sniffed by ``media_meta``: a=32, b=24 prove the emitted
@@ -484,33 +487,38 @@ def q_media_meta(spark, sf_dir):
       parameter formulas.
     """
     from mre.multimodal import (audio_frame_windows, make_gif, make_jpeg,
-                                make_png, make_wav, media_band_dedup,
-                                media_exact_dedup, media_meta,
-                                resize_media, sample_frames)
+                                make_mp4, make_png, make_wav,
+                                media_band_dedup, media_exact_dedup,
+                                media_meta, resize_media, sample_frames)
     _prep(spark)
     ids = _t(spark, sf_dir, "documents") \
         .select(F.col("doc_id").alias("media_id"))
 
     def gen(batches):
         import pandas as pd
-        builders = [make_png, make_jpeg, make_gif]
+        builders = [make_png, make_jpeg]
         for pdf in batches:
             rows = []
             for mid in pdf["media_id"]:
                 i = int(mid)
-                if i % 4 == 3:
+                if i % 5 == 3:
                     payload = make_wav(
                         8000 + (i % 8) * 1000,
                         samples=[((i * 7 + j * 13) % 2048) - 1024
                                  for j in range(16)])
-                elif i % 4 == 2:
+                elif i % 5 == 4:
+                    payload = make_mp4(
+                        16 + i % 317, 16 + i % 211,
+                        500 + (i % 977) * 3,
+                        timescale=600 if i % 2 == 0 else 1000)
+                elif i % 5 == 2:
                     payload = make_gif(
                         16 + i % 317, 16 + i % 211,
                         frames=[(j, 2 * j, 8 + (i + 7 * j) % 64,
                                  8 + (i + 11 * j) % 48)
                                 for j in range(1 + i % 3)])
                 else:
-                    payload = builders[i % 4](16 + i % 317, 16 + i % 211)
+                    payload = builders[i % 5](16 + i % 317, 16 + i % 211)
                 rows.append({"media_id": i, "payload": payload})
             yield pd.DataFrame(rows)
 
@@ -518,7 +526,8 @@ def q_media_meta(spark, sf_dir):
     meta = media_meta(media).select(
         F.lit("meta").alias("op"), "media_id", "fmt",
         F.col("width").alias("a"), F.col("height").alias("b"),
-        F.col("sample_rate_hz").cast("long").alias("c"))
+        F.coalesce(F.col("sample_rate_hz").cast("long"),
+                   F.col("duration_ms")).alias("c"))
     resized = media_meta(
         resize_media(media, 32, 24).filter("resize_ok = 1")).select(
         F.lit("resize").alias("op"), "media_id", "fmt",
@@ -1340,25 +1349,36 @@ def oracle_sql() -> dict[str, str]:
         """,
         "media_meta": """
             SELECT 'meta' AS op, doc_id AS media_id,
-                   CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
-                        WHEN 2 THEN 'gif' ELSE 'wav' END AS fmt,
-                   CASE WHEN doc_id % 4 < 3
+                   CASE doc_id % 5 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+                        WHEN 2 THEN 'gif' WHEN 3 THEN 'wav'
+                        ELSE 'mp4' END AS fmt,
+                   CASE WHEN doc_id % 5 <> 3
                         THEN CAST(16 + doc_id % 317 AS INTEGER) END
                        AS a,
-                   CASE WHEN doc_id % 4 < 3
+                   CASE WHEN doc_id % 5 <> 3
                         THEN CAST(16 + doc_id % 211 AS INTEGER) END
                        AS b,
-                   CASE WHEN doc_id % 4 = 3
+                   CASE WHEN doc_id % 5 = 3
                         THEN CAST(8000 + (doc_id % 8) * 1000 AS BIGINT)
+                        -- mp4 duration: stored units floor both ways
+                        -- through the alternating 600/1000 timescale
+                        WHEN doc_id % 5 = 4
+                        THEN CAST(((500 + (doc_id % 977) * 3)
+                                   * (CASE WHEN doc_id % 2 = 0
+                                           THEN 600 ELSE 1000 END)
+                                   // 1000) * 1000
+                                  // (CASE WHEN doc_id % 2 = 0
+                                          THEN 600 ELSE 1000 END)
+                                  AS BIGINT)
                         END AS c
             FROM documents
             UNION ALL
             SELECT 'resize', doc_id,
-                   CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+                   CASE doc_id % 5 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
                         ELSE 'gif' END,
                    CAST(32 AS INTEGER), CAST(24 AS INTEGER),
                    CAST(NULL AS BIGINT)
-            FROM documents WHERE doc_id % 4 < 3
+            FROM documents WHERE doc_id % 5 < 3
             UNION ALL
             SELECT 'audio', t.doc_id, 'wav',
                    CAST(pos // 4 AS INTEGER),
@@ -1368,7 +1388,7 @@ def oracle_sql() -> dict[str, str]:
                             * (((t.doc_id * 7 + pos * 13) % 2048)
                                - 1024)) AS BIGINT)
             FROM (SELECT doc_id, unnest(range(16)) AS pos
-                  FROM documents WHERE doc_id % 4 = 3) t
+                  FROM documents WHERE doc_id % 5 = 3) t
             GROUP BY t.doc_id, pos // 4
             UNION ALL
             SELECT 'frames', doc_id, 'gif',
@@ -1376,7 +1396,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(8 + (doc_id + 7 * j) % 64 AS INTEGER),
                    CAST(8 + (doc_id + 11 * j) % 48 AS BIGINT)
             FROM (SELECT doc_id, unnest(range(1 + doc_id % 3)) AS j
-                  FROM documents WHERE doc_id % 4 = 2)
+                  FROM documents WHERE doc_id % 5 = 2)
             UNION ALL
             -- round 7: exact payload dedup groups = builder parameter
             -- tuples (builders are injective: dims / gif frame geometry

@@ -73,25 +73,51 @@ def synth_media(spark, n: int = 64) -> DataFrame:
 # filters, format routing, corrupt-file triage).
 
 
+def _bmff_boxes(buf: bytes, i: int, end: int):
+    """Yield (type, payload_start, payload_end) for the ISO-BMFF boxes in
+    ``buf[i:end]``: u32 big-endian size (whole box incl. header) + 4-byte
+    type; size==1 → 64-bit largesize follows; size==0 → box runs to the
+    end of the enclosing scope. Stops (never raises) on a malformed
+    size."""
+    while i + 8 <= end:
+        size = int.from_bytes(buf[i:i + 4], "big")
+        typ = buf[i + 4:i + 8]
+        hdr = 8
+        if size == 1:
+            if i + 16 > end:
+                return
+            size = int.from_bytes(buf[i + 8:i + 16], "big")
+            hdr = 16
+        elif size == 0:
+            size = end - i
+        if size < hdr:
+            return
+        yield typ, i + hdr, min(i + size, end)
+        i += size
+
+
 def sniff_media_meta(payload: bytes | None):
-    """(fmt, width, height, sample_rate_hz) from magic bytes + headers.
-    PNG (IHDR), JPEG (SOF marker scan), GIF (logical screen descriptor),
-    WAV (RIFF fmt chunk walk). Unknown/truncated → (None, None, None,
-    None); never raises."""
+    """(fmt, width, height, sample_rate_hz, duration_ms) from magic bytes
+    + headers. PNG (IHDR), JPEG (SOF marker scan), GIF (logical screen
+    descriptor), WAV (RIFF fmt chunk walk), MP4/ISO-BMFF (ftyp sniff +
+    box walk: moov → mvhd timescale/duration, trak → tkhd 16.16-fixed
+    dims — VERDICT r6 #5). Unknown/truncated → all-None; never raises."""
     def _i32(v):
         # fields are read as unsigned; the output schema is 32-bit int and
         # a dimension past int32 is corrupt-header garbage anyway → None
         return v if 0 <= v < (1 << 31) else None
 
+    none5 = (None, None, None, None, None)
     try:
         if payload is None or len(payload) < 10:
-            return (None, None, None, None)
+            return none5
         if payload[:8] == b"\x89PNG\r\n\x1a\n":
             if len(payload) >= 24 and payload[12:16] == b"IHDR":
                 return ("png",
                         _i32(int.from_bytes(payload[16:20], "big")),
-                        _i32(int.from_bytes(payload[20:24], "big")), None)
-            return ("png", None, None, None)
+                        _i32(int.from_bytes(payload[20:24], "big")),
+                        None, None)
+            return ("png", None, None, None, None)
         if payload[:3] == b"\xff\xd8\xff":
             i = 2
             n = len(payload)
@@ -114,13 +140,13 @@ def sniff_media_meta(payload: bytes | None):
                                                 "big")),
                             _i32(int.from_bytes(payload[i + 5:i + 7],
                                                 "big")),
-                            None)
+                            None, None)
                 i += 2 + seglen
-            return ("jpeg", None, None, None)
+            return ("jpeg", None, None, None, None)
         if payload[:6] in (b"GIF87a", b"GIF89a"):
             return ("gif",
                     int.from_bytes(payload[6:8], "little"),
-                    int.from_bytes(payload[8:10], "little"), None)
+                    int.from_bytes(payload[8:10], "little"), None, None)
         if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
             i = 12
             n = len(payload)
@@ -130,12 +156,49 @@ def sniff_media_meta(payload: bytes | None):
                 if cid == b"fmt " and i + 16 <= n:
                     return ("wav", None, None,
                             _i32(int.from_bytes(payload[i + 12:i + 16],
-                                                "little")))
+                                                "little")), None)
                 i += 8 + clen + (clen & 1)  # chunks are 2-byte aligned
-            return ("wav", None, None, None)
-        return (None, None, None, None)
+            return ("wav", None, None, None, None)
+        if payload[4:8] == b"ftyp":
+            w = h = dur = None
+            for typ, s, e in _bmff_boxes(payload, 0, len(payload)):
+                if typ != b"moov":
+                    continue
+                for t2, s2, e2 in _bmff_boxes(payload, s, e):
+                    if t2 == b"mvhd" and dur is None and e2 - s2 >= 20:
+                        ver = payload[s2]
+                        if ver == 1 and e2 - s2 >= 32:
+                            ts = int.from_bytes(payload[s2 + 20:s2 + 24],
+                                                "big")
+                            d = int.from_bytes(payload[s2 + 24:s2 + 32],
+                                               "big")
+                        elif ver == 0:
+                            ts = int.from_bytes(payload[s2 + 12:s2 + 16],
+                                                "big")
+                            d = int.from_bytes(payload[s2 + 16:s2 + 20],
+                                               "big")
+                        else:
+                            continue
+                        if ts:
+                            dur = d * 1000 // ts
+                    elif t2 == b"trak" and w is None:
+                        for t3, s3, e3 in _bmff_boxes(payload, s2, e2):
+                            if t3 != b"tkhd":
+                                continue
+                            ver = payload[s3]
+                            off = s3 + (88 if ver == 1 else 76)
+                            if off + 8 <= e3:
+                                # 16.16 fixed-point dimensions
+                                w = _i32(int.from_bytes(
+                                    payload[off:off + 4], "big") >> 16)
+                                h = _i32(int.from_bytes(
+                                    payload[off + 4:off + 8], "big") >> 16)
+                            break
+            return ("mp4", w, h, None,
+                    dur if dur is None or dur < (1 << 62) else None)
+        return (None, None, None, None, None)
     except Exception:
-        return (None, None, None, None)
+        return (None, None, None, None, None)
 
 
 def make_png(width: int, height: int) -> bytes:
@@ -182,6 +245,38 @@ def make_gif(width: int, height: int,
         data = bytes((idx * 31 + k * 7) & 0xFF for k in range(5))
         out += bytes([len(data)]) + data + b"\x00"   # sub-blocks + term
     return out + b"\x3b"
+
+
+def make_mp4(width: int, height: int, duration_ms: int,
+             timescale: int = 1000) -> bytes:
+    """Minimal VALID ISO-BMFF (MP4) container: ftyp + moov(mvhd v0 with
+    timescale/duration, trak(tkhd v0 with 16.16-fixed dims)) + a tiny
+    mdat. Injective in (width, height, stored duration units) — the dims
+    live in tkhd, the duration in mvhd — so byte-equality equals
+    parameter equality (the media_meta oracle's replay contract).
+    Duration is stored as ``duration_ms * timescale // 1000`` units; a
+    non-1000 timescale makes the sniffer's integer division observable."""
+    import struct
+
+    def box(typ: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(body)) + typ + body
+
+    dur = duration_ms * timescale // 1000
+    matrix = struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0,
+                         0, 0, 0x40000000)
+    mvhd = box(b"mvhd", bytes(4)                       # version 0 + flags
+               + struct.pack(">IIII", 0, 0, timescale, dur)
+               + struct.pack(">I", 0x00010000)         # rate 1.0
+               + struct.pack(">H", 0x0100)             # volume 1.0
+               + bytes(10) + matrix + bytes(24)
+               + struct.pack(">I", 2))                 # next track id
+    tkhd = box(b"tkhd", b"\x00\x00\x00\x07"            # v0, enabled
+               + struct.pack(">IIIII", 0, 0, 1, 0, dur)
+               + bytes(8) + struct.pack(">HHHH", 0, 0, 0, 0) + matrix
+               + struct.pack(">II", width << 16, height << 16))
+    return (box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isommp41")
+            + box(b"moov", mvhd + box(b"trak", tkhd))
+            + box(b"mdat", b"\x00\x00\x00\x00"))
 
 
 def make_wav(sample_rate: int, n_samples: int = 8,
@@ -238,7 +333,8 @@ def wav_pcm_samples(payload: bytes | None):
 
 
 MEDIA_META_SCHEMA = ("media_id bigint, fmt string, width int, height int, "
-                     "sample_rate_hz int, n_bytes bigint")
+                     "sample_rate_hz int, duration_ms bigint, "
+                     "n_bytes bigint")
 
 
 def media_meta(media: DataFrame) -> DataFrame:
@@ -250,9 +346,10 @@ def media_meta(media: DataFrame) -> DataFrame:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 p = bytes(payload) if payload is not None else None
-                fmt, w, h, sr = sniff_media_meta(p)
+                fmt, w, h, sr, dur = sniff_media_meta(p)
                 rows.append({"media_id": mid, "fmt": fmt, "width": w,
                              "height": h, "sample_rate_hz": sr,
+                             "duration_ms": dur,
                              "n_bytes": len(p) if p is not None else 0})
             yield pd.DataFrame(rows)
 
@@ -383,7 +480,7 @@ def resize_media(media: DataFrame, width: int, height: int) -> DataFrame:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 p = bytes(payload) if payload is not None else None
-                fmt, w, h, _sr = sniff_media_meta(p)
+                fmt, w, h, _sr, _dur = sniff_media_meta(p)
                 if fmt in builders:
                     rows.append({
                         "media_id": mid, "fmt": fmt,
@@ -575,4 +672,4 @@ __all__ = ["MEDIA_SCHEMA", "FEATURE_SCHEMA", "MEDIA_META_SCHEMA",
            "audio_frame_windows", "wav_pcm_samples",
            "gif_frames", "sample_frames", "FRAME_SCHEMA",
            "media_exact_dedup", "media_band_dedup",
-           "make_png", "make_jpeg", "make_gif", "make_wav"]
+           "make_png", "make_jpeg", "make_gif", "make_wav", "make_mp4"]

@@ -294,30 +294,42 @@ def test_decode_media_stub_raises_without_fake():
 
 
 def test_sniff_media_meta_roundtrip():
-    from mre.multimodal import (make_gif, make_jpeg, make_png, make_wav,
-                                sniff_media_meta)
+    from mre.multimodal import (make_gif, make_jpeg, make_mp4, make_png,
+                                make_wav, sniff_media_meta)
 
-    assert sniff_media_meta(make_png(333, 17)) == ("png", 333, 17, None)
-    assert sniff_media_meta(make_jpeg(640, 480)) == ("jpeg", 640, 480, None)
-    assert sniff_media_meta(make_gif(42, 99)) == ("gif", 42, 99, None)
-    assert sniff_media_meta(make_wav(16000)) == ("wav", None, None, 16000)
+    assert sniff_media_meta(make_png(333, 17)) == ("png", 333, 17,
+                                                   None, None)
+    assert sniff_media_meta(make_jpeg(640, 480)) == ("jpeg", 640, 480,
+                                                     None, None)
+    assert sniff_media_meta(make_gif(42, 99)) == ("gif", 42, 99,
+                                                  None, None)
+    assert sniff_media_meta(make_wav(16000)) == ("wav", None, None,
+                                                 16000, None)
+    assert sniff_media_meta(make_mp4(640, 360, 12345)) == \
+        ("mp4", 640, 360, None, 12345)
+    # non-1000 timescale: stored units floor-divide both ways — the
+    # sniffer reports floor(floor(ms*ts/1000)*1000/ts), observably
+    assert sniff_media_meta(make_mp4(320, 240, 7777, timescale=600)) == \
+        ("mp4", 320, 240, None, 7776)
 
 
 def test_sniff_media_meta_never_raises():
     from mre.multimodal import make_png, sniff_media_meta
 
-    assert sniff_media_meta(b"garbage") == (None, None, None, None)
-    assert sniff_media_meta(None) == (None, None, None, None)
-    assert sniff_media_meta(b"") == (None, None, None, None)
+    none5 = (None, None, None, None, None)
+    assert sniff_media_meta(b"garbage") == none5
+    assert sniff_media_meta(None) == none5
+    assert sniff_media_meta(b"") == none5
     # truncated PNG: format detected, dimensions unknown
     assert sniff_media_meta(make_png(10, 10)[:12]) == ("png", None, None,
-                                                       None)
+                                                       None, None)
     # every prefix of every container must be handled
-    from mre.multimodal import make_gif, make_jpeg, make_wav
+    from mre.multimodal import make_gif, make_jpeg, make_mp4, make_wav
     for b in (make_png(7, 9), make_jpeg(7, 9), make_gif(7, 9),
-              make_wav(8000)):
+              make_wav(8000), make_mp4(7, 9, 1234),
+              make_mp4(7, 9, 1234, timescale=600)):
         for cut in range(len(b)):
-            fmt, w, h, sr = sniff_media_meta(b[:cut])  # must not raise
+            fmt, w, h, sr, dur = sniff_media_meta(b[:cut])  # never raises
 
 
 def test_media_meta_spark(spark):
