@@ -217,7 +217,7 @@ def _params_hash(**params) -> str:
 
 def completed_stages(spark: SparkSession, lineage_dst: str,
                      run_id: str, params_hash: str | None = None) -> set:
-    """Stages already committed for this run_id (≤5 names — the collect
+    """Stages already committed for this run_id (≤9 names — the collect
     is a constant, never corpus-shaped). With ``params_hash`` given, a
     stage only counts as done if its LATEST lineage row (max attempt —
     the row describing what is actually on disk, since stage outputs are
@@ -258,7 +258,9 @@ def run_curate(spark: SparkSession, src, dst: str, lineage_dst: str,
                rewrite: str | None = None,
                rewrite_max_df: int = 1,
                media_src: Optional[str] = None,
-               media_dedup: str = "exact") -> None:
+               media_dedup: str = "exact",
+               bpe_merges: int = 0,
+               bpe_vocab_top: int = 5000) -> None:
     """Run the curation pipeline end-to-end with stage checkpoints.
 
     ``src`` is a documents table (doc_id, text, …) — a path/URI, or a
@@ -298,7 +300,17 @@ def run_curate(spark: SparkSession, src, dst: str, lineage_dst: str,
     text exact dedup (exact sha1 payload dedup, or no-decode banding
     with ``media_dedup='band'``; docs without media pass through). Like
     every other stage it materializes a narrow id-list and is resumed
-    through the lineage."""
+    through the lineage.
+
+    ``bpe_merges`` > 0 (round 7, VERDICT r6 #4) appends a token-
+    accounting tail after the split: ``{dst}/bpe_merges`` = the BPE
+    merge table learned FROM THE SURVIVING CORPUS (mre.bpe.bpe_learn —
+    one word-count aggregation + the driver loop over a bounded
+    top-``bpe_vocab_top`` vocab), and ``{dst}/tokens`` = per-doc
+    (n_words, n_bpe_tokens) under those merges — the numbers a training
+    run budgets against, measured with the tokenizer the corpus itself
+    induces. Both resume through the lineage like every other stage;
+    the default (0) leaves the pipeline byte-identical."""
     from .textops import cache_mark, release_caches
     if rewrite not in (None, "passages", "windows"):
         raise ValueError(f"rewrite must be None|'passages'|'windows', "
@@ -316,7 +328,8 @@ def run_curate(spark: SparkSession, src, dst: str, lineage_dst: str,
         train_frac=train_frac, strict_quality=strict_quality,
         pii_max=pii_max, max_bucket=max_bucket,
         rewrite=rewrite, rewrite_max_df=rewrite_max_df,
-        media_src=media_src, media_dedup=media_dedup)
+        media_src=media_src, media_dedup=media_dedup,
+        bpe_merges=bpe_merges, bpe_vocab_top=bpe_vocab_top)
     done = completed_stages(spark, lineage_dst, run_id, ph) if resume \
         else set()
 
@@ -406,6 +419,19 @@ def run_curate(spark: SparkSession, src, dst: str, lineage_dst: str,
     _stage("split",
            lambda: hash_split(d5, "text", train_frac).drop("text"),
            s4)
+    if bpe_merges > 0:
+        from .bpe import bpe_learn, bpe_merges_df, bpe_tokenize
+        sM = _stage(
+            "bpe_merges",
+            lambda: bpe_merges_df(
+                spark, bpe_learn(d5, num_merges=bpe_merges,
+                                 vocab_top=bpe_vocab_top)),
+            s4)
+        # ≤ bpe_merges rows by construction — bounded, never
+        # corpus-shaped; ordered so application replays rank order
+        merges = [(r["left"], r["right"], r["cnt"])
+                  for r in sM.orderBy("rank").collect()]
+        _stage("tokens", lambda: bpe_tokenize(d5, merges), sM)
     # every stage is materialized to parquet above — the intermediates
     # the textops helpers persisted DURING THIS JOB are dead weight from
     # here on; scoped to the entry mark so checkpoints owned by other

@@ -67,6 +67,14 @@ def main() -> None:
                     default="exact",
                     help="exact = sha1 byte dedup; band = no-decode "
                          "container banding (fmt + sniffed dims)")
+    ap.add_argument("--bpe-merges", type=int, default=0,
+                    help="learn this many BPE merges from the surviving "
+                         "corpus and write {dst}/bpe_merges + {dst}/tokens "
+                         "(per-doc subword counts — the training-budget "
+                         "numbers); 0 disables")
+    ap.add_argument("--bpe-vocab-top", type=int, default=5000,
+                    help="vocabulary cap for BPE learning (most-frequent "
+                         "words; bounded driver-side merge loop)")
     ap.add_argument("--no-resume", action="store_true")
     args = ap.parse_args()
 
@@ -90,6 +98,8 @@ def main() -> None:
                    rewrite_max_df=args.rewrite_max_df,
                    media_src=args.media_src,
                    media_dedup=args.media_dedup,
+                   bpe_merges=args.bpe_merges,
+                   bpe_vocab_top=args.bpe_vocab_top,
                    resume=not args.no_resume)
     finally:
         spark.stop()

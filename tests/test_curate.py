@@ -1002,3 +1002,52 @@ def test_media_dedup_stage_in_curation(spark, docs, evals, tmp_path):
     n_lin = spark.read.parquet(lin).count()
     run_curate(spark, src, dst, lin, run_id="m1", media_src=msrc)
     assert spark.read.parquet(lin).count() == n_lin
+
+
+def test_run_curate_bpe_token_accounting(spark, docs, evals, tmp_path):
+    """Opt-in token-accounting tail (VERDICT r6 #4): bpe_merges > 0
+    learns a merge table from the SURVIVING corpus and writes per-doc
+    subword counts; counts equal a direct bpe_tokenize over the split
+    survivors under the persisted merges; resume is a no-op; the
+    default pipeline writes neither table."""
+    from mre.bpe import bpe_tokenize
+
+    src = str(tmp_path / "docs")
+    docs.write.parquet(src)
+
+    # default: no bpe outputs
+    run_curate(spark, src, str(tmp_path / "c0"),
+               str(tmp_path / "l0"), run_id="b0")
+    import os
+    assert not os.path.exists(str(tmp_path / "c0" / "tokens"))
+    assert not os.path.exists(str(tmp_path / "c0" / "bpe_merges"))
+
+    dst, lin = str(tmp_path / "c1"), str(tmp_path / "l1")
+    run_curate(spark, src, dst, lin, run_id="b1", bpe_merges=8,
+               bpe_vocab_top=100)
+    stages = {r["stage"] for r in spark.read.parquet(lin).collect()}
+    assert {"bpe_merges", "tokens"} <= stages
+    merges_df = spark.read.parquet(f"{dst}/bpe_merges")
+    merges = [(r["left"], r["right"], r["cnt"])
+              for r in merges_df.orderBy("rank").collect()]
+    assert 0 < len(merges) <= 8
+    toks = {r["doc_id"]: (r["n_words"], r["n_bpe_tokens"])
+            for r in spark.read.parquet(f"{dst}/tokens").collect()}
+    survivors = {r["doc_id"] for r in read_curated(spark, dst).collect()}
+    assert set(toks) == survivors
+    # counts equal a direct application of the persisted merges to the
+    # surviving docs
+    surv_docs = docs.join(read_curated(spark, dst).select("doc_id"),
+                          "doc_id", "left_semi")
+    direct = {r["doc_id"]: (r["n_words"], r["n_bpe_tokens"])
+              for r in bpe_tokenize(surv_docs, merges).collect()}
+    assert toks == direct
+    # subword counts are at least the word counts (every word is ≥1
+    # token) and the learner genuinely compressed something
+    assert all(nb >= nw for nw, nb in toks.values())
+
+    # resume: no recompute, no new lineage rows
+    n_lin = spark.read.parquet(lin).count()
+    run_curate(spark, src, dst, lin, run_id="b1", bpe_merges=8,
+               bpe_vocab_top=100)
+    assert spark.read.parquet(lin).count() == n_lin
