@@ -121,16 +121,21 @@ def main() -> None:
     idx = tempfile.mkdtemp(prefix="mre_plans_idx_")
     build_dedup_index(spark, docs.filter(F.col("doc_id") % 2 == 0), idx)
     sections.append((
-        "dedup_increment (incremental ingest vs pre-banded index)",
-        "Expected (round-6 layout): the stored {index}/bands table is "
-        "scanned as plain columns — NO Generate/explode over the "
-        "signature index, NO Exchange hashpartitioning(band_...) "
-        "anywhere (batch bands are broadcast into the candidate join); "
-        "the signature index is scanned exactly ONCE (the verifier's "
-        "sig_b fetch, feeding a BroadcastHashJoin against the "
-        "batch-shaped candidate set). The fingerprint anti-join is a "
-        "digest equi-join — AQE broadcasts whichever side is small "
-        "(the index at sandbox scale, the batch at corpus scale).",
+        "dedup_increment (incremental ingest vs hash-bucketed "
+        "pre-banded index)",
+        "Expected (round-7 layout): every index scan carries a "
+        "PartitionFilters: [pb IN (...)] clause derived from the "
+        "batch's own keys via the shared _bucket_expr — untouched "
+        "bucket directories are pruned at listing time, so per-batch "
+        "index I/O is O(touched buckets), not O(index). Still NO "
+        "Generate/explode over the signature index and NO Exchange "
+        "hashpartitioning(band_...) anywhere (batch bands broadcast "
+        "into the candidate join); the signature index is scanned "
+        "exactly ONCE (the verifier's sig_b fetch, a BroadcastHashJoin "
+        "against the batch-shaped candidate set). The fingerprint "
+        "anti-join is a digest equi-join — AQE broadcasts whichever "
+        "side is small (the index at sandbox scale, the batch at "
+        "corpus scale).",
         fmt_plan(dedup_increment(
             spark, docs.filter(F.col("doc_id") % 2 == 1), idx,
             threshold=0.5, update_index=False))))
