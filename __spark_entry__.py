@@ -782,11 +782,21 @@ _URL_NORM_STEPS = [
 
 
 def q_url_dedup(spark, sf_dir):
-    """URL canonicalization + dedup — the first operation any web-scale
-    corpus pipeline runs. Two deterministic variants per doc (clean +
-    messy with scheme-case/www/utm/fragment/trailing-slash noise) must
-    collapse to one canonical url via a pure-regex normalizer (JVM-side,
-    no UDF)."""
+    """URL-level curation as one tagged union (registry-window rule).
+
+    * op='norm' — canonicalization + dedup, the first operation any
+      web-scale corpus pipeline runs: two deterministic variants per
+      doc (clean + messy with scheme-case/www/utm/fragment/trailing-
+      slash noise) must collapse to one canonical url via a pure-regex
+      normalizer (JVM-side, no UDF). url_norm=the canonical url,
+      n_variants=count, sample_raw=min raw variant.
+    * op='cap' — per-domain document cap (round 7: the anti-viral
+      quota that stops mega-hosts dominating the mix):
+      ``domain_cap(n=5)`` over one clean url per doc; 20 synthetic
+      domains × >5 docs each, keep the 5 lowest doc_ids per domain.
+      url_norm=the kept url, n_variants=domain_rank (the full
+      assignment is value-checked), sample_raw=the extracted domain."""
+    from mre.textops import domain_cap
     _prep(spark)
     d = _t(spark, sf_dir, "documents").select("doc_id")
     sid = (F.col("doc_id") % 20).cast("string")
@@ -801,10 +811,18 @@ def q_url_dedup(spark, sf_dir):
     norm = F.lower(F.col("url"))
     for pat, rep in _URL_NORM_STEPS:
         norm = F.regexp_replace(norm, pat, rep)
-    return (urls.withColumn("url_norm", norm)
-            .groupBy("url_norm")
-            .agg(F.count("*").alias("n_variants"),
-                 F.min("url").alias("sample_raw")))
+    nrm = (urls.withColumn("url_norm", norm)
+           .groupBy("url_norm")
+           .agg(F.count("*").alias("n_variants"),
+                F.min("url").alias("sample_raw"))
+           .select(F.lit("norm").alias("op"), "url_norm",
+                   "n_variants", "sample_raw"))
+    cap = (domain_cap(d.select("doc_id", clean.alias("url")), 5)
+           .select(F.lit("cap").alias("op"),
+                   F.col("url").alias("url_norm"),
+                   F.col("domain_rank").cast("long").alias("n_variants"),
+                   F.col("domain").alias("sample_raw")))
+    return nrm.unionAll(cap)
 
 
 def q_hash_sample(spark, sf_dir):
@@ -838,6 +856,15 @@ def q_hash_split(spark, sf_dir):
 
 _PII_FOOTER = ("@example.com from 10.0.0.99 call 555-123-4567"
                " or (555) 123-4567 or +1 555 123 4567")
+# op='c4' line-structure augmentation (the fixture corpus is flat
+# space-separated words, so page-like lines are synthesized
+# deterministically — same device as the PII footer): 6-word lines,
+# every even line gains terminal punctuation, every (i%7==3)rd line
+# becomes the javascript banner, and two doc-level classes get a
+# page-drop trigger line appended. Shared verbatim with the oracle.
+_C4_JS_LINE = "please enable javascript to view this page."
+_C4_LOREM_LINE = "lorem ipsum dolor sit amet consectetur."
+_C4_CODE_LINE = "function() { return 1; }"
 
 
 def q_sentence_dedup(spark, sf_dir):
@@ -862,9 +889,18 @@ def q_sentence_dedup(spark, sf_dir):
       at token granularity. m1=n_windows, m2=n_flagged,
       m3=bytes_removed, m4=length(rewritten), text_out=the rewritten
       text (value-hashed → the sub-passage rewrite is byte-checked
-      cross-engine)."""
-    from mre.textops import (pii_scrub, remove_dup_passages,
-                             remove_dup_windows, sentence_dedup_stats)
+      cross-engine).
+    * op='c4'       — c4_line_clean (round 7, the public C4 cleaning
+      recipe) over a deterministic line-structure augmentation (6-word
+      lines; even lines punctuated; every (i%7==3)rd line a javascript
+      banner; doc_id%13 adds a lorem-ipsum line, doc_id%17 a
+      curly-brace code line — both page-drop triggers): m1=n_lines,
+      m2=n_kept, m3=bytes_removed, m4=page keep flag, text_out=the
+      kept lines re-joined (value-hashed → the line filter is
+      byte-checked cross-engine)."""
+    from mre.textops import (c4_line_clean, pii_scrub,
+                             remove_dup_passages, remove_dup_windows,
+                             sentence_dedup_stats)
     _prep(spark)
     docs = _t(spark, sf_dir, "documents")
     stats = sentence_dedup_stats(docs).select(
@@ -902,7 +938,34 @@ def q_sentence_dedup(spark, sf_dir):
         F.col("bytes_removed").cast("long").alias("m3"),
         F.length("text").cast("long").alias("m4"),
         F.col("text").alias("text_out"))
-    return stats.unionAll(dep).unionAll(pii).unionAll(desub)
+    w = F.split(F.col("text"), " ")
+    nl = F.floor((F.size(w) + F.lit(5)) / F.lit(6)).cast("int")
+
+    def _c4_line(i):
+        base = F.array_join(F.slice(w, i * 6 + 1, 6), " ")
+        return (F.when(i % 7 == 3, F.lit(_C4_JS_LINE))
+                .when(i % 2 == 0, F.concat(base, F.lit(".")))
+                .otherwise(base))
+
+    empty = F.array().cast("array<string>")
+    caug = docs.select(
+        "doc_id",
+        F.array_join(F.concat(
+            F.transform(F.sequence(F.lit(0), nl - 1), _c4_line),
+            F.when(F.col("doc_id") % 13 == 0,
+                   F.array(F.lit(_C4_LOREM_LINE))).otherwise(empty),
+            F.when(F.col("doc_id") % 17 == 0,
+                   F.array(F.lit(_C4_CODE_LINE))).otherwise(empty)),
+            "\n").alias("text"))
+    c4 = c4_line_clean(caug).select(
+        F.lit("c4").alias("op"), "doc_id",
+        F.col("n_lines").alias("m1"),
+        F.col("n_kept").alias("m2"),
+        F.col("bytes_removed").alias("m3"),
+        F.col("keep").alias("m4"),
+        F.col("text").alias("text_out"))
+    return (stats.unionAll(dep).unionAll(pii).unionAll(desub)
+            .unionAll(c4))
 
 
 def q_profile_docs(spark, sf_dir):
@@ -1638,10 +1701,31 @@ def oracle_sql() -> dict[str, str]:
                            '([?&])utm_[a-z_]+=[^&#]*', '\1', 'g'),
                            '^https?://(www\.)*', 'https://', 'g'),
                            '([^:/])[?&/]+$', '\1', 'g') AS url_norm
-                FROM u)
-            SELECT url_norm, count(*) AS n_variants,
+                FROM u),
+            capu AS (
+                SELECT doc_id,
+                       'https://example-' || (doc_id % 20)
+                           || '.com/articles/' || doc_id AS url
+                FROM documents),
+            capd AS (
+                SELECT doc_id, url,
+                       regexp_extract(lower(url),
+                           '^[a-z][a-z0-9+.-]*://(?:www\.)?([^/:?#]+)',
+                           1) AS domain
+                FROM capu),
+            capr AS (
+                SELECT url, domain,
+                       row_number() OVER (PARTITION BY domain
+                                          ORDER BY doc_id) AS rk
+                FROM capd)
+            SELECT 'norm' AS op, url_norm, count(*) AS n_variants,
                    min(url) AS sample_raw
             FROM n GROUP BY url_norm
+            UNION ALL
+            SELECT 'cap' AS op, url AS url_norm,
+                   CAST(rk AS BIGINT) AS n_variants,
+                   domain AS sample_raw
+            FROM capr WHERE rk <= 5
         """,
         "profile_docs": " UNION ALL ".join(
             f"""
@@ -1738,7 +1822,37 @@ def oracle_sql() -> dict[str, str]:
                                ti -> tk[ti + 1]),
                            ' ') AS text_out,
                        t.len0
-                FROM dtoks t LEFT JOIN dstarts USING (doc_id))
+                FROM dtoks t LEFT JOIN dstarts USING (doc_id)),
+            c4a AS (
+                SELECT doc_id, string_split(text, ' ') AS w
+                FROM documents),
+            c4b AS (
+                SELECT doc_id,
+                       list_transform(
+                           generate_series(0, (len(w) + 5) // 6 - 1),
+                           i -> CASE
+                               WHEN i % 7 = 3 THEN '{_C4_JS_LINE}'
+                               WHEN i % 2 = 0 THEN array_to_string(
+                                   list_slice(w, i*6 + 1, i*6 + 6), ' ')
+                                   || '.'
+                               ELSE array_to_string(
+                                   list_slice(w, i*6 + 1, i*6 + 6), ' ')
+                               END)
+                       || CASE WHEN doc_id % 13 = 0
+                               THEN ['{_C4_LOREM_LINE}']
+                               ELSE CAST([] AS VARCHAR[]) END
+                       || CASE WHEN doc_id % 17 = 0
+                               THEN ['{_C4_CODE_LINE}']
+                               ELSE CAST([] AS VARCHAR[]) END AS ls
+                FROM c4a),
+            c4c AS (
+                SELECT doc_id, ls, array_to_string(ls, chr(10)) AS aug,
+                       list_filter(ls,
+                           l -> regexp_matches(l, '[.!?"]$')
+                                AND len(string_split(l, ' ')) >= 5
+                                AND NOT contains(lower(l), 'javascript'))
+                           AS kept
+                FROM c4b)
             SELECT 'stats' AS op, doc_id,
                    CAST(n_sents AS BIGINT) AS m1,
                    n_dup_sents AS m2,
@@ -1789,6 +1903,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(length(text_out) AS BIGINT) AS m4,
                    text_out
             FROM dsub
+            UNION ALL
+            SELECT 'c4' AS op, doc_id,
+                   CAST(len(ls) AS BIGINT) AS m1,
+                   CAST(len(kept) AS BIGINT) AS m2,
+                   CAST(length(aug)
+                        - length(array_to_string(kept, chr(10)))
+                        AS BIGINT) AS m3,
+                   CAST(len(kept) >= 3
+                        AND NOT (contains(aug, '{{')
+                                 OR contains(aug, '}}')
+                                 OR contains(lower(aug), 'lorem ipsum'))
+                        AS BIGINT) AS m4,
+                   array_to_string(kept, chr(10)) AS text_out
+            FROM c4c
         """,
         "hash_sample": """
             SELECT 'flat' AS op, doc_id, lang, n_chars FROM documents

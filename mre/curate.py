@@ -217,7 +217,7 @@ def _params_hash(**params) -> str:
 
 def completed_stages(spark: SparkSession, lineage_dst: str,
                      run_id: str, params_hash: str | None = None) -> set:
-    """Stages already committed for this run_id (≤9 names — the collect
+    """Stages already committed for this run_id (≤10 names — the collect
     is a constant, never corpus-shaped). With ``params_hash`` given, a
     stage only counts as done if its LATEST lineage row (max attempt —
     the row describing what is actually on disk, since stage outputs are
@@ -260,7 +260,8 @@ def run_curate(spark: SparkSession, src, dst: str, lineage_dst: str,
                media_src: Optional[str] = None,
                media_dedup: str = "exact",
                bpe_merges: int = 0,
-               bpe_vocab_top: int = 5000) -> None:
+               bpe_vocab_top: int = 5000,
+               line_clean: bool = False) -> None:
     """Run the curation pipeline end-to-end with stage checkpoints.
 
     ``src`` is a documents table (doc_id, text, …) — a path/URI, or a
@@ -310,7 +311,16 @@ def run_curate(spark: SparkSession, src, dst: str, lineage_dst: str,
     (n_words, n_bpe_tokens) under those merges — the numbers a training
     run budgets against, measured with the tokenizer the corpus itself
     induces. Both resume through the lineage like every other stage;
-    the default (0) leaves the pipeline byte-identical."""
+    the default (0) leaves the pipeline byte-identical.
+
+    ``line_clean`` (round 7) prepends the C4 line-level scrub
+    (``textops.c4_line_clean`` — the public C4 recipe: terminal-punct /
+    min-words / javascript line rules, lorem-ipsum / curly-brace page
+    drops) as stage 0: pages failing the page rules are dropped and
+    every survivor's text is rewritten to its kept lines, so all later
+    stages (quality, dedup, decontamination, split, BPE) see the
+    cleaned text. Off by default — the input docs must carry
+    newline-structured text for the rules to be meaningful."""
     from .textops import cache_mark, release_caches
     if rewrite not in (None, "passages", "windows"):
         raise ValueError(f"rewrite must be None|'passages'|'windows', "
@@ -329,7 +339,8 @@ def run_curate(spark: SparkSession, src, dst: str, lineage_dst: str,
         pii_max=pii_max, max_bucket=max_bucket,
         rewrite=rewrite, rewrite_max_df=rewrite_max_df,
         media_src=media_src, media_dedup=media_dedup,
-        bpe_merges=bpe_merges, bpe_vocab_top=bpe_vocab_top)
+        bpe_merges=bpe_merges, bpe_vocab_top=bpe_vocab_top,
+        line_clean=line_clean)
     done = completed_stages(spark, lineage_dst, run_id, ph) if resume \
         else set()
 
@@ -365,6 +376,17 @@ def run_curate(spark: SparkSession, src, dst: str, lineage_dst: str,
                      lineage_dst)
         return out
 
+    if line_clean:
+        from .textops import c4_line_clean
+        _raw = docs
+        sL = _stage("line_clean",
+                    lambda: c4_line_clean(_raw)
+                    .filter(F.col("keep") == 1)
+                    .select("doc_id", "text"),
+                    _raw)
+        # downstream stages see the page-filtered, line-rewritten text
+        # with the original metadata columns riding along
+        docs = _raw.drop("text").join(sL, "doc_id")
     s1 = _stage("quality",
                 lambda: quality_keep_ids(docs, strict=strict_quality,
                                          pii_max=pii_max),

@@ -1380,8 +1380,97 @@ def table_profile(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
         f"AS (col_name, n_nulls, n_distinct, min_s, max_s)")
 
 
+# C4 line-keep rules (Raffel et al. 2020 §2.2, the public C4 cleaning
+# recipe): a line survives iff it ends in a terminal punctuation mark,
+# carries at least C4_MIN_WORDS whitespace words, and does not mention
+# javascript; a PAGE is dropped outright when it contains a curly brace
+# or the phrase "lorem ipsum" (policy/code boilerplate markers). The
+# regex is shared by the Spark expressions and the DuckDB oracle.
+C4_TERMINAL_RE = r'[.!?"]$'
+C4_MIN_WORDS = 5
+C4_MIN_LINES = 3
+
+
+def c4_line_clean(docs: DataFrame, *, min_words: int = C4_MIN_WORDS,
+                  min_lines: int = C4_MIN_LINES,
+                  text_col: str = "text") -> DataFrame:
+    """C4-style line-level cleaning (Raffel et al. 2020 §2.2 — the
+    public recipe behind the C4 corpus), the standard first scrub a
+    web-extracted page gets before quality scoring:
+
+    * keep a LINE iff it ends in terminal punctuation (``.!?"``), has
+      ≥ ``min_words`` space-separated words, and does not contain
+      "javascript" (case-insensitive);
+    * flag the PAGE as dropped (``keep = 0``) when the original text
+      contains a curly brace or the phrase "lorem ipsum", or when fewer
+      than ``min_lines`` lines survive.
+
+    Returns (doc_id, n_lines, n_kept, bytes_removed, keep, text) where
+    ``text`` is the surviving lines re-joined with ``\\n`` — emitted for
+    EVERY doc (dropping is the caller's decision, like
+    ``gopher_quality``). Pure column expressions over higher-order
+    array functions — zero shuffle, zero UDF; at 10^12 docs this rides
+    any corpus scan for free. Word counting splits on single spaces
+    (the tokenizer every other textop uses); lines with repeated
+    whitespace count empty tokens on BOTH engines identically."""
+    t = F.col(text_col)
+    lines = F.split(t, "\n")
+    kept = F.filter(
+        lines,
+        lambda l: l.rlike(C4_TERMINAL_RE)
+        & (F.size(F.split(l, " ")) >= min_words)
+        & ~F.lower(l).contains("javascript"))
+    rebuilt = F.array_join(kept, "\n")
+    page_drop = (t.contains("{") | t.contains("}")
+                 | F.lower(t).contains("lorem ipsum"))
+    return docs.select(
+        "doc_id",
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept"),
+        (F.length(t) - F.length(rebuilt)).cast("long")
+        .alias("bytes_removed"),
+        ((F.size(kept) >= min_lines) & ~page_drop).cast("long")
+        .alias("keep"),
+        rebuilt.alias(text_col))
+
+
+def domain_cap(df: DataFrame, n: int, *, url_col: str = "url",
+               order_col: str = "doc_id",
+               salt: int | None = None) -> DataFrame:
+    """Per-domain document cap — the anti-viral quota every crawl-scale
+    corpus applies so a handful of mega-hosts (forums, mirrors, spam
+    farms) cannot dominate the training mix: keep at most ``n`` docs
+    per registered host, preferring the lowest ``order_col`` (a stable
+    total order → deterministic). Adds ``domain`` and ``domain_rank``
+    (1-based) to the kept rows.
+
+    Scale shape: one hash shuffle on ``domain``. A 10^9-page host would
+    sort its whole partition just to keep ``n`` rows, so ``salt`` (set
+    it at corpus scale, e.g. 64) switches to the exact two-phase
+    variant: phase 1 ranks within (domain, salt-of-url) groups and
+    keeps ``n`` per group — after which each domain holds ≤ salt·n
+    rows — and phase 2 re-ranks those survivors globally per domain.
+    Exact for any total order because a row in the true top-``n`` of
+    its domain is in the top-``n`` of its salt group too."""
+    from pyspark.sql import Window
+    dom = F.regexp_extract(
+        F.lower(F.col(url_col)), r"^[a-z][a-z0-9+.-]*://(?:www\.)?"
+                                 r"([^/:?#]+)", 1)
+    out = df.withColumn("domain", dom)
+    if salt:
+        g = F.pmod(F.xxhash64(F.col(url_col)), F.lit(salt))
+        out = (out.withColumn("_r1", F.row_number().over(
+                   Window.partitionBy("domain", g).orderBy(order_col)))
+               .filter(F.col("_r1") <= n).drop("_r1"))
+    w = Window.partitionBy("domain").orderBy(order_col)
+    return (out.withColumn("domain_rank", F.row_number().over(w))
+            .filter(F.col("domain_rank") <= n))
+
+
 __all__ = [
     "release_caches", "cache_mark",
+    "c4_line_clean", "domain_cap",
+    "C4_TERMINAL_RE", "C4_MIN_WORDS", "C4_MIN_LINES",
     "table_profile", "hash_bucket_16", "hash_sample", "hash_split",
     "stratified_sample",
     "sentence_dedup_stats", "remove_dup_passages", "remove_dup_windows",

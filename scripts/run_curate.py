@@ -67,6 +67,11 @@ def main() -> None:
                     default="exact",
                     help="exact = sha1 byte dedup; band = no-decode "
                          "container banding (fmt + sniffed dims)")
+    ap.add_argument("--line-clean", action="store_true",
+                    help="prepend the C4 line-level scrub (terminal-"
+                         "punct/min-words/javascript line rules + "
+                         "lorem-ipsum/curly-brace page drops); input "
+                         "text must be newline-structured")
     ap.add_argument("--bpe-merges", type=int, default=0,
                     help="learn this many BPE merges from the surviving "
                          "corpus and write {dst}/bpe_merges + {dst}/tokens "
@@ -100,6 +105,7 @@ def main() -> None:
                    media_dedup=args.media_dedup,
                    bpe_merges=args.bpe_merges,
                    bpe_vocab_top=args.bpe_vocab_top,
+                   line_clean=args.line_clean,
                    resume=not args.no_resume)
     finally:
         spark.stop()

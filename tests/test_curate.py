@@ -1051,3 +1051,63 @@ def test_run_curate_bpe_token_accounting(spark, docs, evals, tmp_path):
     run_curate(spark, src, dst, lin, run_id="b1", bpe_merges=8,
                bpe_vocab_top=100)
     assert spark.read.parquet(lin).count() == n_lin
+
+
+def test_run_curate_line_clean_stage(spark, docs, evals, tmp_path):
+    """Opt-in C4 line-level scrub as stage 0 (round 7): pages failing
+    the page rules are dropped before quality, survivors' text is
+    rewritten to kept lines, downstream stages consume the rewrite,
+    and resume is a no-op."""
+    from mre.textops import c4_line_clean
+    from pyspark.sql import functions as F
+
+    # give every doc newline structure: 6-word lines, even lines
+    # punctuated; doc_id % 11 == 0 gets a lorem-ipsum page-drop line.
+    # Text is replicated 4x first so the kept half still clears the
+    # Gopher 50-word floor — otherwise quality would empty the corpus
+    # and the downstream assertions would pass vacuously.
+    docs = docs.withColumn(
+        "text", F.concat_ws(" ", "text", "text", "text", "text"))
+    w = F.split("text", " ")
+    nl = F.floor((F.size(w) + F.lit(5)) / F.lit(6)).cast("int")
+    lines = F.transform(
+        F.sequence(F.lit(0), nl - 1),
+        lambda i: F.when(
+            i % 2 == 0,
+            F.concat(F.array_join(F.slice(w, i * 6 + 1, 6), " "),
+                     F.lit("."))
+        ).otherwise(F.array_join(F.slice(w, i * 6 + 1, 6), " ")))
+    structured = docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") % 11 == 0,
+               F.concat(F.array_join(lines, "\n"),
+                        F.lit("\nlorem ipsum dolor sit amet three.")))
+        .otherwise(F.array_join(lines, "\n")))
+    src = str(tmp_path / "docs")
+    structured.write.parquet(src)
+
+    dst, lin = str(tmp_path / "c"), str(tmp_path / "l")
+    run_curate(spark, src, dst, lin, run_id="lc1", line_clean=True)
+    stages = {r["stage"] for r in spark.read.parquet(lin).collect()}
+    assert "line_clean" in stages
+    cleaned = spark.read.parquet(f"{dst}/line_clean")
+    expect = c4_line_clean(structured).filter("keep = 1") \
+        .select("doc_id", "text")
+    assert {r["doc_id"] for r in cleaned.collect()} \
+        == {r["doc_id"] for r in expect.collect()}
+    # page-drop class is gone before any later stage
+    assert cleaned.filter("doc_id % 11 = 0").count() == 0
+    # final survivors' split table is non-empty (the rewritten text
+    # clears the quality stage) and only contains cleaned docs
+    surv = {r["doc_id"]
+            for r in spark.read.parquet(f"{dst}/split").collect()}
+    assert surv and surv <= {r["doc_id"] for r in cleaned.collect()}
+    # resume: no recompute
+    n_lin = spark.read.parquet(lin).count()
+    run_curate(spark, src, dst, lin, run_id="lc1", line_clean=True)
+    assert spark.read.parquet(lin).count() == n_lin
+    # default run on the same src writes no line_clean stage
+    run_curate(spark, src, str(tmp_path / "c0"), str(tmp_path / "l0"),
+               run_id="lc0")
+    import os
+    assert not os.path.exists(str(tmp_path / "c0" / "line_clean"))

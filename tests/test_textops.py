@@ -541,3 +541,61 @@ def test_stratified_sample_quotas_and_stability(spark):
     # deterministic: re-evaluation returns the identical set
     assert {r["doc_id"] for r in out.collect()} \
         == {r["doc_id"] for r in rows}
+
+
+def test_c4_line_clean_rules(spark):
+    """Each C4 rule on a hand-built page (round 7): terminal-punct
+    keep, min-words drop, javascript-line drop, lorem-ipsum and
+    curly-brace page drops, and the <3-kept-lines page drop."""
+    from mre.textops import c4_line_clean
+    good = "alpha beta gamma delta epsilon zeta."
+    pages = [
+        # 3 good lines + one unpunctuated + one short + one javascript
+        (1, "\n".join([good, "no terminal punctuation here at all",
+                       "too short.", 
+                       "please enable javascript to continue now.",
+                       good, good])),
+        (2, good + "\nlorem ipsum dolor sit amet consectetur.\n"
+            + good + "\n" + good),          # page drop: lorem ipsum
+        (3, good + "\nvar x = { a: 1 };\n" + good + "\n" + good),
+        (4, good + "\n" + good),            # only 2 kept -> keep=0
+    ]
+    out = {r["doc_id"]: r for r in c4_line_clean(
+        spark.createDataFrame(pages, "doc_id long, text string"))
+        .collect()}
+    assert (out[1]["n_lines"], out[1]["n_kept"], out[1]["keep"]) \
+        == (6, 3, 1)
+    assert out[1]["text"] == "\n".join([good, good, good])
+    # line rules pass inside dropped pages; the page flag is separate
+    assert out[2]["keep"] == 0 and out[2]["n_kept"] == 4
+    assert out[3]["keep"] == 0 and out[3]["n_kept"] == 3
+    assert out[4]["keep"] == 0 and out[4]["n_kept"] == 2
+    # bytes_removed is exact
+    assert out[1]["bytes_removed"] \
+        == len(pages[0][1]) - len(out[1]["text"])
+
+
+def test_domain_cap_exact_and_salted(spark):
+    """domain_cap keeps the n lowest order-col docs per host (www./
+    case/port/path noise normalized away); the salted two-phase
+    variant returns the identical kept set."""
+    from mre.textops import domain_cap
+    rows = [(i, f"https://{'WWW.' if i % 3 == 0 else ''}"
+                f"Host-{i % 4}.example.com/p/{i}") for i in range(80)]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    out = domain_cap(df, 5)
+    got = [(r["domain"], r["doc_id"], r["domain_rank"])
+           for r in out.orderBy("domain", "domain_rank").collect()]
+    assert len(got) == 20      # 4 domains x cap 5
+    for d in range(4):
+        expect = sorted(i for i in range(80) if i % 4 == d)[:5]
+        keep = [i for dom, i, _ in got
+                if dom == f"host-{d}.example.com"]
+        assert keep == expect
+        ranks = [rk for dom, _, rk in got
+                 if dom == f"host-{d}.example.com"]
+        assert ranks == [1, 2, 3, 4, 5]
+    # exact two-phase equivalence on the same input
+    salted = {(r["domain"], r["doc_id"], r["domain_rank"])
+              for r in domain_cap(df, 5, salt=7).collect()}
+    assert salted == set(got)
