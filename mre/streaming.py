@@ -245,7 +245,8 @@ def start_ingest_stream(spark: SparkSession, src_dir: str, index_dst: str,
                         available_now: bool = False,
                         threshold: float = 0.5,
                         max_bucket: int | None = None,
-                        epochs_dst: str | None = None):
+                        epochs_dst: str | None = None,
+                        compact_every: int | None = None):
     """CONTINUOUS ingestion dedup (round 6): the Structured-Streaming
     twin of ``scripts/run_ingest.py`` — each micro-batch of newly
     crawled documents is deduplicated against the pre-banded corpus
@@ -268,7 +269,19 @@ def start_ingest_stream(spark: SparkSession, src_dir: str, index_dst: str,
     every join is a bucket-pruned scan feeding broadcast probes; the
     per-epoch partition layout doubles as time-ordered lineage (epoch
     → files) and compacts with ``compact_partitions``. Use
-    ``available_now=True`` for a drain-and-stop backfill run."""
+    ``available_now=True`` for a drain-and-stop backfill run.
+
+    ``compact_every=K`` (round 7) runs ``compact_dedup_index`` after
+    every K-th epoch, INSIDE foreachBatch — the one place the
+    swap-based compaction's no-concurrent-reader contract (ADVICE r6
+    #4) is free, because the stream is the index's only reader and it
+    is quiescent between micro-batches. Each ingest epoch appends a few
+    files per index table, so a long-running stream without this decays
+    into the small-file swarm compaction exists to fix. Idempotent
+    under foreachBatch retries: compaction is content-preserving and
+    self-healing (it re-promotes a half-finished swap before
+    rewriting), and the preceding ``ingest_epoch`` retry path is
+    marker-guarded."""
     ep_dst = epochs_dst or f"{accepted_dst}_epochs"
     batches = (spark.readStream
                .schema(schema)
@@ -279,6 +292,9 @@ def start_ingest_stream(spark: SparkSession, src_dir: str, index_dst: str,
         ingest_epoch(df.sparkSession, df, epoch_id, index_dst,
                      accepted_dst, ep_dst, threshold=threshold,
                      max_bucket=max_bucket)
+        if compact_every and (epoch_id + 1) % compact_every == 0:
+            from .curate import compact_dedup_index
+            compact_dedup_index(df.sparkSession, index_dst)
 
     writer = (batches.writeStream
               .foreachBatch(_one_batch)

@@ -79,6 +79,11 @@ def main() -> None:
     s.add_argument("--max-files-per-trigger", type=int, default=16)
     s.add_argument("--available-now", action="store_true",
                    help="drain everything currently in --src, then stop")
+    s.add_argument("--compact-every", type=int, default=None,
+                   help="compact the dedup index after every K epochs "
+                        "(runs inside foreachBatch — the stream's own "
+                        "idle window, per the compaction concurrency "
+                        "contract)")
     args = ap.parse_args()
 
     from mre.curate import (build_dedup_index, compact_dedup_index,
@@ -109,7 +114,8 @@ def main() -> None:
                 spark, args.src, args.index, args.dst, args.checkpoint,
                 max_files_per_trigger=args.max_files_per_trigger,
                 available_now=args.available_now,
-                threshold=args.threshold, max_bucket=args.max_bucket)
+                threshold=args.threshold, max_bucket=args.max_bucket,
+                compact_every=args.compact_every)
             q.awaitTermination()
         else:
             # write-then-update ordering: commit --dst BEFORE touching

@@ -406,3 +406,60 @@ def test_ingest_epoch_retry_after_partial_index_update(spark, tmp_path):
     ingest_epoch(spark, batch, 0, idx, acc, eps)
     assert spark.read.parquet(f"{idx}/fingerprints").count() == n_fp
     assert spark.read.parquet(eps).count() == n_eps
+
+
+def test_ingest_stream_compact_every(spark, tmp_path):
+    """compact_every=1 (round 7): the stream compacts the dedup index
+    inside foreachBatch after each epoch — every bucket directory
+    collapses to one file — and the compacted index still dedups the
+    next pass."""
+    import glob
+    from mre.curate import build_dedup_index
+    from mre.streaming import start_ingest_stream
+
+    def words(tag):
+        return " ".join(f"{tag}w{j}" for j in range(30))
+
+    corpus = spark.createDataFrame(
+        [(i, f"corpus doc {i} " + words(f"c{i}")) for i in range(3)],
+        "doc_id long, text string")
+    idx = str(tmp_path / "idx")
+    build_dedup_index(spark, corpus, idx)
+
+    src = str(tmp_path / "incoming")
+    os.makedirs(src)
+    acc = str(tmp_path / "accepted")
+    ckpt = str(tmp_path / "ckpt")
+    fresh1 = "fresh stream doc one " + words("f1")
+    fresh2 = "fresh stream doc two " + words("f2")
+    # two single-file batches -> two epochs in one availableNow drain
+    for did, txt in ((300, fresh1), (301, fresh2)):
+        spark.createDataFrame([(did, txt)], "doc_id long, text string") \
+            .coalesce(1).write.mode("append").parquet(src)
+    q = start_ingest_stream(spark, src, idx, acc, ckpt,
+                            available_now=True, max_files_per_trigger=1,
+                            compact_every=1)
+    try:
+        q.awaitTermination(180)
+    finally:
+        q.stop()
+    assert {r["doc_id"] for r in spark.read.parquet(acc).collect()} \
+        == {300, 301}
+    # compaction ran after the last epoch: one file per bucket dir
+    for table in ("fingerprints", "signatures", "bands"):
+        pbs = glob.glob(f"{idx}/{table}/pb=*")
+        assert pbs   # bucketed layout survived the rewrite
+        for d in pbs:
+            assert len(glob.glob(f"{d}/*.parquet")) == 1, (table, d)
+    # the compacted index still drops a dup of an indexed doc
+    spark.createDataFrame([(400, fresh1)], "doc_id long, text string") \
+        .coalesce(1).write.mode("append").parquet(src)
+    q = start_ingest_stream(spark, src, idx, acc, ckpt,
+                            available_now=True, max_files_per_trigger=1,
+                            compact_every=1)
+    try:
+        q.awaitTermination(180)
+    finally:
+        q.stop()
+    assert {r["doc_id"] for r in spark.read.parquet(acc).collect()} \
+        == {300, 301}
