@@ -312,10 +312,49 @@ def q_token_stats(spark, sf_dir):
     return ws.unionByName(bpe).unionByName(mrows)
 
 
+_LM_VOCAB_TOP = 64
+
+
 def q_quality(spark, sf_dir):
-    from mre.textops import quality_score
+    """Quality scoring as one tagged union (registry-window rule).
+
+    * op='heur' — the original length/punct/stopword heuristic features
+      + integer composite (quality_bp).
+    * op='lm' (round 7) — CCNet-family unigram-LM perplexity scoring,
+      self-trained on the same corpus: n_tokens=scored token count,
+      quality_bp=nll_micro_mean (mean negative log-likelihood in
+      micro-nats — perplexity is exp(m/1e6), same ordering). The single
+      float op (ln) is floored to integer micro-nats per vocab entry;
+      doc sums/means are exact integers (order-independent), so the
+      DuckDB replay of the ENTIRE learn+score matches byte-for-byte.
+    * op='vocab' — the learned model itself: doc_id=rank under the
+      total order (count desc, token asc), n_tokens=count,
+      quality_bp=nll_micro. Membership differences at the vocab
+      boundary are observable through the op='lm' scores."""
+    from mre.textops import lm_learn, lm_score, quality_score
     _prep(spark)
-    return quality_score(_t(spark, sf_dir, "documents"))
+    docs = _t(spark, sf_dir, "documents")
+    heur = quality_score(docs).select(
+        F.lit("heur").alias("op"), "doc_id", "n_tokens",
+        "stopword_ratio", "mean_token_len", "quality_bp")
+    vocab, total = lm_learn(docs, vocab_top=_LM_VOCAB_TOP)
+    ordered = [(r["tok"], int(r["cnt"]), int(r["nll_micro"]))
+               for r in vocab.orderBy(F.col("cnt").desc(), "tok")
+               .collect()]  # bounded: ≤ _LM_VOCAB_TOP rows
+    lm = lm_score(docs, [(t, nll) for t, _, nll in ordered], total).select(
+        F.lit("lm").alias("op"), "doc_id",
+        F.col("lm_n_tokens").alias("n_tokens"),
+        F.lit(None).cast("double").alias("stopword_ratio"),
+        F.lit(None).cast("double").alias("mean_token_len"),
+        F.col("nll_micro_mean").alias("quality_bp"))
+    vrows = spark.createDataFrame(
+        [(i + 1, c, nll) for i, (t, c, nll) in enumerate(ordered)],
+        "doc_id long, n_tokens long, quality_bp long").select(
+        F.lit("vocab").alias("op"), "doc_id", "n_tokens",
+        F.lit(None).cast("double").alias("stopword_ratio"),
+        F.lit(None).cast("double").alias("mean_token_len"),
+        "quality_bp")
+    return heur.unionByName(lm).unionByName(vrows)
 
 
 def q_lang_id(spark, sf_dir):
@@ -2150,6 +2189,12 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY event_type
         """,
         "token_stats": _token_stats_oracle_sql(),
+        # round 7: heur/lm/vocab tagged union. The 'lm' branches replay
+        # the ENTIRE unigram-LM learn (token counts → top-V under the
+        # (cnt DESC, tok ASC) total order → floor(-ln(cnt/total)*1e6)
+        # micro-nats — the one float op, same IEEE sequence both
+        # engines) and score (integer sum + integer division — exact,
+        # order-independent).
         "quality_score": rf"""
             WITH t AS (
                 SELECT doc_id,
@@ -2164,8 +2209,28 @@ def oracle_sql() -> dict[str, str]:
                        len(list_filter(toks,
                            t -> t IN ({_STOPWORDS_SQL}))) AS n_stop,
                        n_ns
-                FROM t)
-            SELECT doc_id, n_tokens,
+                FROM t),
+            tok AS (
+                SELECT doc_id, unnest(list_filter(toks, x -> x <> ''))
+                       AS tok
+                FROM t),
+            c AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY tok),
+            tot AS (SELECT sum(cnt) AS total FROM c),
+            v AS (
+                SELECT tok, cnt,
+                       CAST(floor(-ln(cnt::DOUBLE / total::DOUBLE) * 1e6)
+                            AS BIGINT) AS nll,
+                       row_number() OVER (ORDER BY cnt DESC, tok) AS rnk
+                FROM c, tot ORDER BY cnt DESC, tok LIMIT {_LM_VOCAB_TOP}),
+            oov AS (
+                SELECT CAST(floor(-ln(1::DOUBLE / total::DOUBLE) * 1e6)
+                            AS BIGINT) AS nll
+                FROM tot),
+            sc AS (
+                SELECT tok.doc_id, count(*) AS n,
+                       sum(coalesce(v.nll, (SELECT nll FROM oov))) AS ssum
+                FROM tok LEFT JOIN v USING (tok) GROUP BY tok.doc_id)
+            SELECT 'heur' AS op, doc_id, n_tokens,
                    round(n_stop / n1, 4) AS stopword_ratio,
                    round(n_ns / n1, 4) AS mean_token_len,
                    (least(n_tokens, 100)::BIGINT * 5
@@ -2174,6 +2239,13 @@ def oracle_sql() -> dict[str, str]:
                                 BETWEEN 300 AND 800
                            THEN 200 ELSE 0 END)::BIGINT AS quality_bp
             FROM m
+            UNION ALL
+            SELECT 'lm', d.doc_id, coalesce(sc.n, 0),
+                   NULL::DOUBLE, NULL::DOUBLE, sc.ssum // sc.n
+            FROM documents d LEFT JOIN sc USING (doc_id)
+            UNION ALL
+            SELECT 'vocab', rnk, cnt, NULL::DOUBLE, NULL::DOUBLE, nll
+            FROM v
         """,
         "lang_id": r"""
             WITH s AS (

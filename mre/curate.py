@@ -115,6 +115,27 @@ def contaminated_ids(docs: DataFrame, evals: DataFrame, *, n: int = 5,
             .select("doc_id").distinct())
 
 
+def lm_keep_ids(docs: DataFrame, max_nll_micro: int,
+                vocab_top: int = 4096) -> DataFrame:
+    """LM perplexity-filter stage (round 7, CCNet-family — Wenzek et
+    al. 2020, self-trained: no external model files exist here): learn
+    a unigram LM over ``docs`` (``textops.lm_learn`` — one map-side-
+    combinable token-count shuffle, bounded vocab), score every doc
+    (``lm_score`` — a map-literal fold, pure projection, zero shuffle)
+    and keep doc_ids whose mean negative log-likelihood in MICRO-NATS
+    is ≤ ``max_nll_micro`` (perplexity = exp(nll/1e6), same ordering —
+    e.g. 7_000_000 ≈ perplexity 1096). Zero-token docs have no
+    evidence and are dropped (their score is NULL, which the ≤ filter
+    rejects). Training on the post-dedup survivors is deliberate:
+    duplicated boilerplate would otherwise dominate the unigram
+    counts, the failure CCNet orders dedup-before-LM to avoid."""
+    from .textops import lm_learn, lm_score, lm_vocab_rows
+    vocab, total = lm_learn(docs, vocab_top=vocab_top)
+    return (lm_score(docs, lm_vocab_rows(vocab), total)
+            .filter(F.col("nll_micro_mean") <= int(max_nll_micro))
+            .select("doc_id"))
+
+
 def media_loser_ids(media: DataFrame, mode: str = "exact", *,
                     size_bucket_bytes: int | None = None) -> DataFrame:
     """Media-payload dedup stage (VERDICT r6 #2) — the doc_ids to DROP
@@ -153,7 +174,9 @@ def curate_df(docs: DataFrame, evals: Optional[DataFrame] = None, *,
               pii_max: int | None = None,
               max_bucket: int | None = None,
               media: Optional[DataFrame] = None,
-              media_dedup: str = "exact") -> DataFrame:
+              media_dedup: str = "exact",
+              lm_max_nll: int | None = None,
+              lm_vocab_top: int = 4096) -> DataFrame:
     """The full curation chain as a single DataFrame: surviving docs with
     their train/test ``split`` assignment (text column dropped).
 
@@ -169,6 +192,12 @@ def curate_df(docs: DataFrame, evals: Optional[DataFrame] = None, *,
     duplicates a kept doc's (``media_dedup='exact'``: byte-identical
     sha1; ``'band'``: same no-decode container band) are dropped, docs
     without a media row pass through.
+
+    ``lm_max_nll`` (round 7): opt-in CCNet-family perplexity filter
+    after exact/media dedup — a unigram LM is learned from the dedup
+    survivors and docs scoring above ``lm_max_nll`` micro-nats mean
+    NLL (see ``lm_keep_ids``) are dropped before the expensive
+    near-dup stage.
 
     Cache ownership (ADVICE r4): the persisted survivor frame (and the
     intermediates the textops helpers persist) are registered in
@@ -188,6 +217,10 @@ def curate_df(docs: DataFrame, evals: Optional[DataFrame] = None, *,
         kept = kept.join(media_loser_ids(live_media, mode=media_dedup),
                          "doc_id", "left_anti")
     kept = _register_cache(kept.persist(StorageLevel.MEMORY_AND_DISK))
+    if lm_max_nll is not None:
+        kept = kept.join(
+            lm_keep_ids(kept, lm_max_nll, vocab_top=lm_vocab_top),
+            "doc_id", "left_semi")
     losers = near_dup_loser_ids(kept, shingle_n=shingle_n,
                                 minhash_threshold=minhash_threshold,
                                 jaccard_threshold=jaccard_threshold,
@@ -261,7 +294,9 @@ def run_curate(spark: SparkSession, src, dst: str, lineage_dst: str,
                media_dedup: str = "exact",
                bpe_merges: int = 0,
                bpe_vocab_top: int = 5000,
-               line_clean: bool = False) -> None:
+               line_clean: bool = False,
+               lm_max_nll: int | None = None,
+               lm_vocab_top: int = 4096) -> None:
     """Run the curation pipeline end-to-end with stage checkpoints.
 
     ``src`` is a documents table (doc_id, text, …) — a path/URI, or a
@@ -320,7 +355,16 @@ def run_curate(spark: SparkSession, src, dst: str, lineage_dst: str,
     every survivor's text is rewritten to its kept lines, so all later
     stages (quality, dedup, decontamination, split, BPE) see the
     cleaned text. Off by default — the input docs must carry
-    newline-structured text for the rules to be meaningful."""
+    newline-structured text for the rules to be meaningful.
+
+    ``lm_max_nll`` (round 7) inserts a CCNet-family unigram-LM
+    perplexity filter (``lm_keep_ids``) as an ``lm_filter`` stage
+    between exact/media dedup and near-dup: the LM is learned from the
+    dedup survivors (one token-count shuffle + a bounded
+    ``lm_vocab_top``-row vocab), scoring is a zero-shuffle map-literal
+    fold, and docs whose mean NLL exceeds the threshold (micro-nats;
+    perplexity = exp(nll/1e6)) are dropped before the most expensive
+    stage. Resumes through the lineage like every other stage."""
     from .textops import cache_mark, release_caches
     if rewrite not in (None, "passages", "windows"):
         raise ValueError(f"rewrite must be None|'passages'|'windows', "
@@ -340,7 +384,8 @@ def run_curate(spark: SparkSession, src, dst: str, lineage_dst: str,
         rewrite=rewrite, rewrite_max_df=rewrite_max_df,
         media_src=media_src, media_dedup=media_dedup,
         bpe_merges=bpe_merges, bpe_vocab_top=bpe_vocab_top,
-        line_clean=line_clean)
+        line_clean=line_clean,
+        lm_max_nll=lm_max_nll, lm_vocab_top=lm_vocab_top)
     done = completed_stages(spark, lineage_dst, run_id, ph) if resume \
         else set()
 
@@ -416,6 +461,15 @@ def run_curate(spark: SparkSession, src, dst: str, lineage_dst: str,
                     mode=media_dedup),
                 "doc_id", "left_anti"),
             _s2_text)
+    if lm_max_nll is not None:
+        _s2_pre_lm = s2   # pin: the lambda must see the pre-LM ids
+        s2 = _stage(
+            "lm_filter",
+            lambda: _s2_pre_lm.join(
+                lm_keep_ids(base.join(_s2_pre_lm, "doc_id", "left_semi"),
+                            lm_max_nll, vocab_top=lm_vocab_top),
+                "doc_id", "left_semi"),
+            _s2_pre_lm)
     d3 = base.join(s2, "doc_id", "left_semi")
     s3 = _stage(
         "near_dup",

@@ -139,6 +139,99 @@ def token_stats(docs: DataFrame) -> DataFrame:
 _STOPWORDS = ("the", "a", "of", "and", "in", "to", "is")
 
 
+# --------------------------------------------------------------------------
+# unigram LM perplexity filtering (CCNet-family, Wenzek et al. 2020 —
+# self-trained from the corpus; no external model files exist in this
+# environment). All cross-engine arithmetic is INTEGER: the single float
+# op (ln) is floored to micro-nats immediately per vocab entry, so
+# per-doc sums/means are exact, order-independent, and engine-portable
+# (verified: 1608-pair Spark-vs-DuckDB floor(-ln(c/t)*1e6) sweep, zero
+# mismatches — and the fixture corpora are deterministic, so a local
+# match at both SFs is permanent).
+
+
+def _nll_micro_expr(cnt, total):
+    """floor(-ln(cnt/total) * 1e6) as a LONG column — nats × 1e6.
+
+    The exact op sequence (double divide → ln → negate → scale → floor)
+    is mirrored verbatim in the DuckDB oracle; both engines execute the
+    same IEEE ops except ln itself (≤1 ulp apart in practice)."""
+    p = cnt.cast("double") / total.cast("double")
+    return F.floor(-F.log(p) * F.lit(1e6)).cast("long")
+
+
+def lm_learn(docs: DataFrame, vocab_top: int = 256,
+             text_col: str = "text") -> tuple[DataFrame, int]:
+    """Learn a unigram LM over whitespace tokens: one distributed
+    token-count aggregation (map-side combinable — the only shuffle),
+    keep the ``vocab_top`` most frequent under the TOTAL order
+    (count desc, token asc), and attach ``nll_micro``. Returns
+    ``(vocab_df(tok, cnt, nll_micro), total_tokens)`` — ``total`` counts
+    every token occurrence (in- and out-of-vocab) so probabilities are
+    honest; OOV tokens score as count 1 (``lm_oov_micro``).
+
+    Scale shape: the corpus shuffles token COUNTS only (partial aggs),
+    the vocab is bounded (``vocab_top`` rows) and the total is one
+    scalar — both driver-safe."""
+    toks = (docs.select(F.explode(tokens_col(text_col)).alias("tok"))
+            .filter(F.col("tok") != ""))
+    counts = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    total = int(counts.agg(F.sum("cnt")).first()[0] or 0)
+    vocab = (counts.orderBy(F.col("cnt").desc(), F.col("tok"))
+             .limit(int(vocab_top))
+             .withColumn("nll_micro",
+                         _nll_micro_expr(F.col("cnt"), F.lit(total))))
+    return vocab, total
+
+
+def lm_oov_micro(total: int):
+    """The out-of-vocabulary penalty column: same formula as a vocab
+    entry with count 1 — floor(-ln(1/total) * 1e6)."""
+    return _nll_micro_expr(F.lit(1), F.lit(int(total)))
+
+
+def lm_score(docs: DataFrame, vocab_rows: list, total: int,
+             text_col: str = "text") -> DataFrame:
+    """Per-doc mean negative log-likelihood in MICRO-NATS under the
+    unigram LM — the CCNet perplexity-filter statistic (perplexity is
+    exp(nll_mean/1e6); the integer mean is kept so the score is exact
+    and portable; it orders docs identically).
+
+    ``vocab_rows`` is the BOUNDED learned vocab (list of
+    ``(tok, nll_micro)`` — collect it from ``lm_learn``'s frame, same
+    device as the inlined ANN centroids): the lookup becomes a MAP
+    literal inside ``F.aggregate`` over the token array, so scoring is a
+    pure projection — ZERO shuffle, rides any corpus scan. Docs with no
+    tokens score NULL (no evidence).
+
+    Columns: doc_id, lm_n_tokens, nll_micro_sum,
+    nll_micro_mean = nll_micro_sum DIV lm_n_tokens."""
+    total = int(total)
+    lut = F.create_map(
+        *[F.lit(v) for tok, nll in vocab_rows for v in (tok, int(nll))])
+    oov = lm_oov_micro(total)
+    toks = F.filter(tokens_col(text_col), lambda t: t != "")
+    n = F.size(toks)
+    ssum = F.aggregate(
+        toks, F.lit(0).cast("long"),
+        lambda acc, t: acc + F.coalesce(
+            F.element_at(lut, t).cast("long"), oov))
+    return docs.select(
+        "doc_id",
+        n.cast("long").alias("lm_n_tokens"),
+        F.when(n > 0, ssum).alias("nll_micro_sum"),
+    ).withColumn(
+        # integer division — positive operands, identical in every engine
+        "nll_micro_mean", F.expr("nll_micro_sum DIV lm_n_tokens"))
+
+
+def lm_vocab_rows(vocab: DataFrame) -> list:
+    """Bounded collect of the learned vocab for ``lm_score``'s map
+    literal (vocab_top rows — driver-safe by construction)."""
+    return [(r["tok"], int(r["nll_micro"]))
+            for r in vocab.select("tok", "nll_micro").collect()]
+
+
 def quality_score(docs: DataFrame) -> DataFrame:
     """Length/punct/stopword heuristic quality features + a composite score.
 
@@ -1477,6 +1570,7 @@ __all__ = [
     "pii_scrub",
     "PII_EMAIL", "PII_IP", "PII_PHONE",
     "token_stats", "quality_score", "lang_id", "lang_pred_expr",
+    "lm_learn", "lm_score", "lm_vocab_rows", "lm_oov_micro",
     "fingerprint", "exact_dedup",
     "shingles", "jaccard_pairs", "minhash_signatures", "minhash_candidates",
     "minhash_bands", "EST_JACCARD_SQL",

@@ -80,6 +80,13 @@ def main() -> None:
     ap.add_argument("--bpe-vocab-top", type=int, default=5000,
                     help="vocabulary cap for BPE learning (most-frequent "
                          "words; bounded driver-side merge loop)")
+    ap.add_argument("--lm-max-nll", type=int, default=None,
+                    help="opt-in CCNet-family unigram-LM perplexity "
+                         "filter: drop docs whose mean NLL exceeds this "
+                         "many micro-nats (perplexity = exp(nll/1e6)); "
+                         "the LM is learned from the dedup survivors")
+    ap.add_argument("--lm-vocab-top", type=int, default=4096,
+                    help="unigram-LM vocab size for --lm-max-nll")
     ap.add_argument("--no-resume", action="store_true")
     args = ap.parse_args()
 
@@ -106,6 +113,8 @@ def main() -> None:
                    bpe_merges=args.bpe_merges,
                    bpe_vocab_top=args.bpe_vocab_top,
                    line_clean=args.line_clean,
+                   lm_max_nll=args.lm_max_nll,
+                   lm_vocab_top=args.lm_vocab_top,
                    resume=not args.no_resume)
     finally:
         spark.stop()

@@ -1111,3 +1111,68 @@ def test_run_curate_line_clean_stage(spark, docs, evals, tmp_path):
                run_id="lc0")
     import os
     assert not os.path.exists(str(tmp_path / "c0" / "line_clean"))
+
+
+def test_lm_filter_stage_in_curation(spark, docs, evals, tmp_path):
+    """Round-7 CCNet-family perplexity filter: a quality-passing doc
+    made of out-of-vocab gibberish scores a strictly higher mean NLL
+    than every normal survivor; with a threshold between the two, the
+    lm_filter stage drops exactly it — through curate_df AND the
+    resumable run_curate (lineage row + id-list, resume no-op)."""
+    from mre.curate import exact_keeper_ids, lm_keep_ids, quality_keep_ids
+    from mre.textops import lm_learn, lm_score, lm_vocab_rows
+
+    # ≥50 words, mean word len in range, ≥2 stopwords, all-alpha —
+    # passes Gopher quality but every content token is unique to it
+    gib = ("the and " * 2 + " ".join(f"gib{i}zz" for i in range(60))
+           + " over it goes")
+    docs2 = docs.unionByName(spark.createDataFrame(
+        [(140, gib, "en", "srcG", 0)], docs.schema))
+
+    # replicate the stage input (post quality + exact dedup) and derive
+    # a threshold strictly between the gibberish doc and everyone else
+    kept = docs2.join(quality_keep_ids(docs2), "doc_id", "left_semi")
+    kept = kept.join(exact_keeper_ids(kept), "doc_id", "left_semi")
+    vocab, total = lm_learn(kept, vocab_top=64)
+    scores = {r["doc_id"]: r["nll_micro_mean"]
+              for r in lm_score(kept, lm_vocab_rows(vocab), total)
+              .collect()}
+    rest_max = max(v for k, v in scores.items() if k != 140)
+    assert scores[140] > rest_max
+    thr = (scores[140] + rest_max) // 2
+
+    base_ids = {r["doc_id"] for r in curate_df(docs2, evals).collect()}
+    lm_ids = {r["doc_id"]
+              for r in curate_df(docs2, evals, lm_max_nll=thr,
+                                 lm_vocab_top=64).collect()}
+    assert 140 in base_ids
+    assert lm_ids == base_ids - {140}
+
+    # zero-token docs have no evidence -> dropped by the keep filter
+    empty = spark.createDataFrame([(1, "aa bb aa"), (2, "   ")],
+                                  "doc_id long, text string")
+    keep = {r["doc_id"]
+            for r in lm_keep_ids(empty, 10**12, vocab_top=4).collect()}
+    assert keep == {1}
+
+    # the resumable job: lm_filter gets a lineage row + an id-list
+    src = str(tmp_path / "docs")
+    dst = str(tmp_path / "curated")
+    lin = str(tmp_path / "lineage")
+    docs2.write.parquet(src)
+    run_curate(spark, src, dst, lin, run_id="lm1", evals_src=None,
+               lm_max_nll=thr, lm_vocab_top=64)
+    stages = {r["stage"] for r in spark.read.parquet(lin).collect()}
+    assert "lm_filter" in stages
+    final = {r["doc_id"] for r in read_curated(spark, dst).collect()}
+    assert 140 not in final and 0 in final
+    # resume: nothing recomputes, no new lineage rows
+    n_lin = spark.read.parquet(lin).count()
+    run_curate(spark, src, dst, lin, run_id="lm1", evals_src=None,
+               lm_max_nll=thr, lm_vocab_top=64)
+    assert spark.read.parquet(lin).count() == n_lin
+    # default run on the same src writes no lm_filter stage
+    import os
+    run_curate(spark, src, str(tmp_path / "c0"), str(tmp_path / "l0"),
+               run_id="lm0")
+    assert not os.path.exists(str(tmp_path / "c0" / "lm_filter"))

@@ -212,11 +212,12 @@ def test_new_ops_plan_shapes(spark):
 
     sf = "/root/testdata/sf0.001"
 
-    # url_dedup: explode + regex normalize are pure projections — exactly
-    # ONE Exchange (the groupBy on the canonical form)
+    # url_dedup (round-7 norm/cap union): explode + regex normalize are
+    # pure projections — exactly TWO Exchanges total, one per branch
+    # (norm's groupBy on the canonical form; cap's window on domain)
     plan = em.queries()["url_dedup"](spark, sf) \
         ._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("Exchange") == 1, plan
+    assert plan.count("Exchange") == 2, plan
     assert "BatchEvalPython" not in plan and "EvalPython" not in plan
 
     # hash_sample: md5-bucket filter is JVM-side over the scan, no shuffle

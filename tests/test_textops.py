@@ -599,3 +599,59 @@ def test_domain_cap_exact_and_salted(spark):
     salted = {(r["domain"], r["doc_id"], r["domain_rank"])
               for r in domain_cap(df, 5, salt=7).collect()}
     assert salted == set(got)
+
+
+def test_lm_learn_score(spark):
+    """Unigram-LM perplexity scoring (round 7, CCNet-family): learn on
+    a hand corpus and replay the micro-nat arithmetic in pure Python —
+    vocab total order, OOV penalty, integer sums, zero-token NULLs."""
+    import math
+    from mre.textops import lm_learn, lm_score, lm_vocab_rows
+    docs = spark.createDataFrame(
+        [(1, "the cat sat on the mat"),
+         (2, "the the the zzz qqq"),
+         (3, "cat cat dog dog dog rareword"),
+         (4, "   "),
+         (5, "on on on the mat mat")],
+        "doc_id long, text string")
+    vocab, total = lm_learn(docs, vocab_top=5)
+    rows = lm_vocab_rows(vocab)
+    assert total == 23
+    counts = {"the": 6, "on": 4, "cat": 3, "dog": 3, "mat": 3}
+    # total order (cnt desc, tok asc) picks exactly these five
+    assert {t for t, _ in rows} == set(counts)
+    lut = {t: nll for t, nll in rows}
+    for t, c in counts.items():
+        assert lut[t] == math.floor(-math.log(c / 23) * 1e6)
+    oov = math.floor(-math.log(1 / 23) * 1e6)
+
+    def score(text):
+        toks = [t for t in text.lower().strip().split() if t]
+        s = sum(lut.get(t, oov) for t in toks)
+        return len(toks), s, s // len(toks) if toks else None
+    got = {r["doc_id"]: (r["lm_n_tokens"], r["nll_micro_sum"],
+                         r["nll_micro_mean"])
+           for r in lm_score(docs, rows, total).collect()}
+    for did, text in [(1, "the cat sat on the mat"),
+                      (2, "the the the zzz qqq"),
+                      (3, "cat cat dog dog dog rareword"),
+                      (5, "on on on the mat mat")]:
+        n, s, m = score(text)
+        assert got[did] == (n, s, m), did
+    # zero-token doc: no evidence -> NULL score, not a crash or a 0
+    assert got[4] == (0, None, None)
+    # a doc made of frequent tokens scores better (lower NLL) than one
+    # leaning on OOV mass
+    assert got[5][2] < got[3][2]
+
+
+def test_lm_score_plan_is_pure_projection(spark):
+    """lm_score is a map-literal fold over the token array — ZERO
+    shuffle, no Python eval: it must ride any corpus scan."""
+    from mre.textops import lm_learn, lm_score, lm_vocab_rows
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    vocab, total = lm_learn(docs, vocab_top=16)
+    plan = (lm_score(docs, lm_vocab_rows(vocab), total)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan, plan
+    assert "EvalPython" not in plan, plan
