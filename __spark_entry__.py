@@ -330,8 +330,16 @@ def q_quality(spark, sf_dir):
     * op='vocab' — the learned model itself: doc_id=rank under the
       total order (count desc, token asc), n_tokens=count,
       quality_bp=nll_micro. Membership differences at the vocab
-      boundary are observable through the op='lm' scores."""
-    from mre.textops import lm_learn, lm_score, quality_score
+      boundary are observable through the op='lm' scores.
+    * op='rep' (round 7) — gopher_ngram_battery, the full Gopher
+      Table A1 n-gram repetition battery: one row per (doc, n) for
+      n=2..10 with n_tokens=n, quality_bp=char_bp (top-gram char
+      fraction for n≤4, duplicate-gram char fraction for n≥5, integer
+      basis points), stopword_ratio=pass_rule and
+      mean_token_len=pass_ngram_battery (0/1 as double — the shared
+      union schema has exactly two spare double slots)."""
+    from mre.textops import (gopher_ngram_battery, lm_learn, lm_score,
+                             quality_score)
     _prep(spark)
     docs = _t(spark, sf_dir, "documents")
     heur = quality_score(docs).select(
@@ -354,7 +362,13 @@ def q_quality(spark, sf_dir):
         F.lit(None).cast("double").alias("stopword_ratio"),
         F.lit(None).cast("double").alias("mean_token_len"),
         "quality_bp")
-    return heur.unionByName(lm).unionByName(vrows)
+    rep = gopher_ngram_battery(docs).select(
+        F.lit("rep").alias("op"), "doc_id",
+        F.col("n").cast("long").alias("n_tokens"),
+        F.col("pass_rule").cast("double").alias("stopword_ratio"),
+        F.col("pass_ngram_battery").cast("double").alias("mean_token_len"),
+        F.col("char_bp").alias("quality_bp"))
+    return heur.unionByName(lm).unionByName(vrows).unionByName(rep)
 
 
 def q_lang_id(spark, sf_dir):
@@ -905,6 +919,17 @@ _C4_JS_LINE = "please enable javascript to view this page."
 _C4_LOREM_LINE = "lorem ipsum dolor sit amet consectetur."
 _C4_CODE_LINE = "function() { return 1; }"
 
+# op='gdupl'/'gdupp' line+paragraph structure augmentation (round 7,
+# for gopher_dup_sections — same flat-corpus device as op='c4'): 6-word
+# lines with every (i%4==1)th line a constant boilerplate (docs with ≥6
+# lines get real within-doc duplicate lines at doc-varying fractions),
+# lines grouped into 3-line paragraphs, and doc_id%6==0 appends one
+# constant 2-line paragraph TWICE (guaranteed duplicate paragraphs).
+# Shared verbatim with the oracle.
+_GDUP_BOILER = "sign up for our newsletter today"
+_GDUP_PARA_L1 = "all rights reserved"
+_GDUP_PARA_L2 = "contact us for details"
+
 
 def q_sentence_dedup(spark, sf_dir):
     """The passage-dedup / text-scrub family as one tagged union
@@ -936,8 +961,23 @@ def q_sentence_dedup(spark, sf_dir):
       curly-brace code line — both page-drop triggers): m1=n_lines,
       m2=n_kept, m3=bytes_removed, m4=page keep flag, text_out=the
       kept lines re-joined (value-hashed → the line filter is
-      byte-checked cross-engine)."""
-    from mre.textops import (c4_line_clean, pii_scrub,
+      byte-checked cross-engine).
+    * op='gdupl'/'gdupp' — gopher_dup_sections (round 7, the Gopher
+      duplicate-line/paragraph repetition rules) over a second
+      deterministic augmentation (6-word lines, every (i%4==1)th line
+      a constant boilerplate, 3-line paragraphs, doc_id%6 appends one
+      constant paragraph twice): m1=n_lines (n_paras), m2=dup bp,
+      m3=dup char bp, m4=pass_dup_sections, text_out=NULL.
+    * op='glq' — gopher_line_rules (round 7, the Gopher line-format
+      rules: >90% bullet-started or >30% ellipsis-ended lines drop the
+      doc) over a third augmentation (6-word lines; every (i%3==0)th
+      line bulleted — doc_id%7 bullets EVERY line; every (i%5==1)th
+      line ellipsis-ended — doc_id%11 also every odd line, so both
+      cuts fail on planted docs and pass elsewhere): m1=n_lines,
+      m2=bullet_bp, m3=ellipsis_bp, m4=pass_line_rules,
+      text_out=NULL."""
+    from mre.textops import (c4_line_clean, gopher_dup_sections,
+                             gopher_line_rules, pii_scrub,
                              remove_dup_passages, remove_dup_windows,
                              sentence_dedup_stats)
     _prep(spark)
@@ -1003,8 +1043,54 @@ def q_sentence_dedup(spark, sf_dir):
         F.col("bytes_removed").alias("m3"),
         F.col("keep").alias("m4"),
         F.col("text").alias("text_out"))
+
+    def _gd_line(i):
+        base = F.array_join(F.slice(w, i * 6 + 1, 6), " ")
+        return F.when(i % 4 == 1, F.lit(_GDUP_BOILER)).otherwise(base)
+
+    glines = F.transform(F.sequence(F.lit(0), nl - 1), _gd_line)
+    npar = F.floor((nl + F.lit(2)) / F.lit(3)).cast("int")
+    gparas = F.transform(
+        F.sequence(F.lit(0), npar - 1),
+        lambda p: F.array_join(F.slice(glines, p * 3 + 1, 3), "\n"))
+    gpara_dup = "\n\n" + _GDUP_PARA_L1 + "\n" + _GDUP_PARA_L2
+    gtext = F.array_join(gparas, "\n\n")
+    gtext = F.when(F.col("doc_id") % 6 == 0,
+                   F.concat(gtext, F.lit(gpara_dup * 2))).otherwise(gtext)
+    gd = gopher_dup_sections(docs.select("doc_id", gtext.alias("text")))
+    nulls = F.lit(None).cast("string").alias("text_out")
+    gl = gd.select(
+        F.lit("gdupl").alias("op"), "doc_id",
+        F.col("n_lines").cast("long").alias("m1"),
+        F.col("dup_line_bp").cast("long").alias("m2"),
+        F.col("dup_line_char_bp").cast("long").alias("m3"),
+        F.col("pass_dup_sections").cast("long").alias("m4"), nulls)
+    gp = gd.select(
+        F.lit("gdupp").alias("op"), "doc_id",
+        F.col("n_paras").cast("long").alias("m1"),
+        F.col("dup_para_bp").cast("long").alias("m2"),
+        F.col("dup_para_char_bp").cast("long").alias("m3"),
+        F.col("pass_dup_sections").cast("long").alias("m4"), nulls)
+
+    def _lr_line(i):
+        base = F.array_join(F.slice(w, i * 6 + 1, 6), " ")
+        base = F.when(((F.col("doc_id") % 11 == 0) & (i % 2 == 1))
+                      | (i % 5 == 1),
+                      F.concat(base, F.lit(" ..."))).otherwise(base)
+        return F.when((F.col("doc_id") % 7 == 0) | (i % 3 == 0),
+                      F.concat(F.lit("• "), base)).otherwise(base)
+
+    ltext = F.array_join(
+        F.transform(F.sequence(F.lit(0), nl - 1), _lr_line), "\n")
+    lr = gopher_line_rules(docs.select("doc_id", ltext.alias("text")))
+    glq = lr.select(
+        F.lit("glq").alias("op"), "doc_id",
+        F.col("n_lines").cast("long").alias("m1"),
+        F.col("bullet_bp").cast("long").alias("m2"),
+        F.col("ellipsis_bp").cast("long").alias("m3"),
+        F.col("pass_line_rules").cast("long").alias("m4"), nulls)
     return (stats.unionAll(dep).unionAll(pii).unionAll(desub)
-            .unionAll(c4))
+            .unionAll(c4).unionAll(gl).unionAll(gp).unionAll(glq))
 
 
 def q_profile_docs(spark, sf_dir):
@@ -1891,7 +1977,118 @@ def oracle_sql() -> dict[str, str]:
                                 AND len(string_split(l, ' ')) >= 5
                                 AND NOT contains(lower(l), 'javascript'))
                            AS kept
-                FROM c4b)
+                FROM c4b),
+            gdb AS (
+                SELECT doc_id,
+                       list_transform(
+                           generate_series(0, (len(w) + 5) // 6 - 1),
+                           i -> CASE WHEN i % 4 = 1
+                               THEN '{_GDUP_BOILER}'
+                               ELSE array_to_string(
+                                   list_slice(w, i*6 + 1, i*6 + 6), ' ')
+                               END) AS ls
+                FROM c4a),
+            gdc AS (
+                SELECT doc_id,
+                       array_to_string(list_transform(
+                           generate_series(0, (len(ls) + 2) // 3 - 1),
+                           p -> array_to_string(
+                               list_slice(ls, p*3 + 1, p*3 + 3),
+                               chr(10))),
+                           chr(10) || chr(10))
+                       || CASE WHEN doc_id % 6 = 0
+                              THEN repeat(chr(10) || chr(10)
+                                   || '{_GDUP_PARA_L1}' || chr(10)
+                                   || '{_GDUP_PARA_L2}', 2)
+                              ELSE '' END AS gaug
+                FROM gdb),
+            gsecl AS (
+                SELECT doc_id,
+                       unnest(list_filter(list_transform(
+                           regexp_split_to_array(gaug, '\n'),
+                           x -> regexp_replace(x, '^\s+|\s+$', '', 'g')),
+                           x -> x <> '')) AS sec
+                FROM gdc),
+            gsecp AS (
+                SELECT doc_id,
+                       unnest(list_filter(list_transform(
+                           regexp_split_to_array(gaug, '\n{{2,}}'),
+                           x -> regexp_replace(x, '^\s+|\s+$', '', 'g')),
+                           x -> x <> '')) AS sec
+                FROM gdc),
+            glc AS (
+                SELECT doc_id, sec, count(*) AS c, max(length(sec)) AS l
+                FROM gsecl GROUP BY 1, 2),
+            gld AS (
+                SELECT doc_id, sum(c) AS n, sum(c * l) AS nch,
+                       coalesce(sum(CASE WHEN c > 1 THEN c END), 0)
+                           AS dup,
+                       coalesce(sum(CASE WHEN c > 1 THEN c * l END), 0)
+                           AS dupch
+                FROM glc GROUP BY doc_id),
+            gpc AS (
+                SELECT doc_id, sec, count(*) AS c, max(length(sec)) AS l
+                FROM gsecp GROUP BY 1, 2),
+            gpd AS (
+                SELECT doc_id, sum(c) AS n, sum(c * l) AS nch,
+                       coalesce(sum(CASE WHEN c > 1 THEN c END), 0)
+                           AS dup,
+                       coalesce(sum(CASE WHEN c > 1 THEN c * l END), 0)
+                           AS dupch
+                FROM gpc GROUP BY doc_id),
+            gout AS (
+                SELECT d.doc_id,
+                       coalesce(gld.n, 0) AS n_lines,
+                       coalesce(gld.dup * 10000 // gld.n, 0) AS l_bp,
+                       coalesce(gld.dupch * 10000 // gld.nch, 0)
+                           AS l_cbp,
+                       coalesce(gpd.n, 0) AS n_paras,
+                       coalesce(gpd.dup * 10000 // gpd.n, 0) AS p_bp,
+                       coalesce(gpd.dupch * 10000 // gpd.nch, 0)
+                           AS p_cbp
+                FROM documents d
+                LEFT JOIN gld ON gld.doc_id = d.doc_id
+                LEFT JOIN gpd ON gpd.doc_id = d.doc_id),
+            gfin AS (
+                SELECT *,
+                       CAST(l_bp <= 3000 AND l_cbp <= 2000
+                            AND p_bp <= 3000 AND p_cbp <= 2000
+                            AS BIGINT) AS gpass
+                FROM gout),
+            lqb AS (
+                SELECT doc_id,
+                       list_transform(
+                           generate_series(0, (len(w) + 5) // 6 - 1),
+                           i -> CASE WHEN doc_id % 7 = 0 OR i % 3 = 0
+                                     THEN '• ' ELSE '' END
+                             || array_to_string(
+                                    list_slice(w, i*6 + 1, i*6 + 6), ' ')
+                             || CASE WHEN (doc_id % 11 = 0
+                                           AND i % 2 = 1)
+                                          OR i % 5 = 1
+                                     THEN ' ...' ELSE '' END) AS ls
+                FROM c4a),
+            lqs AS (
+                SELECT doc_id, len(ls2) AS n_lines,
+                       len(list_filter(ls2,
+                           x -> substr(x, 1, 1) IN
+                                    ('•','‣','▪','◦','●','·')
+                                OR x LIKE '- %' OR x LIKE '* %')) AS nb,
+                       len(list_filter(ls2,
+                           x -> x LIKE '%...' OR x LIKE '%…')) AS ne
+                FROM (SELECT doc_id,
+                             list_filter(list_transform(ls,
+                                 x -> regexp_replace(x, '^\s+|\s+$',
+                                                     '', 'g')),
+                                 x -> x <> '') AS ls2
+                      FROM lqb)),
+            lqo AS (
+                SELECT doc_id, n_lines,
+                       CASE WHEN n_lines > 0
+                            THEN nb * 10000 // n_lines ELSE 0 END AS bbp,
+                       CASE WHEN n_lines > 0
+                            THEN ne * 10000 // n_lines ELSE 0 END AS ebp
+                FROM lqs)
             SELECT 'stats' AS op, doc_id,
                    CAST(n_sents AS BIGINT) AS m1,
                    n_dup_sents AS m2,
@@ -1956,6 +2153,30 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS m4,
                    array_to_string(kept, chr(10)) AS text_out
             FROM c4c
+            UNION ALL
+            SELECT 'gdupl' AS op, doc_id,
+                   CAST(n_lines AS BIGINT) AS m1,
+                   CAST(l_bp AS BIGINT) AS m2,
+                   CAST(l_cbp AS BIGINT) AS m3,
+                   gpass AS m4,
+                   CAST(NULL AS VARCHAR) AS text_out
+            FROM gfin
+            UNION ALL
+            SELECT 'gdupp' AS op, doc_id,
+                   CAST(n_paras AS BIGINT) AS m1,
+                   CAST(p_bp AS BIGINT) AS m2,
+                   CAST(p_cbp AS BIGINT) AS m3,
+                   gpass AS m4,
+                   CAST(NULL AS VARCHAR) AS text_out
+            FROM gfin
+            UNION ALL
+            SELECT 'glq' AS op, doc_id,
+                   CAST(n_lines AS BIGINT) AS m1,
+                   CAST(bbp AS BIGINT) AS m2,
+                   CAST(ebp AS BIGINT) AS m3,
+                   CAST(bbp <= 9000 AND ebp <= 3000 AS BIGINT) AS m4,
+                   CAST(NULL AS VARCHAR) AS text_out
+            FROM lqo
         """,
         "hash_sample": """
             SELECT 'flat' AS op, doc_id, lang, n_chars FROM documents
@@ -2229,7 +2450,55 @@ def oracle_sql() -> dict[str, str]:
             sc AS (
                 SELECT tok.doc_id, count(*) AS n,
                        sum(coalesce(v.nll, (SELECT nll FROM oov))) AS ssum
-                FROM tok LEFT JOIN v USING (tok) GROUP BY tok.doc_id)
+                FROM tok LEFT JOIN v USING (tok) GROUP BY tok.doc_id),
+            gr AS (
+                SELECT t.doc_id, nn.n,
+                       unnest(list_transform(
+                           generate_series(1, len(toks) - nn.n + 1),
+                           i -> array_to_string(
+                               list_slice(toks, i, i + nn.n - 1), ' ')))
+                           AS gram
+                FROM t CROSS JOIN (SELECT unnest(generate_series(2, 10))
+                                   AS n) nn),
+            gc AS (
+                SELECT doc_id, n, gram, count(*) AS c,
+                       max(length(gram)) AS l
+                FROM gr GROUP BY 1, 2, 3),
+            gtop AS (
+                SELECT doc_id, n, c * l AS chars
+                FROM (SELECT doc_id, n, c, l,
+                             row_number() OVER (PARTITION BY doc_id, n
+                                 ORDER BY c DESC, l DESC) AS rn
+                      FROM gc WHERE n <= 4)
+                WHERE rn = 1),
+            gdup AS (
+                SELECT doc_id, n,
+                       coalesce(sum(CASE WHEN c > 1 THEN c * l END), 0)
+                           AS chars
+                FROM gc WHERE n >= 5 GROUP BY 1, 2),
+            gch AS (SELECT * FROM gtop UNION ALL SELECT * FROM gdup),
+            gbp AS (
+                SELECT t.doc_id, nn.n,
+                       CASE WHEN length(array_to_string(t.toks, ' ')) > 0
+                            THEN coalesce(g.chars, 0) * 10000
+                                 // length(array_to_string(t.toks, ' '))
+                            ELSE 0 END AS char_bp,
+                       CASE nn.n WHEN 2 THEN 2000 WHEN 3 THEN 1800
+                            WHEN 4 THEN 1600 WHEN 5 THEN 1500
+                            WHEN 6 THEN 1400 WHEN 7 THEN 1300
+                            WHEN 8 THEN 1200 WHEN 9 THEN 1100
+                            ELSE 1000 END AS cut
+                FROM t CROSS JOIN (SELECT unnest(generate_series(2, 10))
+                                   AS n) nn
+                LEFT JOIN gch g ON g.doc_id = t.doc_id AND g.n = nn.n),
+            gp AS (
+                SELECT doc_id, n, char_bp,
+                       CAST(char_bp <= cut AS BIGINT) AS pass_rule
+                FROM gbp),
+            gv AS (
+                SELECT doc_id, CAST(min(pass_rule) = 1 AS BIGINT)
+                       AS battery
+                FROM gp GROUP BY doc_id)
             SELECT 'heur' AS op, doc_id, n_tokens,
                    round(n_stop / n1, 4) AS stopword_ratio,
                    round(n_ns / n1, 4) AS mean_token_len,
@@ -2246,6 +2515,11 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'vocab', rnk, cnt, NULL::DOUBLE, NULL::DOUBLE, nll
             FROM v
+            UNION ALL
+            SELECT 'rep', gp.doc_id, gp.n::BIGINT,
+                   gp.pass_rule::DOUBLE, gv.battery::DOUBLE,
+                   gp.char_bp::BIGINT
+            FROM gp JOIN gv USING (doc_id)
         """,
         "lang_id": r"""
             WITH s AS (

@@ -51,19 +51,45 @@ CURATE_STAGES = ("quality", "exact_dedup", "near_dup", "decontaminate",
 
 
 def quality_keep_ids(docs: DataFrame, strict: bool = False,
-                     pii_max: int | None = None) -> DataFrame:
+                     pii_max: int | None = None,
+                     ngram_battery: bool = False) -> DataFrame:
     """Stage 1 — docs passing all Gopher quality rules. Linear, pure
     column expressions (mre.textops.gopher_quality), no shuffle.
-    ``strict`` additionally requires the repetition rule (top-bigram
-    occupancy ≤ the Gopher cut) — two extra count-carrying shuffles.
-    ``pii_max`` (VERDICT r4 #4) additionally drops docs with more than
-    that many PII matches (emails + phones + IPv4 literals,
+    ``strict`` additionally requires the repetition + format battery:
+    top-bigram occupancy ≤ the Gopher cut (``gopher_repetition``), the
+    duplicate-line/paragraph fraction rules (``gopher_dup_sections``,
+    round 7) — count-carrying doc_id-keyed shuffles; docs without
+    newline structure pass the section rules trivially — and the
+    bullet/ellipsis line-format rules (``gopher_line_rules``, round 7
+    — zero-shuffle column expressions). ``ngram_battery`` (round 7,
+    opt-in on top of ``strict`` because it is the one expensive member:
+    a 9-way n-gram explode) additionally requires the FULL Table A1
+    n-gram repetition battery (``gopher_ngram_battery``: top 2/3/4-gram
+    and duplicate 5..10-gram character fractions under the published
+    cuts). ``pii_max`` (VERDICT r4 #4) additionally drops docs with
+    more than that many PII matches (emails + phones + IPv4 literals,
     mre.textops.pii_scrub) — another pure projection, no shuffle."""
     keep = gopher_quality(docs).filter(F.col("keep") == 1).select("doc_id")
     if strict:
+        from .textops import gopher_dup_sections, gopher_line_rules
         rep = (gopher_repetition(docs)
                .filter(F.col("pass_repetition") == 1).select("doc_id"))
         keep = keep.join(rep, "doc_id", "left_semi")
+        sec = (gopher_dup_sections(docs)
+               .filter(F.col("pass_dup_sections") == 1).select("doc_id"))
+        keep = keep.join(sec, "doc_id", "left_semi")
+        fmt = (gopher_line_rules(docs)
+               .filter(F.col("pass_line_rules") == 1).select("doc_id"))
+        keep = keep.join(fmt, "doc_id", "left_semi")
+    if ngram_battery:
+        from .textops import gopher_ngram_battery
+        # one row per (doc, n) — the verdict repeats, so pick one n
+        # rather than paying a distinct shuffle
+        bat = (gopher_ngram_battery(docs)
+               .filter((F.col("n") == 2)
+                       & (F.col("pass_ngram_battery") == 1))
+               .select("doc_id"))
+        keep = keep.join(bat, "doc_id", "left_semi")
     if pii_max is not None:
         ok = (pii_scrub(docs).filter(F.col("n_pii") <= pii_max)
               .select("doc_id"))
@@ -172,6 +198,7 @@ def curate_df(docs: DataFrame, evals: Optional[DataFrame] = None, *,
               contamination_min_shared: int = 1,
               train_frac: float = 0.9, strict_quality: bool = False,
               pii_max: int | None = None,
+              ngram_battery: bool = False,
               max_bucket: int | None = None,
               media: Optional[DataFrame] = None,
               media_dedup: str = "exact",
@@ -206,7 +233,8 @@ def curate_df(docs: DataFrame, evals: Optional[DataFrame] = None, *,
     released plan stays correct and merely recomputes if re-run."""
     from .textops import _register_cache
     kept = docs.join(
-        quality_keep_ids(docs, strict=strict_quality, pii_max=pii_max),
+        quality_keep_ids(docs, strict=strict_quality, pii_max=pii_max,
+                         ngram_battery=ngram_battery),
         "doc_id", "left_semi")
     kept = kept.join(exact_keeper_ids(kept), "doc_id", "left_semi")
     if media is not None:
@@ -287,6 +315,7 @@ def run_curate(spark: SparkSession, src, dst: str, lineage_dst: str,
                jaccard_threshold: float = 0.5, contamination_n: int = 5,
                contamination_min_shared: int = 1, train_frac: float = 0.9,
                strict_quality: bool = False, pii_max: int | None = None,
+               ngram_battery: bool = False,
                max_bucket: int | None = None, resume: bool = True,
                rewrite: str | None = None,
                rewrite_max_df: int = 1,
@@ -380,7 +409,8 @@ def run_curate(spark: SparkSession, src, dst: str, lineage_dst: str,
         contamination_n=contamination_n,
         contamination_min_shared=contamination_min_shared,
         train_frac=train_frac, strict_quality=strict_quality,
-        pii_max=pii_max, max_bucket=max_bucket,
+        pii_max=pii_max, ngram_battery=ngram_battery,
+        max_bucket=max_bucket,
         rewrite=rewrite, rewrite_max_df=rewrite_max_df,
         media_src=media_src, media_dedup=media_dedup,
         bpe_merges=bpe_merges, bpe_vocab_top=bpe_vocab_top,
@@ -434,7 +464,8 @@ def run_curate(spark: SparkSession, src, dst: str, lineage_dst: str,
         docs = _raw.drop("text").join(sL, "doc_id")
     s1 = _stage("quality",
                 lambda: quality_keep_ids(docs, strict=strict_quality,
-                                         pii_max=pii_max),
+                                         pii_max=pii_max,
+                                         ngram_battery=ngram_battery),
                 docs)
     d2 = docs.join(s1, "doc_id", "left_semi")
     base = docs

@@ -1082,6 +1082,217 @@ def gopher_repetition(docs: DataFrame, n: int = 2,
         (top_bp <= top_frac_bp_cut).cast("int").alias("pass_repetition"))
 
 
+_SECTION_TRIM_RE = r"^\s+|\s+$"
+
+
+def _dup_section_stats(docs: DataFrame, split_re: str,
+                       prefix: str) -> DataFrame:
+    """Within-doc duplicate-section occurrence and character fractions
+    for one section granularity (lines or paragraphs): split on
+    ``split_re``, trim each section, drop empties, and measure what
+    share of section OCCURRENCES (and of their characters) belong to a
+    section text that appears more than once in the doc. Fractions are
+    kept on the integer basis-point grid (SURVEY §7.1 rule 5).
+
+    Scale shape: explode → per-(doc, section) count keyed on
+    xxhash64(section) (the shuffle carries a fixed-width digest + the
+    section length, never the text — same device and same documented
+    64-bit collision trade-off as ``gopher_repetition``) → per-doc sums.
+    Both shuffles are doc_id(+hash)-keyed with map-side combine."""
+    secs_arr = F.filter(
+        F.transform(F.split(F.col("text"), split_re),
+                    lambda x: F.regexp_replace(x, _SECTION_TRIM_RE, "")),
+        lambda x: x != "")
+    per_sec = (docs.select("doc_id", F.explode(secs_arr).alias("sec"))
+               .select("doc_id", F.xxhash64("sec").alias("s"),
+                       F.length("sec").alias("l"))
+               .groupBy("doc_id", "s")
+               .agg(F.count("*").alias("c"), F.max("l").alias("l")))
+    dup_c = F.when(F.col("c") > 1, F.col("c")).otherwise(F.lit(0))
+    dup_ch = F.when(F.col("c") > 1,
+                    F.col("c") * F.col("l")).otherwise(F.lit(0))
+    agg = (per_sec.groupBy("doc_id")
+           .agg(F.sum("c").alias("n"),
+                F.sum(F.col("c") * F.col("l")).alias("nch"),
+                F.sum(dup_c).alias("dup"),
+                F.sum(dup_ch).alias("dupch")))
+    return (docs.select("doc_id").join(agg, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce("n", F.lit(0)).alias(f"n_{prefix}s"),
+                F.expr("coalesce(dup * 10000 div n, 0)")
+                .alias(f"dup_{prefix}_bp"),
+                F.expr("coalesce(dupch * 10000 div nch, 0)")
+                .alias(f"dup_{prefix}_char_bp")))
+
+
+def gopher_dup_sections(docs: DataFrame, line_bp_cut: int = 3000,
+                        char_bp_cut: int = 2000) -> DataFrame:
+    """Gopher duplicate-line / duplicate-paragraph repetition rules
+    (Rae et al. 2021, Table A1 — the half of the Gopher repetition
+    battery ``gopher_repetition``'s top-n-gram occupancy does not
+    cover): the fraction of line (paragraph) occurrences that belong to
+    a line (paragraph) appearing more than once WITHIN the doc, plus
+    the character-weighted variants; ``pass_dup_sections`` applies the
+    published cuts (duplicate fraction ≤ 0.30, duplicate character
+    fraction ≤ 0.20, both granularities — here 3000/2000 basis points).
+    Lines split on ``\\n``, paragraphs on ``\\n{2,}``; sections are
+    whitespace-trimmed and empties dropped, so docs without newline
+    structure have one line = one paragraph and trivially pass.
+
+    Four doc_id-keyed count shuffles total (two granularities × two
+    phases), each map-side combinable; section text never shuffles."""
+    lines = _dup_section_stats(docs, r"\n", "line")
+    paras = _dup_section_stats(docs, r"\n{2,}", "para")
+    out = lines.join(paras, "doc_id")
+    ok = ((F.col("dup_line_bp") <= line_bp_cut)
+          & (F.col("dup_line_char_bp") <= char_bp_cut)
+          & (F.col("dup_para_bp") <= line_bp_cut)
+          & (F.col("dup_para_char_bp") <= char_bp_cut))
+    return out.withColumn("pass_dup_sections", ok.cast("int"))
+
+
+# Gopher Table A1 n-gram repetition cuts in basis points: for the TOP
+# n-gram (n=2,3,4) the max char-fraction any single n-gram's occurrences
+# may occupy; for DUPLICATE n-grams (n=5..10) the max char-fraction of
+# occurrences belonging to any n-gram seen more than once in the doc.
+GOPHER_TOP_NGRAM_BP = {2: 2000, 3: 1800, 4: 1600}
+GOPHER_DUP_NGRAM_BP = {5: 1500, 6: 1400, 7: 1300, 8: 1200, 9: 1100,
+                       10: 1000}
+
+
+def gopher_ngram_battery(docs: DataFrame) -> DataFrame:
+    """The full Gopher n-gram repetition battery (Rae et al. 2021,
+    Table A1): for n=2,3,4 the character fraction occupied by the single
+    most frequent word n-gram's occurrences, for n=5..10 the character
+    fraction of occurrences belonging to ANY n-gram appearing more than
+    once within the doc — nine rules, each with its published cut
+    (``GOPHER_TOP_NGRAM_BP`` / ``GOPHER_DUP_NGRAM_BP``). Occurrence
+    counting is the order-independent variant (every occurrence of a
+    duplicated n-gram contributes its characters; overlapping coverage
+    is NOT positionally de-duplicated — the greedy left-to-right scan
+    some implementations use is sequential and engine-specific, this
+    definition is exactly replayable in any SQL engine). Characters of
+    an n-gram = length of the space-joined gram; the per-doc basis is
+    the space-joined token string, so bp values are exact integers on
+    the basis-point grid (SURVEY §7.1 rule 5).
+
+    Output: one row per (doc_id, n) — ``n``, ``char_bp``,
+    ``pass_rule`` — plus the battery verdict repeated per row
+    (``pass_ngram_battery``: all nine rules pass). Docs shorter than
+    n+? tokens have no n-grams at that n → char_bp 0, rule passes.
+
+    Scale shape: ONE corpus scan builds all nine gram streams in a
+    single generator (explode of a per-doc flattened array whose
+    entries are (n, xxhash64(gram), gram_len) — the shuffle carries
+    fixed-width digests, never gram text, the same documented 64-bit
+    collision trade-off as ``gopher_repetition``); then two
+    (doc_id, n)-keyed count shuffles with map-side combine and one
+    broadcast-size-free join back to nothing — no corpus self-join, no
+    window over the corpus."""
+    toks = tokens_col()
+    sz = F.size(toks)
+    basis = F.length(F.array_join(toks, " "))
+
+    def _grams_for(n):
+        gram = lambda i: F.array_join(F.slice(toks, i, n), " ")
+        return F.when(
+            sz >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(sz - n + 1, F.lit(1))),
+                lambda i: F.struct(
+                    F.lit(n).alias("n"),
+                    F.xxhash64(gram(i)).alias("h"),
+                    F.length(gram(i)).alias("l")))
+        ).otherwise(F.array().cast(
+            "array<struct<n:int,h:bigint,l:int>>"))
+
+    grams = F.flatten(F.array(*[_grams_for(n) for n in range(2, 11)]))
+    per_gram = (docs.select("doc_id", F.explode(grams).alias("g"))
+                .select("doc_id", "g.n", "g.h", "g.l")
+                .groupBy("doc_id", "n", "h")
+                .agg(F.count("*").alias("c"), F.max("l").alias("l")))
+    top_chars = F.max(F.when(
+        F.col("n") <= 4, F.struct(F.col("c"), F.col("l"))))
+    dup_chars = F.sum(F.when(
+        (F.col("n") >= 5) & (F.col("c") > 1),
+        F.col("c") * F.col("l")).otherwise(F.lit(0)))
+    per_n = (per_gram.groupBy("doc_id", "n")
+             .agg(top_chars.alias("top"), dup_chars.alias("dupch")))
+    # dense (doc_id, n) frame — every doc gets all nine rules, including
+    # docs too short to have any n-gram at a given n (char_bp 0, pass)
+    dense = docs.select(
+        "doc_id", basis.alias("basis"),
+        F.explode(F.sequence(F.lit(2), F.lit(10))).alias("n")
+    ).withColumn("n", F.col("n").cast("int"))
+    joined = dense.join(per_n, ["doc_id", "n"], "left")
+    chars = F.when(F.col("n") <= 4,
+                   F.coalesce(F.col("top.c") * F.col("top.l"),
+                              F.lit(0))).otherwise(
+                       F.coalesce(F.col("dupch"), F.lit(0)))
+    cut = F.element_at(
+        F.create_map(*[F.lit(x) for n in range(2, 11)
+                       for x in (n, {**GOPHER_TOP_NGRAM_BP,
+                                     **GOPHER_DUP_NGRAM_BP}[n])]),
+        F.col("n"))
+    scored = joined.select(
+        "doc_id", "n", "basis", chars.alias("ch"), cut.alias("cut"))
+    # integer basis-point division (div) — exact on both engines
+    scored = scored.select(
+        "doc_id", "n",
+        F.when(F.col("basis") > 0, F.expr("ch * 10000 div basis"))
+        .otherwise(F.lit(0)).cast("long").alias("char_bp"),
+        "cut")
+    scored = scored.withColumn(
+        "pass_rule", (F.col("char_bp") <= F.col("cut")).cast("int"))
+    verdict = (scored.groupBy("doc_id")
+               .agg((F.min("pass_rule") == 1).cast("int")
+                    .alias("pass_ngram_battery")))
+    return scored.join(verdict, "doc_id").drop("cut")
+
+
+# Unicode bullets match as a bare leading character; ASCII '-'/'*' only
+# count as bullets with a following space ("- item"), so negative
+# numbers and emphasis markers don't trip the rule.
+_BULLET_CHARS = ("•", "‣", "▪", "◦", "●", "·")
+
+
+def gopher_line_rules(docs: DataFrame, bullet_bp_cut: int = 9000,
+                      ellipsis_bp_cut: int = 3000) -> DataFrame:
+    """Gopher line-format rules (Rae et al. 2021, Table A1): drop docs
+    where more than 90% of lines start with a bullet point or more than
+    30% end with an ellipsis. Lines are ``\\n``-split, trimmed, empties
+    dropped (the same section semantics as ``gopher_dup_sections``);
+    bullets are the unicode bullet characters bare or ASCII ``- ``/
+    ``* ``; an ellipsis ending is ``...`` or the single-char ``…``.
+    Fractions land on the integer basis-point grid; docs without
+    newline structure have one line and the rules read that line as-is.
+
+    Pure higher-order array column expressions — ZERO shuffle, zero
+    UDF; rides any corpus scan at any scale."""
+    lines = F.filter(
+        F.transform(F.split(F.col("text"), r"\n"),
+                    lambda x: F.regexp_replace(x, _SECTION_TRIM_RE, "")),
+        lambda x: x != "")
+    is_bullet = lambda x: (F.substring(x, 1, 1).isin(*_BULLET_CHARS)
+                           | x.startswith("- ") | x.startswith("* "))
+    is_ellipsis = lambda x: x.endswith("...") | x.endswith("…")
+    out = docs.select(
+        "doc_id",
+        F.size(lines).alias("n_lines"),
+        F.size(F.filter(lines, is_bullet)).alias("nb"),
+        F.size(F.filter(lines, is_ellipsis)).alias("ne"))
+    out = out.select(
+        "doc_id", "n_lines",
+        F.when(F.col("n_lines") > 0, F.expr("nb * 10000 div n_lines"))
+        .otherwise(F.lit(0)).cast("long").alias("bullet_bp"),
+        F.when(F.col("n_lines") > 0, F.expr("ne * 10000 div n_lines"))
+        .otherwise(F.lit(0)).cast("long").alias("ellipsis_bp"))
+    ok = ((F.col("bullet_bp") <= bullet_bp_cut)
+          & (F.col("ellipsis_bp") <= ellipsis_bp_cut))
+    return out.withColumn("pass_line_rules", ok.cast("int"))
+
+
 def _xorshift_rows(n_rows: int, dim: int, state: int) -> list[list[float]]:
     """Deterministic pseudo-random vectors in [-1, 1]^dim (xorshift64
     stream; no RNG object, so every engine/run regenerates identically)."""
@@ -1576,7 +1787,8 @@ __all__ = [
     "minhash_bands", "EST_JACCARD_SQL",
     "minhash_near_dups", "simhash", "simhash_near_dups", "ann_brute_force",
     "ann_lsh", "ivf_ann", "cosine_dup_pairs", "gopher_quality",
-    "gopher_repetition",
+    "gopher_repetition", "gopher_dup_sections", "gopher_ngram_battery",
+    "gopher_line_rules", "GOPHER_TOP_NGRAM_BP", "GOPHER_DUP_NGRAM_BP",
     "winnow_fingerprints", "winnow_exploded",
     "winnow_dup_pairs", "LANG_MARKERS",
     "MERSENNE31",

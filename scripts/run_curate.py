@@ -45,8 +45,15 @@ def main() -> None:
     ap.add_argument("--min-shared", type=int, default=1)
     ap.add_argument("--train-frac", type=float, default=0.9)
     ap.add_argument("--strict-quality", action="store_true",
-                    help="also require the Gopher repetition rule "
-                         "(top-bigram occupancy) in the quality stage")
+                    help="also require the Gopher repetition + format "
+                         "rules (top-bigram occupancy, duplicate line/"
+                         "paragraph fractions, bullet/ellipsis lines) "
+                         "in the quality stage")
+    ap.add_argument("--ngram-battery", action="store_true",
+                    help="also require the full Gopher Table A1 n-gram "
+                         "repetition battery (top 2/3/4-gram and "
+                         "duplicate 5..10-gram char fractions) — the "
+                         "expensive member, a 9-way n-gram explode")
     ap.add_argument("--pii-max", type=int, default=None,
                     help="drop docs with more than this many PII matches "
                          "(emails+phones+IPv4; default: rule off)")
@@ -104,6 +111,7 @@ def main() -> None:
                    contamination_min_shared=args.min_shared,
                    train_frac=args.train_frac,
                    strict_quality=args.strict_quality,
+                   ngram_battery=args.ngram_battery,
                    pii_max=args.pii_max,
                    max_bucket=args.max_bucket,
                    rewrite=args.rewrite,

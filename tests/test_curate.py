@@ -89,6 +89,29 @@ def test_curate_df_strict_quality_applies_repetition(spark, docs, evals):
     assert strict <= loose
 
 
+def test_curate_df_ngram_battery_drops_five_gram_looper(spark, docs,
+                                                        evals):
+    """ngram_battery (round 7, the full Gopher Table A1 n-gram rules)
+    drops a doc whose duplicate 5-gram character fraction exceeds the
+    0.15 cut but whose top-bigram occupancy passes the strict rule —
+    the case only the battery catches."""
+    # a long unique prefix keeps every top-2/3/4-gram fraction low; the
+    # tail loops one 5-gram enough to push the dup-5-gram chars over 15%
+    uniq = " ".join(f"w{i:03d} common filler line {i}" for i in range(20))
+    looped = (uniq + " the deal to have with that be of and real "
+              + "alpha bravo charlie delta echo " * 8)
+    docs2 = docs.unionByName(spark.createDataFrame(
+        [(210, looped, "en", "srcC", 0)], docs.schema))
+    base = {r["doc_id"] for r in
+            curate_df(docs2, evals, strict_quality=True).collect()}
+    bat = {r["doc_id"] for r in
+           curate_df(docs2, evals, strict_quality=True,
+                     ngram_battery=True).collect()}
+    assert 210 in base
+    assert 210 not in bat
+    assert bat <= base
+
+
 def test_curate_df_no_evals_skips_decontamination(docs):
     ids = {r["doc_id"] for r in curate_df(docs, None).collect()}
     assert 130 in ids  # nothing to decontaminate against

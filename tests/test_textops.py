@@ -655,3 +655,88 @@ def test_lm_score_plan_is_pure_projection(spark):
             ._jdf.queryExecution().executedPlan().toString())
     assert "Exchange" not in plan, plan
     assert "EvalPython" not in plan, plan
+
+
+def test_gopher_dup_sections(spark):
+    """Gopher duplicate-line/paragraph rules (round 7): hand pages with
+    known within-doc duplicate structure, replayed in pure Python —
+    occurrence and character-weighted fractions in basis points, trim +
+    empty-drop semantics, flat docs trivially pass."""
+    from mre.textops import gopher_dup_sections
+    p1 = "alpha beta\ngamma delta"                     # no dups
+    # 'dup line' ×2 of 4 lines (5000 bp); chars: dup 16 of 36
+    p2 = "dup line\nunique one\ndup line\nunique two"
+    # two identical paragraphs (2 lines each) + one distinct
+    p3 = "para a\npara b\n\nonly one\n\npara a\npara b"
+    p4 = "flat single line no newlines at all"
+    p5 = "  \n\n  "                                    # empties only
+    docs = spark.createDataFrame(
+        [(1, p1), (2, p2), (3, p3), (4, p4), (5, p5)],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict()
+           for r in gopher_dup_sections(docs).collect()}
+    assert got[1]["n_lines"] == 2 and got[1]["dup_line_bp"] == 0
+    assert got[1]["n_paras"] == 1 and got[1]["pass_dup_sections"] == 1
+    assert got[2]["n_lines"] == 4
+    assert got[2]["dup_line_bp"] == 5000
+    assert got[2]["dup_line_char_bp"] == 16 * 10000 // 36
+    assert got[2]["dup_para_bp"] == 0       # one paragraph, no dup
+    assert got[2]["pass_dup_sections"] == 0  # fails both line cuts
+    # p3: lines 'para a','para b' each ×2 of 5 → dup 4/5 = 8000 bp;
+    # paragraphs: 'para a\npara b' ×2 of 3 → 6666 bp
+    assert got[3]["n_lines"] == 5 and got[3]["dup_line_bp"] == 8000
+    assert got[3]["n_paras"] == 3 and got[3]["dup_para_bp"] == 6666
+    assert got[3]["pass_dup_sections"] == 0
+    assert got[4]["n_lines"] == 1 and got[4]["n_paras"] == 1
+    assert got[4]["pass_dup_sections"] == 1
+    # whitespace-only sections are dropped entirely
+    assert got[5]["n_lines"] == 0 and got[5]["n_paras"] == 0
+    assert got[5]["dup_line_bp"] == 0 and got[5]["pass_dup_sections"] == 1
+
+
+def test_gopher_ngram_battery(spark):
+    """Full Gopher Table A1 n-gram battery (round 7): hand pages with
+    known top-gram and duplicate-gram structure, char fractions replayed
+    by hand on the space-joined-token basis; dense (doc, n) output."""
+    from mre.textops import gopher_ngram_battery
+    p1 = "the cat sat on the mat and then the cat sat again"
+    p2 = "a b c d e a b c d e a b c d e"
+    docs = spark.createDataFrame(
+        [(1, p1), (2, p2), (3, "x"), (4, "")],
+        "doc_id long, text string")
+    rows = gopher_ngram_battery(docs).collect()
+    assert len(rows) == 4 * 9  # dense: every doc x n=2..10
+    got = {(r["doc_id"], r["n"]): r.asDict() for r in rows}
+    # p1 top 2-gram 'the cat' x2 (7 chars), basis len(p1)=49
+    assert got[(1, 2)]["char_bp"] == 2 * 7 * 10000 // 49
+    # p1 top 3-gram 'the cat sat' x2 (11 chars)
+    assert got[(1, 3)]["char_bp"] == 2 * 11 * 10000 // 49
+    # p1 has no repeated 4-gram: top still counts its single occurrence
+    assert got[(1, 4)]["char_bp"] == 17 * 10000 // 49
+    # p2 dup 5-grams: 'a b c d e' x3 + four rotations x2, all 9 chars;
+    # occurrence-weighted chars = 3*9 + 4*2*9 = 99 of basis 29
+    assert got[(2, 5)]["char_bp"] == 99 * 10000 // 29
+    assert got[(2, 5)]["pass_rule"] == 0
+    assert got[(2, 5)]["pass_ngram_battery"] == 0
+    # docs too short for any n-gram: zero, rule passes
+    assert got[(3, 7)]["char_bp"] == 0 and got[(3, 7)]["pass_rule"] == 1
+    assert got[(4, 10)]["char_bp"] == 0
+    assert got[(3, 2)]["pass_ngram_battery"] == 1
+
+
+def test_gopher_line_rules(spark):
+    """Gopher line-format rules (round 7): bullet-start and
+    ellipsis-end fractions on the basis-point grid; ASCII -/* need a
+    following space, unicode bullets match bare; empty docs pass."""
+    from mre.textops import gopher_line_rules
+    docs = spark.createDataFrame([
+        (1, "• one\n• two\n- three\nplain"),
+        (2, "read more...\nok\nfine…\nx\ny"),
+        (3, "-5 degrees\n*emphasis*"),
+        (4, "")], "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict()
+           for r in gopher_line_rules(docs).collect()}
+    assert got[1]["bullet_bp"] == 7500 and got[1]["pass_line_rules"] == 1
+    assert got[2]["ellipsis_bp"] == 4000 and got[2]["pass_line_rules"] == 0
+    assert got[3]["bullet_bp"] == 0  # -5 / *emphasis* are not bullets
+    assert got[4]["n_lines"] == 0 and got[4]["pass_line_rules"] == 1
