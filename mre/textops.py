@@ -1245,10 +1245,13 @@ def gopher_ngram_battery(docs: DataFrame) -> DataFrame:
         "cut")
     scored = scored.withColumn(
         "pass_rule", (F.col("char_bp") <= F.col("cut")).cast("int"))
-    verdict = (scored.groupBy("doc_id")
-               .agg((F.min("pass_rule") == 1).cast("int")
-                    .alias("pass_ngram_battery")))
-    return scored.join(verdict, "doc_id").drop("cut")
+    from pyspark.sql import Window
+    # per-doc verdict as a window min over the nine rows — one Exchange
+    # instead of a groupBy + join-back (two more)
+    return scored.withColumn(
+        "pass_ngram_battery",
+        F.min("pass_rule").over(Window.partitionBy("doc_id"))
+    ).drop("cut")
 
 
 # Unicode bullets match as a bare leading character; ASCII '-'/'*' only
