@@ -848,8 +848,14 @@ def q_url_dedup(spark, sf_dir):
       ``domain_cap(n=5)`` over one clean url per doc; 20 synthetic
       domains × >5 docs each, keep the 5 lowest doc_ids per domain.
       url_norm=the kept url, n_variants=domain_rank (the full
-      assignment is value-checked), sample_raw=the extracted domain."""
-    from mre.textops import domain_cap
+      assignment is value-checked), sample_raw=the extracted domain.
+    * op='uf' — url_filter (round 7, the RefinedWeb-family URL gate)
+      over planted spam/digit-host/clean variants of the clean url
+      (doc_id%23: digit-heavy host; %13: hard marker; %18: three soft
+      hits; %9: two soft hits — kept): url_norm=the url,
+      n_variants=spam_score*1000000 + host_digit_bp (both metrics in
+      one packed long), sample_raw=keep_url."""
+    from mre.textops import domain_cap, url_filter
     _prep(spark)
     d = _t(spark, sf_dir, "documents").select("doc_id")
     sid = (F.col("doc_id") % 20).cast("string")
@@ -875,7 +881,25 @@ def q_url_dedup(spark, sf_dir):
                    F.col("url").alias("url_norm"),
                    F.col("domain_rank").cast("long").alias("n_variants"),
                    F.col("domain").alias("sample_raw")))
-    return nrm.unionAll(cap)
+    doc = F.col("doc_id")
+    uf_url = (
+        F.when(doc % 23 == 0,
+               F.concat(F.lit("https://h"),
+                        (doc * 9973).cast("string"),
+                        F.lit("9999999.com/p")))
+        .when(doc % 13 == 0, F.concat(clean, F.lit("-xxx")))
+        .when(doc % 18 == 0,
+              F.concat(clean, F.lit("/casino-casino-casino")))
+        .when(doc % 9 == 0,
+              F.concat(clean, F.lit("/casino-bonus-code")))
+        .otherwise(clean))
+    uf = (url_filter(d.select("doc_id", uf_url.alias("url")))
+          .select(F.lit("uf").alias("op"),
+                  F.col("url").alias("url_norm"),
+                  (F.col("spam_score") * 1000000
+                   + F.col("host_digit_bp")).alias("n_variants"),
+                  F.col("keep_url").cast("string").alias("sample_raw")))
+    return nrm.unionAll(cap).unionAll(uf)
 
 
 def q_hash_sample(spark, sf_dir):
@@ -883,8 +907,13 @@ def q_hash_sample(spark, sf_dir):
     (registry-window rule): op='flat' is the ~5% md5-bucket sample;
     op='strat' applies per-language mixture quotas (en 5%, fr 60%,
     everything else 25%) via the same engine-stable bucket — the
-    mixture-weighting step of corpus assembly, value-checked per row."""
-    from mre.textops import hash_sample, stratified_sample
+    mixture-weighting step of corpus assembly, value-checked per row.
+    op='budget' (round 7) — budget_sample with a flat 700-token
+    per-source cap: docs taken in md5-hash order per source while the
+    running whitespace-token total stays ≤ the budget; lang carries
+    the source, n_chars the running total INCLUDING the doc (so the
+    exact hash ordering and the inclusive cut are value-checked)."""
+    from mre.textops import budget_sample, hash_sample, stratified_sample
     _prep(spark)
     docs = _t(spark, sf_dir, "documents")
     flat = hash_sample(docs, "text", 0.05) \
@@ -893,7 +922,11 @@ def q_hash_sample(spark, sf_dir):
                               {"en": 0.05, "fr": 0.6},
                               default_rate=0.25) \
         .select(F.lit("strat").alias("op"), "doc_id", "lang", "n_chars")
-    return flat.unionAll(strat)
+    budg = budget_sample(docs, 700).select(
+        F.lit("budget").alias("op"), "doc_id",
+        F.col("source").alias("lang"),
+        F.col("cum_tokens").alias("n_chars"))
+    return flat.unionAll(strat).unionAll(budg)
 
 
 def q_hash_split(spark, sf_dir):
@@ -1842,7 +1875,59 @@ def oracle_sql() -> dict[str, str]:
                 SELECT url, domain,
                        row_number() OVER (PARTITION BY domain
                                           ORDER BY doc_id) AS rk
-                FROM capd)
+                FROM capd),
+            ufu AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 23 = 0
+                            THEN 'https://h' || (doc_id * 9973)
+                                 || '9999999.com/p'
+                            WHEN doc_id % 13 = 0
+                            THEN 'https://example-' || (doc_id % 20)
+                                 || '.com/articles/' || doc_id || '-xxx'
+                            WHEN doc_id % 18 = 0
+                            THEN 'https://example-' || (doc_id % 20)
+                                 || '.com/articles/' || doc_id
+                                 || '/casino-casino-casino'
+                            WHEN doc_id % 9 = 0
+                            THEN 'https://example-' || (doc_id % 20)
+                                 || '.com/articles/' || doc_id
+                                 || '/casino-bonus-code'
+                            ELSE 'https://example-' || (doc_id % 20)
+                                 || '.com/articles/' || doc_id
+                       END AS url
+                FROM documents),
+            ufs AS (
+                SELECT url,
+                       (len(regexp_extract_all(lower(url), 'porn'))
+                        + len(regexp_extract_all(lower(url), 'xxx'))
+                        + len(regexp_extract_all(lower(url), 'viagra'))
+                        + len(regexp_extract_all(lower(url), 'warez')))
+                           * 100
+                       + (len(regexp_extract_all(lower(url), 'casino'))
+                          + len(regexp_extract_all(lower(url),
+                                                   'lottery'))
+                          + len(regexp_extract_all(lower(url),
+                                                   'betting'))
+                          + len(regexp_extract_all(lower(url), 'pills'))
+                          + len(regexp_extract_all(lower(url),
+                                                   'torrent'))
+                          + len(regexp_extract_all(lower(url),
+                                                   'bonus-code'))
+                          + len(regexp_extract_all(lower(url),
+                                                   'free-money')))
+                           * 40 AS score,
+                       regexp_extract(lower(url),
+                           '^[a-z][a-z0-9+.-]*://(?:www\.)?([^/:?#]+)',
+                           1) AS host
+                FROM ufu),
+            ufo AS (
+                SELECT url, score,
+                       CASE WHEN length(host) > 0
+                            THEN length(regexp_replace(host, '[^0-9]',
+                                                       '', 'g'))
+                                 * 10000 // length(host)
+                            ELSE 0 END AS hbp
+                FROM ufs)
             SELECT 'norm' AS op, url_norm, count(*) AS n_variants,
                    min(url) AS sample_raw
             FROM n GROUP BY url_norm
@@ -1851,6 +1936,13 @@ def oracle_sql() -> dict[str, str]:
                    CAST(rk AS BIGINT) AS n_variants,
                    domain AS sample_raw
             FROM capr WHERE rk <= 5
+            UNION ALL
+            SELECT 'uf' AS op, url AS url_norm,
+                   CAST(score * 1000000 + hbp AS BIGINT) AS n_variants,
+                   CAST(CAST(score < 100 AND hbp <= 5000
+                             AND length(url) <= 2048 AS INTEGER)
+                        AS VARCHAR) AS sample_raw
+            FROM ufo
         """,
         "profile_docs": " UNION ALL ".join(
             f"""
@@ -2189,6 +2281,17 @@ def oracle_sql() -> dict[str, str]:
                         WHEN 'en' THEN CAST(FLOOR(0.05 * 65536) AS INTEGER)
                         WHEN 'fr' THEN CAST(FLOOR(0.6 * 65536) AS INTEGER)
                         ELSE CAST(FLOOR(0.25 * 65536) AS INTEGER) END
+            UNION ALL
+            SELECT 'budget' AS op, doc_id, source AS lang,
+                   CAST(cum AS BIGINT) AS n_chars
+            FROM (SELECT doc_id, source,
+                         sum(len(regexp_split_to_array(
+                             lower(trim(text)), '\\s+')))
+                             OVER (PARTITION BY source
+                                   ORDER BY md5(text), doc_id
+                                   ROWS UNBOUNDED PRECEDING) AS cum
+                  FROM documents)
+            WHERE cum <= 700
         """,
         "hash_split": """
             SELECT CASE WHEN CAST(('0x' || substring(md5(text), 1, 4))

@@ -1774,9 +1774,120 @@ def domain_cap(df: DataFrame, n: int, *, url_col: str = "url",
             .filter(F.col("domain_rank") <= n))
 
 
+# URL spam markers in two tiers (the RefinedWeb-family soft-scoring
+# device, deterministic simplification): one hard hit — or enough soft
+# hits to reach the cutoff — drops the URL. Occurrences count, not
+# presence, so 'casino-casino-casino' scores 3x.
+URL_SPAM_HARD = ("porn", "xxx", "viagra", "warez")
+URL_SPAM_SOFT = ("casino", "lottery", "betting", "pills", "torrent",
+                 "bonus-code", "free-money")
+URL_SPAM_CUTOFF = 100
+URL_HOST_DIGIT_BP_CUT = 5000
+URL_MAX_LEN = 2048
+
+
+def url_filter(df: DataFrame, *, url_col: str = "url",
+               cutoff: int = URL_SPAM_CUTOFF,
+               host_digit_bp_cut: int = URL_HOST_DIGIT_BP_CUT,
+               max_len: int = URL_MAX_LEN) -> DataFrame:
+    """URL-level quality filter (RefinedWeb-family, Penedo et al. 2023
+    §3.1: URL scoring against a word blocklist plus structural rules —
+    the first gate a crawl pipeline applies, before any content is
+    fetched or parsed). Three deterministic rules over the lowercased
+    URL:
+
+    * ``spam_score`` — occurrence-weighted blocklist score: hard
+      markers (``URL_SPAM_HARD``) weigh 100, soft markers
+      (``URL_SPAM_SOFT``) 40; drop at ``cutoff`` (default 100: one
+      hard hit, or three soft hits).
+    * ``host_digit_bp`` — digit share of the hostname in basis points
+      (throwaway autogenerated hosts are digit-heavy); drop above
+      ``host_digit_bp_cut``.
+    * URL length > ``max_len`` drops (tracking-blob URLs).
+
+    Adds ``spam_score``, ``host_digit_bp``, ``keep_url`` to the input
+    rows. Pure column expressions (regexp counts) — ZERO shuffle, zero
+    UDF, rides any scan; exactly replayable in SQL."""
+    u = F.lower(F.col(url_col))
+    score = F.lit(0)
+    for m in URL_SPAM_HARD:
+        score = score + F.size(F.regexp_extract_all(u, F.lit(m), 0)) * 100
+    for m in URL_SPAM_SOFT:
+        score = score + F.size(F.regexp_extract_all(u, F.lit(m), 0)) * 40
+    host = F.regexp_extract(u, r"^[a-z][a-z0-9+.-]*://(?:www\.)?"
+                               r"([^/:?#]+)", 1)
+    n_dig = F.length(F.regexp_replace(host, r"[^0-9]", ""))
+    out = (df.withColumn("spam_score", score.cast("long"))
+           .withColumn("_h", host).withColumn("_hd", n_dig))
+    out = (out.withColumn(
+        "host_digit_bp",
+        F.when(F.length("_h") > 0, F.expr("_hd * 10000 div length(_h)"))
+        .otherwise(F.lit(0)).cast("long")).drop("_h", "_hd"))
+    keep = ((F.col("spam_score") < cutoff)
+            & (F.col("host_digit_bp") <= host_digit_bp_cut)
+            & (F.length(F.col(url_col)) <= max_len))
+    return out.withColumn("keep_url", keep.cast("int"))
+
+
+def budget_sample(df: DataFrame, token_budget: int, *,
+                  weights_bp: dict[str, int] | None = None,
+                  source_col: str = "source",
+                  text_col: str = "text") -> DataFrame:
+    """Token-budget mixture sampler — the corpus-assembly step that
+    fills a training-token budget from each source: docs are taken in
+    deterministic content-hash order (md5 of ``text_col``, doc_id
+    tiebreak — a stable unbiased shuffle both engines replay) and a
+    source's docs are kept while its running whitespace-token total
+    stays ≤ its budget. ``weights_bp`` maps source → mixture share in
+    basis points (budget_src = token_budget·bp // 10000); sources not
+    in the map — or all sources when None — get ``token_budget``
+    whole, i.e. a flat per-source cap. Adds ``tok_cnt`` and
+    ``cum_tokens`` (running total INCLUDING the doc) to the kept rows.
+
+    Scale shape (the reason this is not one window): a prefix sum
+    ordered per source would sort a 10^9-doc source in ONE task. The
+    hash's first hex digit gives 16 ordered buckets, so phase 1 runs
+    the cumsum per (source, bucket) — 16-way parallel per source —
+    phase 2 turns the per-bucket totals (16 rows/source, computed from
+    phase 1's own partitioning with NO extra Exchange) into bucket
+    offsets with a window over that tiny frame, and a broadcast join
+    adds offset + local cum. Exact: (bucket, rest-of-hash) ordering ==
+    global hash ordering, so the result is identical to the one-window
+    plan at any scale."""
+    from pyspark.sql import Window
+    h = F.md5(F.col(text_col))
+    base = df.withColumn("_h", h).withColumn(
+        "_b", F.substring(F.col("_h"), 1, 1)).withColumn(
+        "tok_cnt", F.size(tokens_col(text_col)).cast("long"))
+    w1 = Window.partitionBy(source_col, "_b").orderBy("_h", "doc_id")
+    local = base.withColumn("_lc", F.sum("tok_cnt").over(w1))
+    # bucket totals ride phase 1's (source, bucket) partitioning
+    tot = (local.groupBy(source_col, "_b")
+           .agg(F.max("_lc").alias("_t")))
+    w2 = (Window.partitionBy(source_col).orderBy("_b")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    off = tot.select(source_col, "_b",
+                     F.coalesce(F.sum("_t").over(w2),
+                                F.lit(0)).alias("_off"))
+    out = local.join(F.broadcast(off), [source_col, "_b"])
+    if weights_bp:
+        bmap = F.create_map(*[F.lit(x) for s, bp in
+                              sorted(weights_bp.items())
+                              for x in (s, token_budget * bp // 10000)])
+        budget = F.coalesce(F.element_at(bmap, F.col(source_col)),
+                            F.lit(token_budget)).cast("long")
+    else:
+        budget = F.lit(token_budget).cast("long")
+    cum = (F.col("_off") + F.col("_lc")).cast("long")
+    return (out.withColumn("cum_tokens", cum)
+            .filter(F.col("cum_tokens") <= budget)
+            .drop("_h", "_b", "_lc", "_off"))
+
+
 __all__ = [
     "release_caches", "cache_mark",
-    "c4_line_clean", "domain_cap",
+    "c4_line_clean", "domain_cap", "url_filter", "budget_sample",
+    "URL_SPAM_HARD", "URL_SPAM_SOFT",
     "C4_TERMINAL_RE", "C4_MIN_WORDS", "C4_MIN_LINES",
     "table_profile", "hash_bucket_16", "hash_sample", "hash_split",
     "stratified_sample",

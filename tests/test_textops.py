@@ -740,3 +740,67 @@ def test_gopher_line_rules(spark):
     assert got[2]["ellipsis_bp"] == 4000 and got[2]["pass_line_rules"] == 0
     assert got[3]["bullet_bp"] == 0  # -5 / *emphasis* are not bullets
     assert got[4]["n_lines"] == 0 and got[4]["pass_line_rules"] == 1
+
+
+def test_url_filter(spark):
+    """RefinedWeb-family URL filter (round 7): occurrence-weighted
+    blocklist score (hard=100/soft=40), hostname digit fraction, and
+    length cut — hand URLs replayed by hand."""
+    from mre.textops import url_filter
+    docs = spark.createDataFrame([
+        (1, "https://example.com/articles/cooking"),
+        (2, "https://example.com/casino-night-charity"),      # 1 soft
+        (3, "https://best-casino.com/casino/casino-bonus-code"),  # 3+1 soft
+        (4, "https://example.com/xxx-content"),               # 1 hard
+        (5, "http://host12345678901.com/page"),               # digit host
+        (6, "https://example.com/" + "a" * 2100),             # too long
+        (7, "not a url at all"),
+    ], "doc_id long, url string")
+    got = {r["doc_id"]: r.asDict() for r in url_filter(docs).collect()}
+    assert got[1]["spam_score"] == 0 and got[1]["keep_url"] == 1
+    assert got[2]["spam_score"] == 40 and got[2]["keep_url"] == 1
+    # 'casino' x3 + 'bonus-code' x1 = 160
+    assert got[3]["spam_score"] == 160 and got[3]["keep_url"] == 0
+    assert got[4]["spam_score"] == 100 and got[4]["keep_url"] == 0
+    # host 'host12345678901.com': 11 digits of 19 chars
+    assert got[5]["host_digit_bp"] == 11 * 10000 // 19
+    assert got[5]["keep_url"] == 0
+    assert got[6]["keep_url"] == 0
+    # no scheme -> empty host -> digit rule vacuous
+    assert got[7]["host_digit_bp"] == 0 and got[7]["keep_url"] == 1
+
+
+def test_budget_sample(spark):
+    """Token-budget mixture sampler (round 7): the two-phase bucketed
+    prefix sum must equal a plain per-source hash-order cumsum replayed
+    in Python, budgets honored inclusively, weights_bp splitting the
+    budget per source."""
+    import hashlib
+    from mre.textops import budget_sample
+    rows = [(i, f"doc {i} " + "tok " * (i % 7), "A" if i % 2 else "B")
+            for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, "
+                                       "source string")
+    # python replay: per source, order by (md5, doc_id), keep while
+    # running whitespace-token total <= budget
+    def replay(budget_by_src):
+        kept = {}
+        by_src = {}
+        for i, t, s in rows:
+            by_src.setdefault(s, []).append(
+                (hashlib.md5(t.encode()).hexdigest(), i,
+                 len(t.strip().split())))
+        for s, lst in by_src.items():
+            cum = 0
+            for h, i, n in sorted(lst):
+                cum += n
+                if cum <= budget_by_src[s]:
+                    kept[i] = cum
+        return kept
+    got = {r["doc_id"]: r["cum_tokens"]
+           for r in budget_sample(docs, 30).collect()}
+    assert got == replay({"A": 30, "B": 30})
+    got_w = {r["doc_id"]: r["cum_tokens"]
+             for r in budget_sample(
+                 docs, 100, weights_bp={"A": 4000}).collect()}
+    assert got_w == replay({"A": 40, "B": 100})  # B not in map -> full
