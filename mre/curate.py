@@ -325,7 +325,10 @@ def run_curate(spark: SparkSession, src, dst: str, lineage_dst: str,
                bpe_vocab_top: int = 5000,
                line_clean: bool = False,
                lm_max_nll: int | None = None,
-               lm_vocab_top: int = 4096) -> None:
+               lm_vocab_top: int = 4096,
+               url_gate: bool = False,
+               token_budget: int | None = None,
+               budget_weights_bp: dict[str, int] | None = None) -> None:
     """Run the curation pipeline end-to-end with stage checkpoints.
 
     ``src`` is a documents table (doc_id, text, …) — a path/URI, or a
@@ -393,7 +396,18 @@ def run_curate(spark: SparkSession, src, dst: str, lineage_dst: str,
     ``lm_vocab_top``-row vocab), scoring is a zero-shuffle map-literal
     fold, and docs whose mean NLL exceeds the threshold (micro-nats;
     perplexity = exp(nll/1e6)) are dropped before the most expensive
-    stage. Resumes through the lineage like every other stage."""
+    stage. Resumes through the lineage like every other stage.
+
+    ``url_gate`` (round 7) prepends the RefinedWeb-family URL filter
+    (``textops.url_filter``: blocklist score, digit-heavy hosts, length
+    cut — zero-shuffle projections) as the very first stage; requires a
+    ``url`` column (the extraction output has one) and raises if the
+    corpus lacks it. ``token_budget`` (round 7) inserts a
+    ``budget_sample`` mixture-assembly stage after decontamination:
+    the fully-curated survivors fill each source's token budget
+    (``budget_weights_bp`` = mixture shares in basis points; absent
+    sources get the flat cap) in deterministic content-hash order, and
+    only the sampled docs reach the split."""
     from .textops import cache_mark, release_caches
     if rewrite not in (None, "passages", "windows"):
         raise ValueError(f"rewrite must be None|'passages'|'windows', "
@@ -415,7 +429,10 @@ def run_curate(spark: SparkSession, src, dst: str, lineage_dst: str,
         media_src=media_src, media_dedup=media_dedup,
         bpe_merges=bpe_merges, bpe_vocab_top=bpe_vocab_top,
         line_clean=line_clean,
-        lm_max_nll=lm_max_nll, lm_vocab_top=lm_vocab_top)
+        lm_max_nll=lm_max_nll, lm_vocab_top=lm_vocab_top,
+        url_gate=url_gate, token_budget=token_budget,
+        budget_weights_bp=(tuple(sorted(budget_weights_bp.items()))
+                           if budget_weights_bp else None))
     done = completed_stages(spark, lineage_dst, run_id, ph) if resume \
         else set()
 
@@ -451,6 +468,21 @@ def run_curate(spark: SparkSession, src, dst: str, lineage_dst: str,
                      lineage_dst)
         return out
 
+    if url_gate:
+        # stage 0 — the RefinedWeb-family URL gate, BEFORE any content
+        # work (zero-shuffle projection; cheapest possible first cut)
+        if "url" not in docs.columns:
+            raise ValueError(
+                "url_gate=True needs a 'url' column on the corpus "
+                "(extraction output has one; plain documents tables "
+                "may not)")
+        from .textops import url_filter as _url_filter
+        _pre_url = docs
+        sU = _stage("url_filter",
+                    lambda: _url_filter(_pre_url)
+                    .filter(F.col("keep_url") == 1).select("doc_id"),
+                    _pre_url)
+        docs = docs.join(sU, "doc_id", "left_semi")
     if line_clean:
         from .textops import c4_line_clean
         _raw = docs
@@ -522,6 +554,18 @@ def run_curate(spark: SparkSession, src, dst: str, lineage_dst: str,
             s3)
     else:
         s4 = _stage("decontaminate", lambda: s3, s3)
+    if token_budget is not None:
+        # mixture assembly — fill the per-source token budget from the
+        # fully-curated survivors, before the split freezes the corpus
+        from .textops import budget_sample
+        _s4_pre_b = s4
+        s4 = _stage(
+            "budget_sample",
+            lambda: budget_sample(
+                base.join(_s4_pre_b, "doc_id", "left_semi"),
+                token_budget, weights_bp=budget_weights_bp)
+            .select("doc_id"),
+            _s4_pre_b)
     d5 = base.join(s4, "doc_id", "left_semi")
     _stage("split",
            lambda: hash_split(d5, "text", train_frac).drop("text"),

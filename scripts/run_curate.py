@@ -94,6 +94,15 @@ def main() -> None:
                          "the LM is learned from the dedup survivors")
     ap.add_argument("--lm-vocab-top", type=int, default=4096,
                     help="unigram-LM vocab size for --lm-max-nll")
+    ap.add_argument("--url-gate", action="store_true",
+                    help="prepend the RefinedWeb-family URL filter "
+                         "(blocklist score, digit-heavy hosts, length) "
+                         "as stage 0; requires a url column")
+    ap.add_argument("--token-budget", type=int, default=None,
+                    help="opt-in mixture assembly: per-source training-"
+                         "token budget filled from the curated "
+                         "survivors in content-hash order before the "
+                         "split")
     ap.add_argument("--no-resume", action="store_true")
     args = ap.parse_args()
 
@@ -123,6 +132,8 @@ def main() -> None:
                    line_clean=args.line_clean,
                    lm_max_nll=args.lm_max_nll,
                    lm_vocab_top=args.lm_vocab_top,
+                   url_gate=args.url_gate,
+                   token_budget=args.token_budget,
                    resume=not args.no_resume)
     finally:
         spark.stop()

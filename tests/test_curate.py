@@ -1199,3 +1199,50 @@ def test_lm_filter_stage_in_curation(spark, docs, evals, tmp_path):
     run_curate(spark, src, str(tmp_path / "c0"), str(tmp_path / "l0"),
                run_id="lm0")
     assert not os.path.exists(str(tmp_path / "c0" / "lm_filter"))
+
+
+def test_run_curate_url_gate_stage(spark, docs, evals, tmp_path):
+    """Round-7 URL gate as stage 0: a spam-URL doc is dropped before
+    any content work, clean-URL docs flow through unchanged, and a
+    corpus without a url column raises."""
+    from pyspark.sql import functions as F
+    with_urls = docs.withColumn(
+        "url",
+        F.when(F.col("doc_id") == 0,
+               F.lit("https://example.com/xxx-casino-bonus"))
+        .otherwise(F.concat(F.lit("https://example.com/p/"),
+                            F.col("doc_id").cast("string"))))
+    src = str(tmp_path / "docs")
+    with_urls.write.parquet(src)
+    dst, lin = str(tmp_path / "c"), str(tmp_path / "l")
+    run_curate(spark, src, dst, lin, run_id="ug1", url_gate=True)
+    kept = {r["doc_id"]
+            for r in spark.read.parquet(f"{dst}/url_filter").collect()}
+    assert 0 not in kept and 1 in kept
+    surv = {r["doc_id"]
+            for r in spark.read.parquet(f"{dst}/split").collect()}
+    assert 0 not in surv and surv <= kept
+    with pytest.raises(ValueError, match="url"):
+        run_curate(spark, docs, dst, lin, run_id="ug2", url_gate=True)
+
+
+def test_run_curate_token_budget_stage(spark, docs, evals, tmp_path):
+    """Round-7 mixture-assembly tail: the budget_sample stage equals
+    budget_sample applied directly to the decontaminated survivors,
+    and only sampled docs reach the split."""
+    from mre.textops import budget_sample
+    src = str(tmp_path / "docs")
+    docs.write.parquet(src)
+    dst, lin = str(tmp_path / "c"), str(tmp_path / "l")
+    run_curate(spark, src, dst, lin, run_id="tb1", token_budget=120)
+    base = {r["doc_id"]
+            for r in spark.read.parquet(f"{dst}/decontaminate").collect()}
+    expect = {r["doc_id"] for r in budget_sample(
+        docs.join(spark.read.parquet(f"{dst}/decontaminate"),
+                  "doc_id", "left_semi"), 120).collect()}
+    got = {r["doc_id"]
+           for r in spark.read.parquet(f"{dst}/budget_sample").collect()}
+    assert got == expect and got < base
+    surv = {r["doc_id"]
+            for r in spark.read.parquet(f"{dst}/split").collect()}
+    assert surv == got
