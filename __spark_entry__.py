@@ -273,6 +273,12 @@ def q_token_stats(spark, sf_dir):
       those merges: m1=n_words, m2=n_subword_tokens, m3=token-string
       length, s1=the full space-joined token sequence (value-hashed →
       the segmentation is byte-checked cross-engine).
+    * op='pack' (round 7) — pack_sequences(seq_len=256), GPT-style
+      concatenate-and-cut batch assembly in per-source content-hash
+      order: m1=tok_cnt, m2=cum_before, m3=first_seq, m4=last_seq,
+      s1=source. The oracle replays the ONE-WINDOW cumsum, so the
+      exactness of the two-phase bucketed prefix sum is itself what
+      the driver checks.
 
     Learning is mre.bpe.bpe_learn (single distributed word count, then
     the driver-side merge loop over a bounded top-V vocabulary);
@@ -309,7 +315,15 @@ def q_token_stats(spark, sf_dir):
          for i, (l, r, c) in enumerate(merges)],
         "op string, doc_id long, m1 long, m2 long, m3 long, m4 long, "
         "s1 string")
-    return ws.unionByName(bpe).unionByName(mrows)
+    from mre.textops import pack_sequences
+    pack = pack_sequences(docs, 256).select(
+        F.lit("pack").alias("op"), "doc_id",
+        F.col("tok_cnt").alias("m1"),
+        F.col("cum_before").alias("m2"),
+        F.col("first_seq").alias("m3"),
+        F.col("last_seq").alias("m4"),
+        F.col("source").alias("s1"))
+    return ws.unionByName(bpe).unionByName(mrows).unionByName(pack)
 
 
 _LM_VOCAB_TOP = 64
@@ -1333,6 +1347,18 @@ SELECT 'bpe' AS op, doc_id, len(toks)::BIGINT AS m1,
        NULL::BIGINT AS m4,
        array_to_string(toks, ' ') AS s1
 FROM bpe
+UNION ALL
+SELECT 'pack' AS op, doc_id,
+       tok::BIGINT AS m1, (cum - tok)::BIGINT AS m2,
+       ((cum - tok) // 256)::BIGINT AS m3,
+       greatest((cum - 1) // 256, (cum - tok) // 256)::BIGINT AS m4,
+       source AS s1
+FROM (SELECT doc_id, source,
+             len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok,
+             sum(len(regexp_split_to_array(lower(trim(text)), '\\s+')))
+                 OVER (PARTITION BY source ORDER BY md5(text), doc_id
+                       ROWS UNBOUNDED PRECEDING) AS cum
+      FROM documents)
 UNION ALL
 {merges_rows}
 """

@@ -1829,6 +1829,63 @@ def url_filter(df: DataFrame, *, url_col: str = "url",
     return out.withColumn("keep_url", keep.cast("int"))
 
 
+def _hash_order_cumsum(df: DataFrame, source_col: str,
+                       text_col: str) -> DataFrame:
+    """Exact two-phase per-source running token total in deterministic
+    content-hash order (md5 of ``text_col``, doc_id tiebreak). Adds
+    ``tok_cnt`` and ``_lc``/``_off`` (local cum + bucket offset; the
+    caller combines and drops them with ``_h``/``_b``). Phase 1 cumsums
+    per (source, first-hex-digit bucket) — 16-way parallel per source;
+    phase 2 window-offsets the 16-row/source bucket totals (computed on
+    phase 1's own partitioning, no extra Exchange) and broadcast-joins
+    them back. (bucket, rest-of-hash) order == global hash order, so
+    the result equals the one-window plan at any scale."""
+    from pyspark.sql import Window
+    base = df.withColumn("_h", F.md5(F.col(text_col))).withColumn(
+        "_b", F.substring(F.col("_h"), 1, 1)).withColumn(
+        "tok_cnt", F.size(tokens_col(text_col)).cast("long"))
+    w1 = Window.partitionBy(source_col, "_b").orderBy("_h", "doc_id")
+    local = base.withColumn("_lc", F.sum("tok_cnt").over(w1))
+    tot = (local.groupBy(source_col, "_b")
+           .agg(F.max("_lc").alias("_t")))
+    w2 = (Window.partitionBy(source_col).orderBy("_b")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    off = tot.select(source_col, "_b",
+                     F.coalesce(F.sum("_t").over(w2),
+                                F.lit(0)).alias("_off"))
+    return local.join(F.broadcast(off), [source_col, "_b"])
+
+
+def pack_sequences(df: DataFrame, seq_len: int, *,
+                   source_col: str = "source",
+                   text_col: str = "text") -> DataFrame:
+    """GPT-style sequence packing with document splitting — the
+    pretraining-batch assembly step: each source's docs are
+    concatenated in deterministic content-hash order (the same
+    ``_hash_order_cumsum`` order ``budget_sample`` fills budgets in)
+    and the token stream is cut every ``seq_len`` tokens; a doc may
+    straddle a cut. Emits per doc: ``tok_cnt``, ``cum_before`` (tokens
+    ahead of it in its source's stream), ``first_seq``/``last_seq``
+    (0-based sequence ids its tokens land in) and ``n_seqs`` — the
+    numbers a loader needs to map documents to training sequences and
+    audit per-source sequence counts. Pure arithmetic on the exact
+    two-phase prefix sum: identical to the one-window answer, no
+    corpus sort, at any scale."""
+    out = _hash_order_cumsum(df, source_col, text_col).withColumn(
+        "cum_before",
+        (F.col("_off") + F.col("_lc") - F.col("tok_cnt")).cast("long"))
+    # integer div — exact on both engines at any token count
+    first = F.expr(f"cum_before div {int(seq_len)}").cast("long")
+    last = F.greatest(   # tok_cnt == 0 guard
+        F.expr(f"(cum_before + tok_cnt - 1) div {int(seq_len)}")
+        .cast("long"), first)
+    return (out.withColumn("first_seq", first)
+            .withColumn("last_seq", last)
+            .withColumn("n_seqs", F.col("last_seq")
+                        - F.col("first_seq") + 1)
+            .drop("_h", "_b", "_lc", "_off"))
+
+
 def budget_sample(df: DataFrame, token_budget: int, *,
                   weights_bp: dict[str, int] | None = None,
                   source_col: str = "source",
@@ -1853,23 +1910,9 @@ def budget_sample(df: DataFrame, token_budget: int, *,
     offsets with a window over that tiny frame, and a broadcast join
     adds offset + local cum. Exact: (bucket, rest-of-hash) ordering ==
     global hash ordering, so the result is identical to the one-window
-    plan at any scale."""
-    from pyspark.sql import Window
-    h = F.md5(F.col(text_col))
-    base = df.withColumn("_h", h).withColumn(
-        "_b", F.substring(F.col("_h"), 1, 1)).withColumn(
-        "tok_cnt", F.size(tokens_col(text_col)).cast("long"))
-    w1 = Window.partitionBy(source_col, "_b").orderBy("_h", "doc_id")
-    local = base.withColumn("_lc", F.sum("tok_cnt").over(w1))
-    # bucket totals ride phase 1's (source, bucket) partitioning
-    tot = (local.groupBy(source_col, "_b")
-           .agg(F.max("_lc").alias("_t")))
-    w2 = (Window.partitionBy(source_col).orderBy("_b")
-          .rowsBetween(Window.unboundedPreceding, -1))
-    off = tot.select(source_col, "_b",
-                     F.coalesce(F.sum("_t").over(w2),
-                                F.lit(0)).alias("_off"))
-    out = local.join(F.broadcast(off), [source_col, "_b"])
+    plan at any scale (``_hash_order_cumsum`` — shared with
+    ``pack_sequences``)."""
+    out = _hash_order_cumsum(df, source_col, text_col)
     if weights_bp:
         bmap = F.create_map(*[F.lit(x) for s, bp in
                               sorted(weights_bp.items())
@@ -1887,6 +1930,7 @@ def budget_sample(df: DataFrame, token_budget: int, *,
 __all__ = [
     "release_caches", "cache_mark",
     "c4_line_clean", "domain_cap", "url_filter", "budget_sample",
+    "pack_sequences",
     "URL_SPAM_HARD", "URL_SPAM_SOFT",
     "C4_TERMINAL_RE", "C4_MIN_WORDS", "C4_MIN_LINES",
     "table_profile", "hash_bucket_16", "hash_sample", "hash_split",

@@ -804,3 +804,33 @@ def test_budget_sample(spark):
              for r in budget_sample(
                  docs, 100, weights_bp={"A": 4000}).collect()}
     assert got_w == replay({"A": 40, "B": 100})  # B not in map -> full
+
+
+def test_pack_sequences(spark):
+    """GPT-style packing (round 7): per-source hash-order concatenation
+    cut every seq_len tokens, replayed in pure Python; a doc straddling
+    a cut spans both sequences."""
+    import hashlib
+    from mre.textops import pack_sequences
+    rows = [(i, f"doc {i} " + "tok " * (i % 7), "A" if i % 2 else "B")
+            for i in range(30)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, "
+                                       "source string")
+    got = {r["doc_id"]: (r["cum_before"], r["first_seq"], r["last_seq"],
+                         r["n_seqs"])
+           for r in pack_sequences(docs, 16).collect()}
+    by_src = {}
+    for i, t, s in rows:
+        by_src.setdefault(s, []).append(
+            (hashlib.md5(t.encode()).hexdigest(), i,
+             len(t.strip().split())))
+    expect = {}
+    for s, lst in by_src.items():
+        cum = 0
+        for h, i, n in sorted(lst):
+            first, last = cum // 16, max((cum + n - 1) // 16, cum // 16)
+            expect[i] = (cum, first, last, last - first + 1)
+            cum += n
+    assert got == expect
+    # at least one doc straddles a 16-token boundary in this corpus
+    assert any(v[3] > 1 for v in got.values())
