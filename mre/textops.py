@@ -1186,8 +1186,9 @@ def gopher_ngram_battery(docs: DataFrame) -> DataFrame:
     (doc, n) rows (a 9× explode of (doc_id, tokens)) and the gram
     stream for each row is built by ONE compact expression with ``n``
     as a COLUMN — not nine unrolled per-n expression copies, which
-    defeat Catalyst subexpression elimination and measured 10× slower
-    — each gram string materialized once and shuffled as
+    defeat Catalyst subexpression elimination and measured >100×
+    slower (56 s vs 0.5 s at sf0.1 under the production session
+    config) — each gram string materialized once and shuffled as
     (xxhash64(gram), len) fixed-width digests, never gram text (the
     same documented 64-bit collision trade-off as
     ``gopher_repetition``); then two (doc_id, n)-keyed count shuffles
