@@ -351,9 +351,17 @@ def q_quality(spark, sf_dir):
       fraction for n≤4, duplicate-gram char fraction for n≥5, integer
       basis points), stopword_ratio=pass_rule and
       mean_token_len=pass_ngram_battery (0/1 as double — the shared
-      union schema has exactly two spare double slots)."""
+      union schema has exactly two spare double slots).
+    * op='nb' (round 7) — self-trained multinomial Naive Bayes, the
+      SQL-replayable analogue of CCNet's fastText gate: trained on
+      label = (lang == 'en') with the shared micro-nat device
+      (add-one smoothing, bounded shared vocab, OOV slot, prior);
+      n_tokens=scored tokens, quality_bp=margin_micro (nll1 − nll0
+      incl. prior; ≤ 0 predicts class 1), stopword_ratio=nb_pred.
+      The ENTIRE train (per-class counts → total-order top-V vocab →
+      floored deltas) and score replay in DuckDB."""
     from mre.textops import (gopher_ngram_battery, lm_learn, lm_score,
-                             quality_score)
+                             nb_score, nb_train, quality_score)
     _prep(spark)
     docs = _t(spark, sf_dir, "documents")
     heur = quality_score(docs).select(
@@ -382,7 +390,17 @@ def q_quality(spark, sf_dir):
         F.col("pass_rule").cast("double").alias("stopword_ratio"),
         F.col("pass_ngram_battery").cast("double").alias("mean_token_len"),
         F.col("char_bp").alias("quality_bp"))
-    return heur.unionByName(lm).unionByName(vrows).unionByName(rep)
+    labeled = docs.withColumn("label",
+                              (F.col("lang") == "en").cast("int"))
+    model, meta = nb_train(labeled, "label", vocab_top=_LM_VOCAB_TOP)
+    nb = nb_score(docs, model, meta).select(
+        F.lit("nb").alias("op"), "doc_id",
+        F.col("nb_n_tokens").alias("n_tokens"),
+        F.col("nb_pred").cast("double").alias("stopword_ratio"),
+        F.lit(None).cast("double").alias("mean_token_len"),
+        F.col("margin_micro").alias("quality_bp"))
+    return (heur.unionByName(lm).unionByName(vrows).unionByName(rep)
+            .unionByName(nb))
 
 
 def q_lang_id(spark, sf_dir):
@@ -2627,7 +2645,59 @@ def oracle_sql() -> dict[str, str]:
             gv AS (
                 SELECT doc_id, CAST(min(pass_rule) = 1 AS BIGINT)
                        AS battery
-                FROM gp GROUP BY doc_id)
+                FROM gp GROUP BY doc_id),
+            nbt AS (
+                SELECT t.doc_id,
+                       CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y,
+                       unnest(list_filter(t.toks, x -> x <> '')) AS tok
+                FROM t JOIN documents d ON d.doc_id = t.doc_id),
+            nbc AS (
+                SELECT tok,
+                       sum(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS c0,
+                       sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS c1
+                FROM nbt GROUP BY tok),
+            nbm AS (
+                SELECT sum(c0) AS t0, sum(c1) AS t1,
+                       least(count(*), {_LM_VOCAB_TOP}) AS v
+                FROM nbc),
+            nbn AS (
+                SELECT sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END)
+                           AS n0,
+                       sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                           AS n1
+                FROM documents),
+            nbv AS (
+                SELECT tok,
+                       CAST(floor(-ln((c1 + 1)::DOUBLE
+                                      / (t1 + v + 1)::DOUBLE) * 1e6)
+                            AS BIGINT)
+                       - CAST(floor(-ln((c0 + 1)::DOUBLE
+                                        / (t0 + v + 1)::DOUBLE) * 1e6)
+                              AS BIGINT) AS delta
+                FROM nbc, nbm
+                ORDER BY (c0 + c1) DESC, tok LIMIT {_LM_VOCAB_TOP}),
+            nboov AS (
+                SELECT CAST(floor(-ln(1::DOUBLE
+                                      / (t1 + v + 1)::DOUBLE) * 1e6)
+                            AS BIGINT)
+                       - CAST(floor(-ln(1::DOUBLE
+                                        / (t0 + v + 1)::DOUBLE) * 1e6)
+                              AS BIGINT) AS delta
+                FROM nbm),
+            nbpr AS (
+                SELECT CAST(floor(-ln(n1::DOUBLE
+                                      / (n0 + n1)::DOUBLE) * 1e6)
+                            AS BIGINT)
+                       - CAST(floor(-ln(n0::DOUBLE
+                                        / (n0 + n1)::DOUBLE) * 1e6)
+                              AS BIGINT) AS delta
+                FROM nbn),
+            nbs AS (
+                SELECT nbt.doc_id, count(*) AS n,
+                       sum(coalesce(nbv.delta,
+                                    (SELECT delta FROM nboov))) AS s
+                FROM nbt LEFT JOIN nbv USING (tok)
+                GROUP BY nbt.doc_id)
             SELECT 'heur' AS op, doc_id, n_tokens,
                    round(n_stop / n1, 4) AS stopword_ratio,
                    round(n_ns / n1, 4) AS mean_token_len,
@@ -2649,6 +2719,14 @@ def oracle_sql() -> dict[str, str]:
                    gp.pass_rule::DOUBLE, gv.battery::DOUBLE,
                    gp.char_bp::BIGINT
             FROM gp JOIN gv USING (doc_id)
+            UNION ALL
+            SELECT 'nb', d.doc_id, coalesce(nbs.n, 0),
+                   CAST(CAST(((SELECT delta FROM nbpr)
+                              + coalesce(nbs.s, 0)) <= 0 AS INTEGER)
+                        AS DOUBLE),
+                   NULL::DOUBLE,
+                   (SELECT delta FROM nbpr) + coalesce(nbs.s, 0)
+            FROM documents d LEFT JOIN nbs ON nbs.doc_id = d.doc_id
         """,
         "lang_id": r"""
             WITH s AS (

@@ -24,6 +24,8 @@ Scale design:
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -230,6 +232,90 @@ def lm_vocab_rows(vocab: DataFrame) -> list:
     literal (vocab_top rows — driver-safe by construction)."""
     return [(r["tok"], int(r["nll_micro"]))
             for r in vocab.select("tok", "nll_micro").collect()]
+
+
+def nb_train(docs: DataFrame, label_col: str = "label",
+             vocab_top: int = 256,
+             text_col: str = "text") -> tuple[list, dict]:
+    """Train a binary multinomial Naive Bayes text classifier on the
+    corpus itself — the SQL-replayable analogue of the fastText-style
+    classifiers CCNet/RefinedWeb gate corpora with (their SGD training
+    is float-order-dependent; NB's closed-form counts are not). Labels
+    come from ``label_col`` (0/1 — e.g. a heuristic rule or a metadata
+    bit, the self-training device).
+
+    Add-one smoothing over a bounded shared vocab: the ``vocab_top``
+    most frequent tokens under the (total count desc, token asc) total
+    order; per class c, nll_c(tok) = floor(-ln((cnt_{tok,c}+1) /
+    (total_c + V + 1))·1e6) micro-nats, with the +1 slot pricing OOV
+    (count 0). Floors make every downstream sum an exact integer —
+    order-independent and engine-portable, the ``lm_learn`` device.
+
+    Returns ``(rows, meta)``: ``rows`` = bounded
+    [(tok, delta_micro)] where delta = nll1 − nll0 (the only number
+    scoring needs), ``meta`` = {prior_delta_micro, oov_delta_micro,
+    v, total0, total1, n0, n1}. Raises if either class is empty.
+
+    Scale shape: ONE (tok)-keyed count shuffle carrying two partial
+    sums; totals/priors are scalar aggregates; the vocab is bounded."""
+    lab = F.col(label_col).cast("int")
+    toks = (docs.select(lab.alias("_y"),
+                        F.explode(tokens_col(text_col)).alias("tok"))
+            .filter(F.col("tok") != ""))
+    counts = toks.groupBy("tok").agg(
+        F.sum(F.when(F.col("_y") == 0, 1).otherwise(0)).alias("c0"),
+        F.sum(F.when(F.col("_y") == 1, 1).otherwise(0)).alias("c1"))
+    tot = counts.agg(F.sum("c0"), F.sum("c1")).first()
+    total0, total1 = int(tot[0] or 0), int(tot[1] or 0)
+    nd = docs.agg(F.sum(F.when(lab == 0, 1).otherwise(0)),
+                  F.sum(F.when(lab == 1, 1).otherwise(0))).first()
+    n0, n1 = int(nd[0] or 0), int(nd[1] or 0)
+    if n0 == 0 or n1 == 0:
+        raise ValueError(f"nb_train needs both classes present; "
+                         f"got n0={n0}, n1={n1}")
+    vocab = (counts.orderBy((F.col("c0") + F.col("c1")).desc(), "tok")
+             .limit(int(vocab_top)))
+    vrows = [(r["tok"], int(r["c0"]), int(r["c1"]))
+             for r in vocab.collect()]   # bounded: ≤ vocab_top
+    v = len(vrows)
+    d0, d1 = total0 + v + 1, total1 + v + 1
+
+    def _nll(cnt, den):
+        return math.floor(-math.log(cnt / den) * 1e6)
+
+    rows = [(t, _nll(c1 + 1, d1) - _nll(c0 + 1, d0))
+            for t, c0, c1 in vrows]
+    meta = {
+        "prior_delta_micro": _nll(n1, n0 + n1) - _nll(n0, n0 + n1),
+        "oov_delta_micro": _nll(1, d1) - _nll(1, d0),
+        "v": v, "total0": total0, "total1": total1, "n0": n0, "n1": n1,
+    }
+    return rows, meta
+
+
+def nb_score(docs: DataFrame, rows: list, meta: dict,
+             text_col: str = "text") -> DataFrame:
+    """Score docs under a trained ``nb_train`` model: margin_micro =
+    prior_delta + Σ_tok delta(tok) (OOV tokens price at the smoothing
+    slot), all exact integer micro-nats; ``nb_pred`` = 1 when the
+    margin is ≤ 0 (class 1 at least as likely; a zero margin
+    deterministically predicts 1). The bounded model rides as a map
+    literal folded over the token array — a PURE PROJECTION, zero
+    shuffle, zero UDF, the ``lm_score`` device. Docs with no tokens
+    score the bare prior."""
+    lut = F.create_map(
+        *[F.lit(v) for tok, d in rows for v in (tok, int(d))])
+    oov = F.lit(int(meta["oov_delta_micro"])).cast("long")
+    toks = F.filter(tokens_col(text_col), lambda t: t != "")
+    ssum = F.aggregate(
+        toks, F.lit(int(meta["prior_delta_micro"])).cast("long"),
+        lambda acc, t: acc + F.coalesce(
+            F.element_at(lut, t).cast("long"), oov))
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("nb_n_tokens"),
+        ssum.alias("margin_micro"),
+    ).withColumn("nb_pred", (F.col("margin_micro") <= 0).cast("int"))
 
 
 def quality_score(docs: DataFrame) -> DataFrame:
@@ -1941,6 +2027,7 @@ __all__ = [
     "PII_EMAIL", "PII_IP", "PII_PHONE",
     "token_stats", "quality_score", "lang_id", "lang_pred_expr",
     "lm_learn", "lm_score", "lm_vocab_rows", "lm_oov_micro",
+    "nb_train", "nb_score",
     "fingerprint", "exact_dedup",
     "shingles", "jaccard_pairs", "minhash_signatures", "minhash_candidates",
     "minhash_bands", "EST_JACCARD_SQL",

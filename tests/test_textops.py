@@ -834,3 +834,52 @@ def test_pack_sequences(spark):
     assert got == expect
     # at least one doc straddles a 16-token boundary in this corpus
     assert any(v[3] > 1 for v in got.values())
+
+
+def test_nb_train_score(spark):
+    """Self-trained multinomial NB (round 7): hand corpus with two
+    separable classes, full micro-nat replay in pure Python (counts,
+    add-one smoothing, shared bounded vocab, OOV slot, prior), plus a
+    held-out-style doc containing OOV tokens; empty class raises."""
+    import math
+    from mre.textops import nb_score, nb_train
+    rows = [
+        (1, "good clean prose text here", 1),
+        (2, "good solid prose here again", 1),
+        (3, "spam spam casino offer spam", 0),
+        (4, "casino offer spam now", 0),
+        (5, "good prose casino unknowntok", 1),  # mixed + OOV at V=8
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, "
+                                       "label int")
+    model, meta = nb_train(docs, "label", vocab_top=8)
+    got = {r["doc_id"]: r.asDict()
+           for r in nb_score(docs, model, meta).collect()}
+    # python replay
+    from collections import Counter
+    c0, c1 = Counter(), Counter()
+    for _, t, y in rows:
+        (c1 if y else c0).update(t.split())
+    tot0, tot1 = sum(c0.values()), sum(c1.values())
+    allc = Counter()
+    for t in set(c0) | set(c1):
+        allc[t] = c0[t] + c1[t]
+    vocab = sorted(allc, key=lambda t: (-allc[t], t))[:8]
+    v = len(vocab)
+    n0, n1 = 2, 3
+    nll = lambda c, d: math.floor(-math.log(c / d) * 1e6)
+    delta = {t: nll(c1[t] + 1, tot1 + v + 1) - nll(c0[t] + 1, tot0 + v + 1)
+             for t in vocab}
+    oov = nll(1, tot1 + v + 1) - nll(1, tot0 + v + 1)
+    prior = nll(n1, 5) - nll(n0, 5)
+    for i, t, y in rows:
+        m = prior + sum(delta.get(w, oov) for w in t.split())
+        assert got[i]["margin_micro"] == m, (i, got[i], m)
+        assert got[i]["nb_pred"] == (1 if m <= 0 else 0)
+    # classes separate: clean docs predict 1, spam docs 0
+    assert got[1]["nb_pred"] == 1 and got[2]["nb_pred"] == 1
+    assert got[3]["nb_pred"] == 0 and got[4]["nb_pred"] == 0
+    import pytest as _p
+    allone = docs.withColumn("label", F.lit(1))
+    with _p.raises(ValueError, match="both classes"):
+        nb_train(allone, "label")
