@@ -328,7 +328,9 @@ def run_curate(spark: SparkSession, src, dst: str, lineage_dst: str,
                lm_vocab_top: int = 4096,
                url_gate: bool = False,
                token_budget: int | None = None,
-               budget_weights_bp: dict[str, int] | None = None) -> None:
+               budget_weights_bp: dict[str, int] | None = None,
+               nb_gate: bool = False,
+               nb_vocab_top: int = 4096) -> None:
     """Run the curation pipeline end-to-end with stage checkpoints.
 
     ``src`` is a documents table (doc_id, text, …) — a path/URI, or a
@@ -407,7 +409,14 @@ def run_curate(spark: SparkSession, src, dst: str, lineage_dst: str,
     the fully-curated survivors fill each source's token budget
     (``budget_weights_bp`` = mixture shares in basis points; absent
     sources get the flat cap) in deterministic content-hash order, and
-    only the sampled docs reach the split."""
+    only the sampled docs reach the split.
+
+    ``nb_gate`` (round 7) inserts an ``nb_filter`` stage right after
+    quality — the CCNet bootstrap: a multinomial Naive Bayes
+    classifier (``textops.nb_train``, bounded ``nb_vocab_top`` vocab)
+    is trained on the heuristic gate's own pass/fail verdicts and
+    quality survivors the classifier rejects are dropped; if either
+    verdict class is empty the stage is a recorded no-op."""
     from .textops import cache_mark, release_caches
     if rewrite not in (None, "passages", "windows"):
         raise ValueError(f"rewrite must be None|'passages'|'windows', "
@@ -432,7 +441,8 @@ def run_curate(spark: SparkSession, src, dst: str, lineage_dst: str,
         lm_max_nll=lm_max_nll, lm_vocab_top=lm_vocab_top,
         url_gate=url_gate, token_budget=token_budget,
         budget_weights_bp=(tuple(sorted(budget_weights_bp.items()))
-                           if budget_weights_bp else None))
+                           if budget_weights_bp else None),
+        nb_gate=nb_gate, nb_vocab_top=nb_vocab_top)
     done = completed_stages(spark, lineage_dst, run_id, ph) if resume \
         else set()
 
@@ -499,6 +509,31 @@ def run_curate(spark: SparkSession, src, dst: str, lineage_dst: str,
                                          pii_max=pii_max,
                                          ngram_battery=ngram_battery),
                 docs)
+    if nb_gate:
+        # CCNet-style bootstrap: train a Naive Bayes classifier on the
+        # heuristic gate's own verdicts (pass=1 / fail=0) and keep only
+        # quality survivors the classifier ALSO accepts — boundary docs
+        # that merely squeak past the rules but read like the rejected
+        # class are dropped. Degenerate corpora (either class empty)
+        # skip the stage as a no-op rather than failing the run.
+        from .textops import nb_score, nb_train
+        _s1_pre_nb = s1
+
+        def _nb_keep():
+            labeled = docs.join(
+                _s1_pre_nb.withColumn("label", F.lit(1)),
+                "doc_id", "left").withColumn(
+                "label", F.coalesce("label", F.lit(0)))
+            try:
+                model, meta = nb_train(labeled, "label",
+                                       vocab_top=nb_vocab_top)
+            except ValueError:
+                return _s1_pre_nb
+            ok = (nb_score(docs, model, meta)
+                  .filter(F.col("nb_pred") == 1).select("doc_id"))
+            return _s1_pre_nb.join(ok, "doc_id", "left_semi")
+
+        s1 = _stage("nb_filter", _nb_keep, _s1_pre_nb)
     d2 = docs.join(s1, "doc_id", "left_semi")
     base = docs
     if rewrite is not None:

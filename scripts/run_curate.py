@@ -103,6 +103,10 @@ def main() -> None:
                          "token budget filled from the curated "
                          "survivors in content-hash order before the "
                          "split")
+    ap.add_argument("--nb-gate", action="store_true",
+                    help="opt-in CCNet-style bootstrap: train a Naive "
+                         "Bayes classifier on the quality gate's own "
+                         "verdicts and drop survivors it rejects")
     ap.add_argument("--no-resume", action="store_true")
     args = ap.parse_args()
 
@@ -134,6 +138,7 @@ def main() -> None:
                    lm_vocab_top=args.lm_vocab_top,
                    url_gate=args.url_gate,
                    token_budget=args.token_budget,
+                   nb_gate=args.nb_gate,
                    resume=not args.no_resume)
     finally:
         spark.stop()

@@ -1246,3 +1246,48 @@ def test_run_curate_token_budget_stage(spark, docs, evals, tmp_path):
     surv = {r["doc_id"]
             for r in spark.read.parquet(f"{dst}/split").collect()}
     assert surv == got
+
+
+def test_run_curate_nb_gate_stage(spark, docs, evals, tmp_path):
+    """Round-7 CCNet bootstrap: the nb_filter stage drops a
+    quality-passing doc written in the rejected class's vocabulary,
+    keeps the ordinary survivors, and equals a direct
+    nb_train/nb_score replay on the quality verdicts."""
+    from mre.textops import nb_score, nb_train
+    # ~30 quality-FAILING docs sharing a distinctive spam vocabulary
+    # (each under the 50-word floor), plus ONE long doc in the same
+    # vocabulary padded to pass the heuristics — the classifier should
+    # reject it even though the rules let it through
+    spam_short = [(300 + i,
+                   f"casino bonus {i} lottery jackpot win now prize "
+                   f"deal offer spin slots",
+                   "en", "srcS", 0) for i in range(30)]
+    spam_long = [(399,
+                  ("casino bonus lottery jackpot win prize spin slots "
+                   "the a of to deal offer money chips table bet odds "
+                   ) * 5,
+                  "en", "srcS", 0)]
+    docs2 = docs.unionByName(spark.createDataFrame(
+        spam_short + spam_long, docs.schema))
+    src = str(tmp_path / "docs")
+    docs2.write.parquet(src)
+    dst, lin = str(tmp_path / "c"), str(tmp_path / "l")
+    run_curate(spark, src, dst, lin, run_id="nb1", nb_gate=True,
+               nb_vocab_top=512)
+    q = spark.read.parquet(f"{dst}/quality")
+    qs = {r["doc_id"] for r in q.collect()}
+    assert 399 in qs                      # heuristics let it through
+    kept = {r["doc_id"]
+            for r in spark.read.parquet(f"{dst}/nb_filter").collect()}
+    assert 399 not in kept                # the classifier does not
+    assert set(range(20)) <= kept
+    # stage == direct replay on the same labels
+    labeled = docs2.withColumn(
+        "label", F.col("doc_id").isin(*qs).cast("int"))
+    model, meta = nb_train(labeled, "label", vocab_top=512)
+    ok = {r["doc_id"] for r in nb_score(docs2, model, meta)
+          .filter("nb_pred = 1").collect()}
+    assert kept == qs & ok
+    surv = {r["doc_id"]
+            for r in spark.read.parquet(f"{dst}/split").collect()}
+    assert surv <= kept
