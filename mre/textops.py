@@ -1933,8 +1933,14 @@ def _hash_order_cumsum(df: DataFrame, source_col: str,
         "tok_cnt", F.size(tokens_col(text_col)).cast("long"))
     w1 = Window.partitionBy(source_col, "_b").orderBy("_h", "doc_id")
     local = base.withColumn("_lc", F.sum("tok_cnt").over(w1))
-    tot = (local.groupBy(source_col, "_b")
-           .agg(F.max("_lc").alias("_t")))
+    # bucket totals via a map-side-combinable partial agg over `base`,
+    # NOT max(_lc) over `local`: referencing the window output twice
+    # would re-run the phase-1 Exchange + corpus SORT a second time
+    # (Spark assigns the duplicated subtree fresh expression ids, so
+    # ReuseExchange never fires). This branch re-scans and re-hashes —
+    # cheap, no sort — and shuffles 16 counted rows per source.
+    tot = (base.groupBy(source_col, "_b")
+           .agg(F.sum("tok_cnt").alias("_t")))
     w2 = (Window.partitionBy(source_col).orderBy("_b")
           .rowsBetween(Window.unboundedPreceding, -1))
     off = tot.select(source_col, "_b",
