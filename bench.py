@@ -160,6 +160,20 @@ def _ngram_battery(spark, sf_dir):
                        + F.col("pass_ngram_battery")).alias("s")))
 
 
+def _pack_sequences(spark, sf_dir):
+    """The two-phase hash-order prefix sum + packing arithmetic FORCED
+    to materialize (the token_stats op='pack' driver row is timed via
+    count(), which prunes windows that cannot change cardinality) —
+    this entry is the prefix-sum machinery's honest recorded cost,
+    shared with budget_sample."""
+    from pyspark.sql import functions as F
+    from mre.textops import pack_sequences
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (pack_sequences(docs, 256)
+            .agg(F.sum(F.col("cum_before") + F.col("first_seq")
+                       + F.col("last_seq")).alias("s")))
+
+
 def _bpe_tokenize(spark, sf_dir):
     """End-to-end production BPE: learn 200 merges (one distributed word
     count + the driver-side loop over a top-5000 vocab) and tokenize the
@@ -189,6 +203,8 @@ EXTRA_BENCH = {
     "bpe_tokenize": _bpe_tokenize,
     # round-7: the n-gram battery forced past count()'s join pruning
     "ngram_battery": _ngram_battery,
+    # round-7: the hash-order prefix sum (budget/pack) forced likewise
+    "pack_sequences": _pack_sequences,
 }
 
 
