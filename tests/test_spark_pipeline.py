@@ -212,18 +212,24 @@ def test_new_ops_plan_shapes(spark):
 
     sf = "/root/testdata/sf0.001"
 
-    # url_dedup (round-7 norm/cap union): explode + regex normalize are
-    # pure projections — exactly TWO Exchanges total, one per branch
-    # (norm's groupBy on the canonical form; cap's window on domain)
+    # url_dedup (round-7 norm/cap/uf union): explode + regex normalize
+    # + the URL-filter scoring are pure projections — exactly TWO
+    # Exchanges total (norm's groupBy on the canonical form; cap's
+    # window on domain; uf contributes ZERO)
     plan = em.queries()["url_dedup"](spark, sf) \
         ._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 2, plan
     assert "BatchEvalPython" not in plan and "EvalPython" not in plan
 
-    # hash_sample: md5-bucket filter is JVM-side over the scan, no shuffle
+    # hash_sample: the flat/strat md5-bucket filters are JVM-side over
+    # the scan (no shuffle of their own); the round-7 budget branch
+    # carries the two-phase prefix sum's exactly FOUR Exchanges
+    # (phase-1 window, bucket-totals partial agg, tiny offsets window,
+    # broadcast join back — PLANS.md "budget_sample / pack_sequences")
     plan = em.queries()["hash_sample"](spark, sf) \
         ._jdf.queryExecution().executedPlan().toString()
-    assert "Exchange" not in plan, plan
+    assert plan.count("Exchange") == 4, plan
+    assert "BroadcastExchange" in plan, plan
     assert "EvalPython" not in plan
 
     # profile_docs: single wide aggregate — the documents parquet is
