@@ -1916,20 +1916,25 @@ def url_filter(df: DataFrame, *, url_col: str = "url",
     return out.withColumn("keep_url", keep.cast("int"))
 
 
-def _hash_order_cumsum(df: DataFrame, source_col: str,
-                       text_col: str) -> DataFrame:
+def _hash_order_cumsum(df: DataFrame, source_col: str, text_col: str,
+                       bucket_hex_digits: int = 1) -> DataFrame:
     """Exact two-phase per-source running token total in deterministic
     content-hash order (md5 of ``text_col``, doc_id tiebreak). Adds
     ``tok_cnt`` and ``_lc``/``_off`` (local cum + bucket offset; the
     caller combines and drops them with ``_h``/``_b``). Phase 1 cumsums
-    per (source, first-hex-digit bucket) — 16-way parallel per source;
-    phase 2 window-offsets the 16-row/source bucket totals (computed on
-    phase 1's own partitioning, no extra Exchange) and broadcast-joins
-    them back. (bucket, rest-of-hash) order == global hash order, so
-    the result equals the one-window plan at any scale."""
+    per (source, first-``bucket_hex_digits``-of-hash bucket) —
+    16^digits-way parallel per source (1 → 16 buckets; raise to 2–3 at
+    10^9-docs-per-source scale so no bucket sorts more than the
+    executor budget); phase 2 window-offsets the per-source bucket
+    totals (computed with a map-side-combinable partial agg, tiny
+    frame) and broadcast-joins them back. (bucket, rest-of-hash) order
+    == global hash order FOR ANY prefix length, so the result equals
+    the one-window plan — and is identical across
+    ``bucket_hex_digits`` values (asserted by test)."""
     from pyspark.sql import Window
     base = df.withColumn("_h", F.md5(F.col(text_col))).withColumn(
-        "_b", F.substring(F.col("_h"), 1, 1)).withColumn(
+        "_b", F.substring(F.col("_h"), 1, int(bucket_hex_digits))
+    ).withColumn(
         "tok_cnt", F.size(tokens_col(text_col)).cast("long"))
     w1 = Window.partitionBy(source_col, "_b").orderBy("_h", "doc_id")
     local = base.withColumn("_lc", F.sum("tok_cnt").over(w1))
@@ -1951,7 +1956,8 @@ def _hash_order_cumsum(df: DataFrame, source_col: str,
 
 def pack_sequences(df: DataFrame, seq_len: int, *,
                    source_col: str = "source",
-                   text_col: str = "text") -> DataFrame:
+                   text_col: str = "text",
+                   bucket_hex_digits: int = 1) -> DataFrame:
     """GPT-style sequence packing with document splitting — the
     pretraining-batch assembly step: each source's docs are
     concatenated in deterministic content-hash order (the same
@@ -1964,7 +1970,8 @@ def pack_sequences(df: DataFrame, seq_len: int, *,
     audit per-source sequence counts. Pure arithmetic on the exact
     two-phase prefix sum: identical to the one-window answer, no
     corpus sort, at any scale."""
-    out = _hash_order_cumsum(df, source_col, text_col).withColumn(
+    out = _hash_order_cumsum(df, source_col, text_col,
+                             bucket_hex_digits).withColumn(
         "cum_before",
         (F.col("_off") + F.col("_lc") - F.col("tok_cnt")).cast("long"))
     # integer div — exact on both engines at any token count
@@ -1982,7 +1989,8 @@ def pack_sequences(df: DataFrame, seq_len: int, *,
 def budget_sample(df: DataFrame, token_budget: int, *,
                   weights_bp: dict[str, int] | None = None,
                   source_col: str = "source",
-                  text_col: str = "text") -> DataFrame:
+                  text_col: str = "text",
+                  bucket_hex_digits: int = 1) -> DataFrame:
     """Token-budget mixture sampler — the corpus-assembly step that
     fills a training-token budget from each source: docs are taken in
     deterministic content-hash order (md5 of ``text_col``, doc_id
@@ -2004,8 +2012,10 @@ def budget_sample(df: DataFrame, token_budget: int, *,
     adds offset + local cum. Exact: (bucket, rest-of-hash) ordering ==
     global hash ordering, so the result is identical to the one-window
     plan at any scale (``_hash_order_cumsum`` — shared with
-    ``pack_sequences``)."""
-    out = _hash_order_cumsum(df, source_col, text_col)
+    ``pack_sequences``; ``bucket_hex_digits`` widens the bucket fan-out
+    at extreme per-source cardinalities)."""
+    out = _hash_order_cumsum(df, source_col, text_col,
+                             bucket_hex_digits)
     if weights_bp:
         bmap = F.create_map(*[F.lit(x) for s, bp in
                               sorted(weights_bp.items())

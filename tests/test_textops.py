@@ -883,3 +883,26 @@ def test_nb_train_score(spark):
     allone = docs.withColumn("label", F.lit(1))
     with _p.raises(ValueError, match="both classes"):
         nb_train(allone, "label")
+
+
+def test_hash_order_cumsum_bucket_width_invariance(spark):
+    """The two-phase prefix sum must be IDENTICAL for any bucket prefix
+    width (1 hex digit = 16 buckets, 2 = 256): (bucket, rest-of-hash)
+    ordering equals global hash ordering for every prefix length, so
+    widening the fan-out for huge sources cannot change a single row."""
+    from mre.textops import budget_sample, pack_sequences
+    rows = [(i, f"d{i} " + "w " * (i % 11), f"s{i % 3}")
+            for i in range(120)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, "
+                                       "source string")
+    a = {(r["doc_id"], r["cum_tokens"])
+         for r in budget_sample(docs, 55).collect()}
+    b = {(r["doc_id"], r["cum_tokens"])
+         for r in budget_sample(docs, 55, bucket_hex_digits=2).collect()}
+    assert a == b and a
+    pa = {(r["doc_id"], r["cum_before"], r["first_seq"], r["last_seq"])
+          for r in pack_sequences(docs, 16).collect()}
+    pb = {(r["doc_id"], r["cum_before"], r["first_seq"], r["last_seq"])
+          for r in pack_sequences(docs, 16,
+                                  bucket_hex_digits=3).collect()}
+    assert pa == pb and len(pa) == 120
