@@ -52,6 +52,25 @@ def main() -> None:
                          "default is the zero-copy lazy adapter")
     ap.add_argument("--wide-id", action="store_true",
                     help="128-bit doc identity (doc_id + doc_id_hi)")
+    ap.add_argument("--url-gate", action="store_true",
+                    help="RefinedWeb URL filter as curation stage 0 "
+                         "(the extraction output carries url)")
+    ap.add_argument("--ngram-battery", action="store_true",
+                    help="full Gopher Table A1 n-gram repetition rules "
+                         "in the quality stage")
+    ap.add_argument("--nb-gate", action="store_true",
+                    help="CCNet-style Naive Bayes bootstrap on the "
+                         "quality gate's verdicts")
+    ap.add_argument("--lm-max-nll", type=int, default=None,
+                    help="unigram-LM perplexity cut in micro-nats")
+    ap.add_argument("--line-clean", action="store_true",
+                    help="C4 line-level cleaning as stage 0")
+    ap.add_argument("--token-budget", type=int, default=None,
+                    help="per-source training-token budget before the "
+                         "split (mixture assembly)")
+    ap.add_argument("--bpe-merges", type=int, default=0,
+                    help="learn a BPE merge table from the survivors "
+                         "and write per-doc token accounting")
     ap.add_argument("--no-resume", action="store_true")
     args = ap.parse_args()
 
@@ -69,7 +88,14 @@ def main() -> None:
                    rewrite=args.rewrite,
                    rewrite_max_df=args.rewrite_max_df,
                    materialize_documents=args.materialize_documents,
-                   wide_id=args.wide_id)
+                   wide_id=args.wide_id,
+                   url_gate=args.url_gate,
+                   ngram_battery=args.ngram_battery,
+                   nb_gate=args.nb_gate,
+                   lm_max_nll=args.lm_max_nll,
+                   line_clean=args.line_clean,
+                   token_budget=args.token_budget,
+                   bpe_merges=args.bpe_merges)
     finally:
         spark.stop()
 

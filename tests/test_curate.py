@@ -1291,3 +1291,31 @@ def test_run_curate_nb_gate_stage(spark, docs, evals, tmp_path):
     surv = {r["doc_id"]
             for r in spark.read.parquet(f"{dst}/split").collect()}
     assert surv <= kept
+
+
+def test_run_corpus_url_gate(spark, tmp_path):
+    """Round-7: --url-gate works across the zero-copy adapter (the
+    extraction output keeps url), dropping pages whose url trips the
+    blocklist before any content-stage work."""
+    from mre.curate import run_corpus
+    from mre.fixtures import write_fixture_parquet
+    from pyspark.sql import functions as F
+
+    fx = str(tmp_path / "fixtures")
+    write_fixture_parquet(fx, n=80)
+    # poison a handful of urls with a hard blocklist marker
+    pages = spark.read.parquet(f"{fx}/pages.parquet")
+    poisoned = pages.withColumn(
+        "url",
+        F.when(F.xxhash64("url") % 10 == 0,
+               F.concat(F.col("url"), F.lit("-xxx-casino")))
+        .otherwise(F.col("url")))
+    src = str(tmp_path / "pages2")
+    poisoned.write.parquet(src)
+    wd = str(tmp_path / "corpus")
+    run_corpus(spark, src, wd, run_id="ug", url_gate=True)
+    kept_urls = {r["url"] for r in spark.read.parquet(
+        f"{wd}/curated/url_filter").join(
+        spark.read.parquet(f"{wd}/extracted").withColumn(
+            "doc_id", F.xxhash64("url")), "doc_id").collect()}
+    assert kept_urls and all("-xxx-" not in u for u in kept_urls)
