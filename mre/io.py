@@ -76,6 +76,13 @@ def read_pages(spark: SparkSession, src: str) -> DataFrame:
     if src.startswith("warc:"):
         from .sources.warc import read_warc
         return read_warc(spark, src[len("warc:"):])
+    if src.startswith("wet:"):
+        # Common Crawl's extracted-text distribution → the DOCUMENTS
+        # shape (doc_id, url, warc_ts, text, lang, source, n_chars):
+        # feed it to run_curate / the textops, not to run_extract —
+        # the HTML extract stage is already done upstream
+        from .sources.warc import wet_documents
+        return wet_documents(spark, src[len("wet:"):])
     if src.startswith("jsonl:"):
         return read_pages_jsonl(spark, src[len("jsonl:"):])
     for p in _FORMAT_PREFIXES:

@@ -165,3 +165,45 @@ def test_warc_content_type_charset_wins_over_meta(spark, tmp_path):
     from mre.core.extract import extract_one
     r = extract_one("https://ct.example/cafe", body)
     assert "�" in (r.extracted_text or "")
+
+
+def test_wet_roundtrip_and_curate(spark, tmp_path):
+    """WET source (round 7): conversion records round-trip byte-exactly
+    against the golden extracted text, the `wet:` dispatch lands the
+    documents shape, and the table feeds run_curate directly — the
+    text-only Common-Crawl path that skips the extract stage."""
+    import os
+
+    from mre import fixtures as FX
+    from mre.curate import run_curate
+    from mre.io import read_table
+    from mre.sources.warc import docs_from_wet_bytes, write_wet_gz
+
+    d = str(tmp_path / "wet")
+    os.makedirs(d)
+    write_wet_gz(os.path.join(d, "shard-0.wet.gz"), list(range(0, 40)))
+    write_wet_gz(os.path.join(d, "shard-1.wet.gz"), list(range(40, 80)))
+
+    # byte-level: records parse back to the exact golden text
+    with open(os.path.join(d, "shard-0.wet.gz"), "rb") as f:
+        rows = docs_from_wet_bytes("shard-0", f.read())
+    assert len(rows) == 40
+    by_url = {r["url"]: r for r in rows}
+    for i in (0, 7, 39):
+        g = FX.golden_row(i)
+        r = by_url[FX.url_of(i)]
+        assert r["text"] == (g["extracted_text"] or "")
+        assert r["warc_ts"] == FX.warc_ts_of(i)
+
+    # dispatch: documents shape, one row per record, stable identity
+    docs = read_table(spark, f"wet:{d}/*.wet.gz")
+    assert {"doc_id", "url", "text", "lang", "source", "n_chars"} \
+        <= set(docs.columns)
+    assert docs.count() == 80
+    assert docs.select("doc_id").distinct().count() == 80
+
+    # feeds the curation pipeline directly (quality stage + split run)
+    dst, lin = str(tmp_path / "c"), str(tmp_path / "l")
+    run_curate(spark, f"wet:{d}/*.wet.gz", dst, lin, run_id="wet1")
+    surv = spark.read.parquet(f"{dst}/split")
+    assert 0 < surv.count() <= 80
