@@ -248,14 +248,24 @@ def make_gif(width: int, height: int,
 
 
 def make_mp4(width: int, height: int, duration_ms: int,
-             timescale: int = 1000) -> bytes:
+             timescale: int = 1000,
+             frame_sizes: list[int] | None = None,
+             frame_duration: int = 100) -> bytes:
     """Minimal VALID ISO-BMFF (MP4) container: ftyp + moov(mvhd v0 with
     timescale/duration, trak(tkhd v0 with 16.16-fixed dims)) + a tiny
     mdat. Injective in (width, height, stored duration units) — the dims
     live in tkhd, the duration in mvhd — so byte-equality equals
     parameter equality (the media_meta oracle's replay contract).
     Duration is stored as ``duration_ms * timescale // 1000`` units; a
-    non-1000 timescale makes the sniffer's integer division observable."""
+    non-1000 timescale makes the sniffer's integer division observable.
+
+    ``frame_sizes`` (round 7) adds a REAL sample table — mdia→minf→stbl
+    with stts (one run: n samples × ``frame_duration`` units), stsz
+    (per-sample byte sizes), stsc (one chunk) and stco (the mdat
+    payload's ABSOLUTE file offset, patched after layout) — and an mdat
+    whose j-th sample is ``size_j`` copies of byte ``j % 256``, so a
+    frame enumerator can be held to byte-level truth: the bytes at each
+    reported (offset, size) are checkable, not just the numbers."""
     import struct
 
     def box(typ: bytes, body: bytes) -> bytes:
@@ -274,9 +284,39 @@ def make_mp4(width: int, height: int, duration_ms: int,
                + struct.pack(">IIIII", 0, 0, 1, 0, dur)
                + bytes(8) + struct.pack(">HHHH", 0, 0, 0, 0) + matrix
                + struct.pack(">II", width << 16, height << 16))
-    return (box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isommp41")
-            + box(b"moov", mvhd + box(b"trak", tkhd))
-            + box(b"mdat", b"\x00\x00\x00\x00"))
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isommp41")
+    if not frame_sizes:
+        return (ftyp + box(b"moov", mvhd + box(b"trak", tkhd))
+                + box(b"mdat", b"\x00\x00\x00\x00"))
+
+    ns = len(frame_sizes)
+    mdat_body = b"".join(bytes([j % 256]) * s
+                         for j, s in enumerate(frame_sizes))
+
+    def stbl_with(chunk_off: int) -> bytes:
+        stts = box(b"stts", bytes(4) + struct.pack(">III", 1, ns,
+                                                   frame_duration))
+        stsz = box(b"stsz", bytes(4) + struct.pack(">II", 0, ns)
+                   + b"".join(struct.pack(">I", s) for s in frame_sizes))
+        stsc = box(b"stsc", bytes(4) + struct.pack(">IIII", 1, 1, ns, 1))
+        stco = box(b"stco", bytes(4) + struct.pack(">II", 1, chunk_off))
+        return box(b"stbl", stts + stsz + stsc + stco)
+
+    def moov_with(chunk_off: int) -> bytes:
+        mdhd = box(b"mdhd", bytes(4)
+                   + struct.pack(">IIII", 0, 0, timescale,
+                                 ns * frame_duration)
+                   + struct.pack(">HH", 0x55C4, 0))
+        hdlr = box(b"hdlr", bytes(8) + b"vide" + bytes(12) + b"\x00")
+        minf = box(b"minf", stbl_with(chunk_off))
+        mdia = box(b"mdia", mdhd + hdlr + minf)
+        return box(b"moov", mvhd + box(b"trak", tkhd + mdia))
+
+    # stco stores an absolute file offset; the moov LENGTH is offset-
+    # independent (fixed u32 field), so lay out once with 0 and patch
+    probe = moov_with(0)
+    chunk_off = len(ftyp) + len(probe) + 8          # mdat payload start
+    return ftyp + moov_with(chunk_off) + box(b"mdat", mdat_body)
 
 
 def make_wav(sample_rate: int, n_samples: int = 8,
@@ -412,40 +452,153 @@ def gif_frames(payload: bytes | None):
         return None
 
 
+def mp4_frames(payload: bytes | None):
+    """REAL MP4 sample enumeration (pure stdlib, no codec): box-walk
+    moov→trak→mdia→minf→stbl, read stts (per-sample durations), stsz
+    (per-sample sizes), stsc (samples per chunk) and stco (chunk
+    offsets), and derive every sample's ABSOLUTE byte offset (chunk
+    offset + cumulative in-chunk sizes) and start time in track
+    timescale units. Returns one (offset, size, t_units) tuple per
+    sample; None for non-BMFF payloads or containers without a sample
+    table; truncated/malformed boxes return what was parsed; never
+    raises. This is the video-container half of the frames family —
+    sample geometry rides the track header (constant per track), so
+    the per-sample facts are (offset, size, time)."""
+    try:
+        if payload is None or len(payload) < 12 \
+                or payload[4:8] != b"ftyp":
+            return None
+        stts = stsz = stsc = stco = None
+        n = len(payload)
+
+        def find(typ, i, end):
+            for t, s, e in _bmff_boxes(payload, i, end):
+                if t == typ:
+                    return s, e
+            return None
+
+        scope = find(b"moov", 0, n)
+        for typ in (b"trak", b"mdia", b"minf", b"stbl"):
+            if scope is None:
+                return None
+            scope = find(typ, *scope)
+        if scope is None:
+            return None
+        for t, s, e in _bmff_boxes(payload, *scope):
+            body = payload[s:e]
+            if t == b"stts":
+                stts = body
+            elif t == b"stsz":
+                stsz = body
+            elif t == b"stsc":
+                stsc = body
+            elif t == b"stco":
+                stco = body
+        if not (stts and stsz and stco):
+            return None
+        ns = int.from_bytes(stsz[8:12], "big")
+        fixed = int.from_bytes(stsz[4:8], "big")
+        sizes = ([fixed] * ns if fixed else
+                 [int.from_bytes(stsz[12 + 4 * j:16 + 4 * j], "big")
+                  for j in range(min(ns, (len(stsz) - 12) // 4))])
+        # stts runs → per-sample durations
+        durs = []
+        nruns = int.from_bytes(stts[4:8], "big")
+        for r in range(nruns):
+            o = 8 + 8 * r
+            if o + 8 > len(stts):
+                break
+            cnt = int.from_bytes(stts[o:o + 4], "big")
+            d = int.from_bytes(stts[o + 4:o + 8], "big")
+            durs.extend([d] * min(cnt, ns - len(durs)))
+        # stsc runs → samples per chunk (default: all in chunk 1)
+        chunks = [int.from_bytes(stco[8 + 4 * c:12 + 4 * c], "big")
+                  for c in range(int.from_bytes(stco[4:8], "big"))
+                  if 12 + 4 * c <= len(stco)]
+        spc = []
+        if stsc:
+            ne = int.from_bytes(stsc[4:8], "big")
+            ents = []
+            for r in range(ne):
+                o = 8 + 12 * r
+                if o + 12 > len(stsc):
+                    break
+                ents.append((int.from_bytes(stsc[o:o + 4], "big"),
+                             int.from_bytes(stsc[o + 4:o + 8], "big")))
+            for k, (first, cnt) in enumerate(ents):
+                last = (ents[k + 1][0] - 1 if k + 1 < len(ents)
+                        else len(chunks))
+                spc.extend([cnt] * max(last - first + 1, 0))
+        if not spc:
+            spc = [ns]
+        out, j, t = [], 0, 0
+        for c, coff in enumerate(chunks):
+            off = coff
+            take = spc[c] if c < len(spc) else (spc[-1] if spc else 0)
+            for _ in range(take):
+                if j >= len(sizes):
+                    break
+                out.append((off, sizes[j], t))
+                off += sizes[j]
+                t += durs[j] if j < len(durs) else 0
+                j += 1
+        return out
+    except Exception:
+        return None
+
+
 FRAME_SCHEMA = ("media_id bigint, frame_idx int, byte_offset bigint, "
-                "left int, top int, width int, height int")
+                "left int, top int, width int, height int, "
+                "size int, t_units bigint")
 
 
 def sample_frames(media: DataFrame, every_n: int = 1,
                   max_frames: int | None = None) -> DataFrame:
-    """Frame-sampling over multi-frame (animated GIF) payloads — the
-    video half of the prompt's decode/resize/frame-sample plumbing,
-    with the half that needs no codec done for REAL: frame enumeration
-    (``gif_frames`` block walk) yields every frame's byte offset and
-    geometry; rows are emitted for frames 0, every_n, 2·every_n, …
-    capped at ``max_frames``. Pixel decode of a sampled frame remains
-    the documented ``decode_media`` stub (LZW + compositing need a
-    codec); an ffmpeg-backed prod version swaps the enumerator and
-    keeps this exact schema/batching."""
+    """Frame-sampling over multi-frame payloads — the video half of the
+    prompt's decode/resize/frame-sample plumbing, with the half that
+    needs no codec done for REAL: animated-GIF frame enumeration
+    (``gif_frames`` block walk → per-frame byte offset + geometry;
+    ``size``/``t_units`` null) AND MP4 sample-table enumeration
+    (``mp4_frames`` stts/stsz/stsc/stco walk → per-sample byte offset,
+    size and start time in timescale units; ``left``/``top`` 0, width/
+    height null — geometry rides the track header). Rows are emitted
+    for frames 0, every_n, 2·every_n, … capped at ``max_frames``.
+    Pixel decode of a sampled frame remains the documented
+    ``decode_media`` stub (LZW/codecs); an ffmpeg-backed prod version
+    swaps the enumerators and keeps this exact schema/batching."""
     def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["media_id", "frame_idx", "byte_offset", "left", "top",
+                "width", "height", "size", "t_units"]
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 p = bytes(payload) if payload is not None else None
-                frames = gif_frames(p)
-                if not frames:
+                gf = gif_frames(p)
+                if gf:
+                    taken = gf[::max(every_n, 1)]
+                    if max_frames is not None:
+                        taken = taken[:max_frames]
+                    for k, (off, left, top, fw, fh) in enumerate(taken):
+                        rows.append({"media_id": mid,
+                                     "frame_idx": k * max(every_n, 1),
+                                     "byte_offset": off, "left": left,
+                                     "top": top, "width": fw,
+                                     "height": fh, "size": None,
+                                     "t_units": None})
                     continue
-                taken = frames[::max(every_n, 1)]
-                if max_frames is not None:
-                    taken = taken[:max_frames]
-                for k, (off, left, top, fw, fh) in enumerate(taken):
-                    rows.append({"media_id": mid,
-                                 "frame_idx": k * max(every_n, 1),
-                                 "byte_offset": off, "left": left,
-                                 "top": top, "width": fw, "height": fh})
-            yield pd.DataFrame(rows, columns=[
-                "media_id", "frame_idx", "byte_offset", "left", "top",
-                "width", "height"])
+                mf = mp4_frames(p)
+                if mf:
+                    taken = mf[::max(every_n, 1)]
+                    if max_frames is not None:
+                        taken = taken[:max_frames]
+                    for k, (off, sz, t) in enumerate(taken):
+                        rows.append({"media_id": mid,
+                                     "frame_idx": k * max(every_n, 1),
+                                     "byte_offset": off, "left": 0,
+                                     "top": 0, "width": None,
+                                     "height": None, "size": sz,
+                                     "t_units": t})
+            yield pd.DataFrame(rows, columns=cols)
 
     return media.select("media_id", "payload").mapInPandas(
         run, FRAME_SCHEMA)
@@ -670,6 +823,6 @@ __all__ = ["MEDIA_SCHEMA", "FEATURE_SCHEMA", "MEDIA_META_SCHEMA",
            "synth_media", "decode_media", "extract_media_features",
            "sniff_media_meta", "media_meta", "resize_media",
            "audio_frame_windows", "wav_pcm_samples",
-           "gif_frames", "sample_frames", "FRAME_SCHEMA",
+           "gif_frames", "mp4_frames", "sample_frames", "FRAME_SCHEMA",
            "media_exact_dedup", "media_band_dedup",
            "make_png", "make_jpeg", "make_gif", "make_wav", "make_mp4"]

@@ -463,3 +463,48 @@ def test_ingest_stream_compact_every(spark, tmp_path):
         q.stop()
     assert {r["doc_id"] for r in spark.read.parquet(acc).collect()} \
         == {300, 301}
+
+
+def test_mp4_sample_table_roundtrip():
+    """make_mp4 frame tables → mp4_frames byte-level truth (round 7):
+    every reported (offset, size) slice equals the builder's sample
+    bytes, times follow the stts run, table-less mp4s and non-BMFF
+    payloads return None, and every truncation prefix parses without
+    raising."""
+    from mre.multimodal import make_gif, make_mp4, mp4_frames, \
+        sniff_media_meta
+    sizes = [10, 33, 7, 50]
+    p = make_mp4(64, 48, 2000, timescale=600, frame_sizes=sizes,
+                 frame_duration=40)
+    fr = mp4_frames(p)
+    assert [s for _, s, _ in fr] == sizes
+    for j, (off, sz, t) in enumerate(fr):
+        assert p[off:off + sz] == bytes([j % 256]) * sz
+        assert t == j * 40
+    # the meta sniff still reads the same container
+    assert sniff_media_meta(p) == ("mp4", 64, 48, None, 2000)
+    assert mp4_frames(make_mp4(10, 10, 500)) is None
+    assert mp4_frames(make_gif(8, 8)) is None
+    for k in range(0, len(p), 3):
+        mp4_frames(p[:k])  # never raises
+
+
+def test_sample_frames_mixed_gif_mp4(spark):
+    """sample_frames dispatches per payload: GIF rows carry geometry
+    (size/t_units null), MP4 rows carry size + start time (geometry
+    null); every_n striding applies to both."""
+    import pandas as pd
+    from mre.multimodal import make_gif, make_mp4, sample_frames
+    gif = make_gif(20, 10, frames=[(0, 0, 5, 5), (1, 1, 6, 6),
+                                   (2, 2, 7, 7)])
+    mp4 = make_mp4(32, 32, 900, frame_sizes=[4, 9, 2], frame_duration=30)
+    media = spark.createDataFrame(
+        pd.DataFrame([{"media_id": 1, "payload": gif},
+                      {"media_id": 2, "payload": mp4}]),
+        "media_id long, payload binary")
+    rows = {(r["media_id"], r["frame_idx"]): r.asDict()
+            for r in sample_frames(media, every_n=2).collect()}
+    assert set(rows) == {(1, 0), (1, 2), (2, 0), (2, 2)}
+    assert rows[(1, 2)]["width"] == 7 and rows[(1, 2)]["size"] is None
+    assert rows[(2, 2)]["size"] == 2 and rows[(2, 2)]["t_units"] == 60
+    assert rows[(2, 0)]["width"] is None
