@@ -954,8 +954,15 @@ def q_hash_sample(spark, sf_dir):
     per-source cap: docs taken in md5-hash order per source while the
     running whitespace-token total stays ≤ the budget; lang carries
     the source, n_chars the running total INCLUDING the doc (so the
-    exact hash ordering and the inclusive cut are value-checked)."""
-    from mre.textops import budget_sample, hash_sample, stratified_sample
+    exact hash ordering and the inclusive cut are value-checked).
+    op='dsir' (round 7) — DSIR importance selection (Xie et al. 2023):
+    hashed unigram+bigram bucket log-ratios toward the lang='en'
+    target distribution in exact micro-nat integers (the unigram-LM
+    device), exact top-n//5 by (weight desc, doc_id) via the sort-free
+    histogram threshold; n_chars carries the integer weight so the
+    whole learn→score→select chain is value-checked per row."""
+    from mre.textops import (budget_sample, dsir_topk, hash_sample,
+                             stratified_sample)
     _prep(spark)
     docs = _t(spark, sf_dir, "documents")
     flat = hash_sample(docs, "text", 0.05) \
@@ -968,7 +975,11 @@ def q_hash_sample(spark, sf_dir):
         F.lit("budget").alias("op"), "doc_id",
         F.col("source").alias("lang"),
         F.col("cum_tokens").alias("n_chars"))
-    return flat.unionAll(strat).unionAll(budg)
+    dsir = dsir_topk(docs, F.col("lang") == "en",
+                     docs.count() // 5).select(
+        F.lit("dsir").alias("op"), "doc_id", "lang",
+        F.col("dsir_weight_micro").alias("n_chars"))
+    return flat.unionAll(strat).unionAll(budg).unionAll(dsir)
 
 
 def q_hash_split(spark, sf_dir):
@@ -2355,6 +2366,61 @@ def oracle_sql() -> dict[str, str]:
                                    ROWS UNBOUNDED PRECEDING) AS cum
                   FROM documents)
             WHERE cum <= 700
+            UNION ALL
+            -- op='dsir': the full DSIR learn->score->select replay.
+            -- Feature list, bucket hash, add-1 micro-nat log-ratio and
+            -- the integer per-doc sum mirror mre/textops.py
+            -- dsir_features_col/_dsir_bucket_col/dsir_bucket_lr op for
+            -- op; the ROW_NUMBER <= n//5 form is exactly what
+            -- topk_by_weight's histogram threshold computes.
+            SELECT 'dsir' AS op, doc_id, lang,
+                   CAST(w AS BIGINT) AS n_chars
+            FROM (
+              WITH toks AS (
+                SELECT doc_id, lang,
+                       list_filter(regexp_split_to_array(
+                           lower(trim(text)), '\\s+'),
+                           t -> t <> '') AS tk
+                FROM documents),
+              feats AS (
+                SELECT doc_id, lang,
+                       unnest(list_concat(tk,
+                         list_transform(range(1, greatest(len(tk), 1)),
+                                        i -> tk[i] || ' ' || tk[i+1])))
+                       AS f
+                FROM toks),
+              bx AS (
+                SELECT doc_id, lang, f,
+                       CAST(('0x' || substring(md5(f), 1, 4))
+                            AS INTEGER) % 256 AS b
+                FROM feats),
+              cnts AS (
+                SELECT b, count(*) AS cr,
+                       sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ct
+                FROM bx GROUP BY b),
+              tots AS (SELECT sum(cr) AS tr, sum(ct) AS tt FROM cnts),
+              allb AS (
+                SELECT r.range AS b, coalesce(c.cr, 0) AS cr,
+                       coalesce(c.ct, 0) AS ct
+                FROM range(0, 256) r LEFT JOIN cnts c ON c.b = r.range),
+              lr AS (
+                SELECT b,
+                       CAST(floor(-ln(CAST(cr + 1 AS DOUBLE)
+                            / CAST(tr + 256 AS DOUBLE)) * 1e6) AS BIGINT)
+                     - CAST(floor(-ln(CAST(ct + 1 AS DOUBLE)
+                            / CAST(tt + 256 AS DOUBLE)) * 1e6) AS BIGINT)
+                       AS lrm
+                FROM allb, tots),
+              wts AS (
+                SELECT d.doc_id, d.lang, coalesce(s.w, 0) AS w
+                FROM documents d LEFT JOIN (
+                  SELECT bx.doc_id, sum(lr.lrm) AS w
+                  FROM bx JOIN lr USING (b) GROUP BY bx.doc_id) s
+                USING (doc_id))
+              SELECT doc_id, lang, w,
+                     row_number() OVER (ORDER BY w DESC, doc_id) AS rn
+              FROM wts)
+            WHERE rn <= (SELECT count(*) // 5 FROM documents)
         """,
         "hash_split": """
             SELECT CASE WHEN CAST(('0x' || substring(md5(text), 1, 4))

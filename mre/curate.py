@@ -203,7 +203,9 @@ def curate_df(docs: DataFrame, evals: Optional[DataFrame] = None, *,
               media: Optional[DataFrame] = None,
               media_dedup: str = "exact",
               lm_max_nll: int | None = None,
-              lm_vocab_top: int = 4096) -> DataFrame:
+              lm_vocab_top: int = 4096,
+              dsir_top_frac: float | None = None,
+              dsir_target_lang: str = "en") -> DataFrame:
     """The full curation chain as a single DataFrame: surviving docs with
     their train/test ``split`` assignment (text column dropped).
 
@@ -259,6 +261,13 @@ def curate_df(docs: DataFrame, evals: Optional[DataFrame] = None, *,
             contaminated_ids(kept, evals, n=contamination_n,
                              min_shared=contamination_min_shared),
             "doc_id", "left_anti")
+    if dsir_top_frac is not None:
+        # DSIR importance selection toward the target-language subset
+        # (round 7; see run_curate's dsir_select stage for the shape)
+        from .textops import dsir_topk
+        k = int(kept.count() * float(dsir_top_frac))
+        kept = (dsir_topk(kept, F.col("lang") == dsir_target_lang, k)
+                .drop("dsir_n_feats", "dsir_weight_micro"))
     return hash_split(kept, "text", train_frac).drop("text")
 
 
@@ -330,7 +339,9 @@ def run_curate(spark: SparkSession, src, dst: str, lineage_dst: str,
                token_budget: int | None = None,
                budget_weights_bp: dict[str, int] | None = None,
                nb_gate: bool = False,
-               nb_vocab_top: int = 4096) -> None:
+               nb_vocab_top: int = 4096,
+               dsir_top_frac: float | None = None,
+               dsir_target_lang: str = "en") -> None:
     """Run the curation pipeline end-to-end with stage checkpoints.
 
     ``src`` is a documents table (doc_id, text, …) — a path/URI, or a
@@ -416,7 +427,18 @@ def run_curate(spark: SparkSession, src, dst: str, lineage_dst: str,
     classifier (``textops.nb_train``, bounded ``nb_vocab_top`` vocab)
     is trained on the heuristic gate's own pass/fail verdicts and
     quality survivors the classifier rejects are dropped; if either
-    verdict class is empty the stage is a recorded no-op."""
+    verdict class is empty the stage is a recorded no-op.
+
+    ``dsir_top_frac`` (round 7) inserts a ``dsir_select`` stage after
+    decontamination (before the token-budget mixture): DSIR importance
+    selection (Xie et al. 2023) keeps the top fraction of survivors by
+    hashed-ngram importance weight toward the ``dsir_target_lang``
+    subset of the survivors themselves (the in-corpus stand-in for an
+    external target corpus). Learn = one feature-count shuffle to a
+    bounded 256-bucket log-ratio table; score = a zero-shuffle map-
+    literal fold; select = the sort-free histogram top-k
+    (``textops.dsir_topk``). Resumes through the lineage like every
+    other stage."""
     from .textops import cache_mark, release_caches
     if rewrite not in (None, "passages", "windows"):
         raise ValueError(f"rewrite must be None|'passages'|'windows', "
@@ -442,7 +464,9 @@ def run_curate(spark: SparkSession, src, dst: str, lineage_dst: str,
         url_gate=url_gate, token_budget=token_budget,
         budget_weights_bp=(tuple(sorted(budget_weights_bp.items()))
                            if budget_weights_bp else None),
-        nb_gate=nb_gate, nb_vocab_top=nb_vocab_top)
+        nb_gate=nb_gate, nb_vocab_top=nb_vocab_top,
+        dsir_top_frac=dsir_top_frac,
+        dsir_target_lang=dsir_target_lang if dsir_top_frac else None)
     done = completed_stages(spark, lineage_dst, run_id, ph) if resume \
         else set()
 
@@ -589,6 +613,21 @@ def run_curate(spark: SparkSession, src, dst: str, lineage_dst: str,
             s3)
     else:
         s4 = _stage("decontaminate", lambda: s3, s3)
+    if dsir_top_frac is not None:
+        # DSIR selection — keep the top fraction of fully-deduped,
+        # decontaminated survivors by importance weight toward the
+        # target-language subset, before mixture assembly sees them
+        from .textops import dsir_topk
+        _s4_pre_d = s4
+
+        def _dsir():
+            surv = base.join(_s4_pre_d, "doc_id", "left_semi")
+            k = int(surv.count() * float(dsir_top_frac))
+            return dsir_topk(surv,
+                             F.col("lang") == dsir_target_lang,
+                             k).select("doc_id")
+
+        s4 = _stage("dsir_select", _dsir, _s4_pre_d)
     if token_budget is not None:
         # mixture assembly — fill the per-source token budget from the
         # fully-curated survivors, before the split freezes the corpus

@@ -2030,8 +2030,176 @@ def budget_sample(df: DataFrame, token_budget: int, *,
             .drop("_h", "_b", "_lc", "_off"))
 
 
+# --------------------------------------------------------------------------
+# DSIR data selection (Xie et al. 2023, "Data Selection for Language
+# Models via Importance Resampling", NeurIPS — public method). The
+# target distribution (e.g. Wikipedia-like text; here any caller-chosen
+# predicate over the corpus) and the raw distribution are modelled as
+# bag-of-hashed-ngram generative models; a document's importance weight
+# is sum over its features of log(p_target(f) / p_raw(f)), and the
+# selected subset is the top-k by weight. All cross-engine arithmetic
+# is INTEGER via the micro-nat device shared with the unigram LM
+# (_nll_micro_expr): each bucket's log-ratio is a difference of two
+# floored micro-nat NLLs, so per-doc sums are exact, order-independent
+# and engine-portable.
+
+DSIR_BUCKETS = 256
+
+
+def dsir_features_col(text_col: str = "text"):
+    """Unigram + bigram feature array (DSIR's hashed-ngram features)
+    from the shared whitespace tokenization: the non-empty tokens plus
+    space-joined adjacent pairs. Pure column expression — rides any
+    scan. Mirrored verbatim by the DuckDB oracle (1-indexed
+    range(1, len) there == the guarded sequence here)."""
+    toks = F.filter(tokens_col(text_col), lambda t: t != "")
+    # Spark sequence(1, 0) DESCENDS (step defaults to -1 when start >
+    # stop), so the bigram index range needs an explicit size guard
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat(F.element_at(toks, i), F.lit(" "),
+                               F.element_at(toks, i + 1)))
+    ).otherwise(F.array().cast("array<string>"))
+    return F.concat(toks, bigrams)
+
+
+def _dsir_bucket_col(feat_col, n_buckets: int):
+    """Engine-stable feature bucket: md5 first-4-hex-chars (the
+    ``hash_bucket_16`` device) mod ``n_buckets``."""
+    return (F.conv(F.substring(F.md5(feat_col), 1, 4), 16, 10)
+            .cast("int") % n_buckets)
+
+
+def dsir_bucket_lr(docs: DataFrame, target_pred,
+                   n_buckets: int = DSIR_BUCKETS,
+                   text_col: str = "text") -> DataFrame:
+    """Learn the DSIR bucket log-ratio table: one distributed
+    feature-count aggregation (map-side combinable — the corpus
+    shuffles COUNTS only, never features per doc), densified to all
+    ``n_buckets`` rows so the scoring map literal is total.
+
+    Columns: bucket, cnt_raw, cnt_tgt, lr_micro where
+    lr_micro = floor(-ln((cnt_raw+1)/(tot_raw+B))*1e6)
+             - floor(-ln((cnt_tgt+1)/(tot_tgt+B))*1e6)
+    (add-1 smoothing; positive when the feature is relatively more
+    likely under the target). The totals are two scalars collected
+    from the <=B-row count frame — driver-safe by construction."""
+    fx = (docs.withColumn("_ft", dsir_features_col(text_col))
+          .select(target_pred.alias("_is_t"),
+                  F.explode("_ft").alias("f")))
+    cnts = (fx.groupBy(_dsir_bucket_col(F.col("f"), n_buckets)
+                       .alias("bucket"))
+            .agg(F.count("*").alias("cnt_raw"),
+                 F.sum(F.when(F.col("_is_t"), 1).otherwise(0))
+                 .alias("cnt_tgt")))
+    cnts = cnts.persist()
+    row = cnts.agg(F.sum("cnt_raw"), F.sum("cnt_tgt")).first()
+    tot_raw, tot_tgt = int(row[0] or 0), int(row[1] or 0)
+    allb = (docs.sparkSession.range(n_buckets)
+            .select(F.col("id").cast("int").alias("bucket"))
+            .join(cnts, "bucket", "left")
+            .select("bucket",
+                    F.coalesce("cnt_raw", F.lit(0)).alias("cnt_raw"),
+                    F.coalesce("cnt_tgt", F.lit(0)).alias("cnt_tgt")))
+    out = allb.select(
+        "bucket", "cnt_raw", "cnt_tgt",
+        (_nll_micro_expr(F.col("cnt_raw") + 1,
+                         F.lit(tot_raw + n_buckets))
+         - _nll_micro_expr(F.col("cnt_tgt") + 1,
+                           F.lit(tot_tgt + n_buckets))).alias("lr_micro"))
+    out = out.localCheckpoint()  # bounded (B rows); frees the persist
+    cnts.unpersist()
+    return out
+
+
+def dsir_weights(docs: DataFrame, target_pred,
+                 n_buckets: int = DSIR_BUCKETS,
+                 text_col: str = "text",
+                 lr_rows: list | None = None) -> DataFrame:
+    """Per-document DSIR importance weight in micro-nats.
+
+    ``lr_rows`` is the bounded learned table (list of (bucket,
+    lr_micro); collect it from ``dsir_bucket_lr`` — same device as the
+    LM vocab rows): the lookup becomes a MAP literal inside a fold over
+    the feature array, so scoring is a pure projection — zero shuffle,
+    rides any corpus scan. Docs with no features weigh 0.
+
+    Adds: dsir_n_feats, dsir_weight_micro."""
+    if lr_rows is None:
+        lr_rows = [(int(r["bucket"]), int(r["lr_micro"]))
+                   for r in dsir_bucket_lr(
+                       docs, target_pred, n_buckets, text_col)
+                   .select("bucket", "lr_micro").collect()]
+    lut = F.create_map(*[F.lit(v) for b, lr in sorted(lr_rows)
+                         for v in (b, int(lr))])
+    ft = dsir_features_col(text_col)
+    return (docs.withColumn("_ft", ft)
+            .withColumn("dsir_n_feats", F.size("_ft").cast("long"))
+            .withColumn(
+                "dsir_weight_micro",
+                F.aggregate(
+                    F.col("_ft"), F.lit(0).cast("long"),
+                    lambda acc, f: acc + F.element_at(
+                        lut, _dsir_bucket_col(f, n_buckets))
+                    .cast("long")))
+            .drop("_ft"))
+
+
+def topk_by_weight(df: DataFrame, k: int,
+                   weight_col: str = "dsir_weight_micro",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Exact global top-k by (weight desc, id asc) WITHOUT a corpus
+    sort — the scale-shaped selection step. A histogram aggregation
+    (one shuffle of per-weight counts) finds the threshold weight w*
+    and how many rows sit strictly above it; rows above w* pass
+    unsorted, and only the TIE SET at w* is ranked by id (a window
+    over the tie rows alone — integer micro-nat weights make large tie
+    sets degenerate-corpus territory; if one ever matters, sub-bucket
+    the tie ranking with the ``_hash_order_cumsum`` prefix device).
+    Result equals row_number() OVER (ORDER BY weight DESC, id) <= k
+    exactly — the form the SQL oracle replays."""
+    from pyspark.sql import Window
+    k = int(k)
+    if k <= 0:
+        return df.limit(0)
+    hist = df.groupBy(weight_col).agg(F.count("*").alias("_n"))
+    wsp = Window.orderBy(F.desc(weight_col)) \
+        .rowsBetween(Window.unboundedPreceding, -1)
+    thr = (hist
+           .withColumn("_cb", F.coalesce(F.sum("_n").over(wsp),
+                                         F.lit(0)))
+           .filter(F.col("_cb") < k)
+           .agg(F.min(weight_col).alias("_w_star"),
+                F.max("_cb").alias("_c_gt")))
+    hi = (df.join(F.broadcast(thr),
+                  F.col(weight_col) > F.col("_w_star"))
+          .drop("_w_star", "_c_gt"))
+    ties = df.join(F.broadcast(thr),
+                   F.col(weight_col) == F.col("_w_star"))
+    tw = Window.orderBy(id_col)
+    tie_sel = (ties.withColumn("_rn", F.row_number().over(tw))
+               .filter(F.col("_rn") <= k - F.col("_c_gt"))
+               .drop("_rn", "_w_star", "_c_gt"))
+    return hi.unionByName(tie_sel)
+
+
+def dsir_topk(docs: DataFrame, target_pred, k: int,
+              n_buckets: int = DSIR_BUCKETS,
+              text_col: str = "text") -> DataFrame:
+    """DSIR selection: learn bucket log-ratios, score every doc as a
+    pure projection, keep the exact top-k by (weight desc, doc_id asc).
+    Two corpus scans (learn + score-and-select), one count shuffle and
+    one histogram shuffle — no corpus sort, no per-feature join."""
+    return topk_by_weight(
+        dsir_weights(docs, target_pred, n_buckets, text_col), k)
+
+
 __all__ = [
     "release_caches", "cache_mark",
+    "dsir_features_col", "dsir_bucket_lr", "dsir_weights",
+    "dsir_topk", "topk_by_weight", "DSIR_BUCKETS",
     "c4_line_clean", "domain_cap", "url_filter", "budget_sample",
     "pack_sequences",
     "URL_SPAM_HARD", "URL_SPAM_SOFT",

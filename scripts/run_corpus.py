@@ -71,6 +71,12 @@ def main() -> None:
     ap.add_argument("--bpe-merges", type=int, default=0,
                     help="learn a BPE merge table from the survivors "
                          "and write per-doc token accounting")
+    ap.add_argument("--dsir-top-frac", type=float, default=None,
+                    help="DSIR importance selection: keep this fraction "
+                         "of curated survivors by importance weight "
+                         "toward the target-language subset")
+    ap.add_argument("--dsir-target-lang", default="en",
+                    help="target language for --dsir-top-frac")
     ap.add_argument("--no-resume", action="store_true")
     args = ap.parse_args()
 
@@ -95,7 +101,9 @@ def main() -> None:
                    lm_max_nll=args.lm_max_nll,
                    line_clean=args.line_clean,
                    token_budget=args.token_budget,
-                   bpe_merges=args.bpe_merges)
+                   bpe_merges=args.bpe_merges,
+                   dsir_top_frac=args.dsir_top_frac,
+                   dsir_target_lang=args.dsir_target_lang)
     finally:
         spark.stop()
 

@@ -107,6 +107,13 @@ def main() -> None:
                     help="opt-in CCNet-style bootstrap: train a Naive "
                          "Bayes classifier on the quality gate's own "
                          "verdicts and drop survivors it rejects")
+    ap.add_argument("--dsir-top-frac", type=float, default=None,
+                    help="opt-in DSIR importance selection: keep this "
+                         "fraction of curated survivors by hashed-ngram "
+                         "importance weight toward the target-language "
+                         "subset (before --token-budget)")
+    ap.add_argument("--dsir-target-lang", default="en",
+                    help="target language for --dsir-top-frac")
     ap.add_argument("--no-resume", action="store_true")
     args = ap.parse_args()
 
@@ -139,6 +146,8 @@ def main() -> None:
                    url_gate=args.url_gate,
                    token_budget=args.token_budget,
                    nb_gate=args.nb_gate,
+                   dsir_top_frac=args.dsir_top_frac,
+                   dsir_target_lang=args.dsir_target_lang,
                    resume=not args.no_resume)
     finally:
         spark.stop()

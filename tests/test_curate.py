@@ -1319,3 +1319,44 @@ def test_run_corpus_url_gate(spark, tmp_path):
         spark.read.parquet(f"{wd}/extracted").withColumn(
             "doc_id", F.xxhash64("url")), "doc_id").collect()}
     assert kept_urls and all("-xxx-" not in u for u in kept_urls)
+
+
+def test_run_curate_dsir_select_stage(spark, docs, evals, tmp_path):
+    """Round-7 DSIR selection: the dsir_select stage equals dsir_topk
+    applied directly to the decontaminated survivors (top half toward
+    the 'en' target), only selected docs reach the split, and resume
+    skips the stage."""
+    from mre.curate import read_curate_lineage
+    from mre.textops import dsir_topk
+    src = str(tmp_path / "docs")
+    docs.write.parquet(src)
+    dst, lin = str(tmp_path / "c"), str(tmp_path / "l")
+    run_curate(spark, src, dst, lin, run_id="ds1", dsir_top_frac=0.5)
+    base_ids = spark.read.parquet(f"{dst}/decontaminate")
+    surv = docs.join(base_ids, "doc_id", "left_semi")
+    k = int(surv.count() * 0.5)
+    expect = {r["doc_id"] for r in
+              dsir_topk(surv, F.col("lang") == "en", k).collect()}
+    got = {r["doc_id"]
+           for r in spark.read.parquet(f"{dst}/dsir_select").collect()}
+    assert got == expect and len(got) == k
+    split = {r["doc_id"]
+             for r in spark.read.parquet(f"{dst}/split").collect()}
+    assert split == got
+    # resume with identical params: no new attempt rows
+    before = read_curate_lineage(spark, lin).count()
+    run_curate(spark, src, dst, lin, run_id="ds1", dsir_top_frac=0.5)
+    assert read_curate_lineage(spark, lin).count() == before
+
+
+def test_curate_df_dsir_matches_run_curate(spark, docs, tmp_path):
+    """The single-DataFrame API applies the same DSIR cut."""
+    out = {r["doc_id"] for r in
+           curate_df(docs, None, dsir_top_frac=0.5).collect()}
+    src = str(tmp_path / "docs")
+    docs.write.parquet(src)
+    dst, lin = str(tmp_path / "c2"), str(tmp_path / "l2")
+    run_curate(spark, src, dst, lin, run_id="ds2", dsir_top_frac=0.5)
+    split = {r["doc_id"]
+             for r in spark.read.parquet(f"{dst}/split").collect()}
+    assert out == split and out

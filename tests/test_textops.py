@@ -906,3 +906,85 @@ def test_hash_order_cumsum_bucket_width_invariance(spark):
           for r in pack_sequences(docs, 16,
                                   bucket_hex_digits=3).collect()}
     assert pa == pb and len(pa) == 120
+
+
+def test_dsir_weights_match_python_replay(spark):
+    """DSIR bucket log-ratios and per-doc weights replayed in pure
+    Python (math.log + floor micro-nats) — the same arithmetic the
+    DuckDB oracle runs; exactness is the contract."""
+    import hashlib
+    import math
+    from mre.textops import dsir_weights
+    rows = [(0, "the quick brown fox", "en"),
+            (1, "le renard brun rapide", "fr"),
+            (2, "the lazy dog sleeps", "en"),
+            (3, "", "en"),
+            (4, "one", "de"),
+            (5, "the the the quick quick", "en")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, "
+                                       "lang string")
+    got = {r["doc_id"]: (r["dsir_n_feats"], r["dsir_weight_micro"])
+           for r in dsir_weights(docs, F.col("lang") == "en").collect()}
+
+    B = 256
+
+    def feats(text):
+        tk = [t for t in text.lower().strip().split() if t]
+        return tk + [f"{a} {b}" for a, b in zip(tk, tk[1:])]
+
+    def bucket(f):
+        return int(hashlib.md5(f.encode()).hexdigest()[:4], 16) % B
+
+    cr, ct = {}, {}
+    for _i, text, lang in rows:
+        for f in feats(text):
+            b = bucket(f)
+            cr[b] = cr.get(b, 0) + 1
+            if lang == "en":
+                ct[b] = ct.get(b, 0) + 1
+    tr = sum(cr.values())
+    tt = sum(ct.values())
+    nll = lambda c, d: math.floor(-math.log(c / d) * 1e6)
+    lr = {b: nll(cr.get(b, 0) + 1, tr + B) - nll(ct.get(b, 0) + 1, tt + B)
+          for b in range(B)}
+    for i, text, _lang in rows:
+        fs = feats(text)
+        assert got[i] == (len(fs), sum(lr[bucket(f)] for f in fs)), i
+    assert got[3] == (0, 0)  # empty text: no features, weight 0
+
+
+def test_topk_by_weight_equals_global_sort(spark):
+    """Histogram-threshold top-k == row_number over (w desc, id asc)
+    for every k, including tie groups straddling the threshold, k=0,
+    and k >= n."""
+    from pyspark.sql import Window
+    from mre.textops import topk_by_weight
+    rows = [(i, [5, 3, 3, 3, 1, 1, 0, 5, 3, 1][i]) for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    ranked = df.withColumn("rn", F.row_number().over(
+        Window.orderBy(F.desc("w"), F.asc("doc_id"))))
+    for k in [0, 1, 2, 3, 4, 5, 7, 10, 15]:
+        want = {r["doc_id"] for r in ranked.filter(F.col("rn") <= k)
+                .collect()}
+        got = {r["doc_id"] for r in
+               topk_by_weight(df, k, weight_col="w").collect()}
+        assert got == want, (k, got, want)
+
+
+def test_dsir_topk_prefers_target_like_docs(spark):
+    """Docs sharing the target subset's vocabulary outrank docs that
+    don't — the behavioral point of DSIR selection."""
+    from mre.textops import dsir_topk
+    en = [(i, "the quick brown fox jumps over the lazy dog", "en")
+          for i in range(8)]
+    fr = [(8 + i, "le renard brun saute par dessus le chien", "fr")
+          for i in range(8)]
+    # an unlabeled doc written in target-like vocabulary, and one not
+    probe = [(100, "the quick dog jumps", "xx"),
+             (101, "renard chien saute brun", "xx")]
+    docs = spark.createDataFrame(en + fr + probe,
+                                 "doc_id long, text string, lang string")
+    sel = dsir_topk(docs, F.col("lang") == "en", 9)
+    ids = {r["doc_id"] for r in sel.collect()}
+    assert 100 in ids and 101 not in ids
+    assert all(i in ids for i in range(8))
