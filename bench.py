@@ -160,6 +160,22 @@ def _ngram_battery(spark, sf_dir):
                        + F.col("pass_ngram_battery")).alias("s")))
 
 
+def _dsir_select(spark, sf_dir):
+    """DSIR importance selection end-to-end (learn the 256-bucket
+    log-ratio table, score every doc with the map-literal fold, keep
+    the exact top-20% via the histogram threshold). The learn + thresh
+    collects run eagerly at construction, so the timing covers the
+    whole chain; a global sum over the selected weights forces the
+    survivor window past count()'s pruning."""
+    from pyspark.sql import functions as F
+    from mre.textops import dsir_topk
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    k = docs.count() // 5
+    return (dsir_topk(docs, F.col("lang") == "en", k)
+            .agg(F.sum("dsir_weight_micro").alias("s"),
+                 F.count("*").alias("n")))
+
+
 def _pack_sequences(spark, sf_dir):
     """The two-phase hash-order prefix sum + packing arithmetic FORCED
     to materialize (the token_stats op='pack' driver row is timed via
@@ -205,6 +221,9 @@ EXTRA_BENCH = {
     "ngram_battery": _ngram_battery,
     # round-7: the hash-order prefix sum (budget/pack) forced likewise
     "pack_sequences": _pack_sequences,
+    # round-7: DSIR importance selection (hash_sample op='dsir' is the
+    # driver row; this times the full learn→score→select chain)
+    "dsir_select": _dsir_select,
 }
 
 

@@ -2053,15 +2053,18 @@ def dsir_features_col(text_col: str = "text"):
     scan. Mirrored verbatim by the DuckDB oracle (1-indexed
     range(1, len) there == the guarded sequence here)."""
     toks = F.filter(tokens_col(text_col), lambda t: t != "")
-    # Spark sequence(1, 0) DESCENDS (step defaults to -1 when start >
-    # stop), so the bigram index range needs an explicit size guard
-    bigrams = F.when(
-        F.size(toks) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 1),
-            lambda i: F.concat(F.element_at(toks, i), F.lit(" "),
-                               F.element_at(toks, i + 1)))
-    ).otherwise(F.array().cast("array<string>"))
+    # bigrams via zip_with against the 1-shifted slice — NEVER
+    # element_at(toks, i) inside a transform lambda: each element_at
+    # re-evaluates the whole tokenize subtree PER ELEMENT (O(len²) per
+    # doc — measured 17× slower on sf0.1; the SURVEY §7.7 rule-42
+    # class). zip_with pads the shorter side with null, concat
+    # propagates it, and the filter drops the padding row — so the
+    # list is exactly the adjacent pairs.
+    shifted = F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0)))
+    bigrams = F.filter(
+        F.zip_with(toks, shifted,
+                   lambda a, b: F.concat(a, F.lit(" "), b)),
+        lambda x: x.isNotNull())
     return F.concat(toks, bigrams)
 
 
@@ -2159,7 +2162,16 @@ def topk_by_weight(df: DataFrame, k: int,
     sets degenerate-corpus territory; if one ever matters, sub-bucket
     the tie ranking with the ``_hash_order_cumsum`` prefix device).
     Result equals row_number() OVER (ORDER BY weight DESC, id) <= k
-    exactly — the form the SQL oracle replays."""
+    exactly — the form the SQL oracle replays.
+
+    The (w*, count-above) pair is ONE ROW, so it is collected and
+    re-enters the plan as literals: leaving it as a frame would
+    duplicate the whole histogram subtree (and the corpus-scoring scan
+    feeding it) into every branch that references it — Spark gives
+    duplicated subtrees fresh expression ids, so ReuseExchange never
+    fires (the SURVEY §7.7 rule-43 lesson). With literals the select
+    is one survivor filter + a row_number over the per-weight tie
+    groups of the survivors alone (≈k rows)."""
     from pyspark.sql import Window
     k = int(k)
     if k <= 0:
@@ -2172,17 +2184,19 @@ def topk_by_weight(df: DataFrame, k: int,
                                          F.lit(0)))
            .filter(F.col("_cb") < k)
            .agg(F.min(weight_col).alias("_w_star"),
-                F.max("_cb").alias("_c_gt")))
-    hi = (df.join(F.broadcast(thr),
-                  F.col(weight_col) > F.col("_w_star"))
-          .drop("_w_star", "_c_gt"))
-    ties = df.join(F.broadcast(thr),
-                   F.col(weight_col) == F.col("_w_star"))
-    tw = Window.orderBy(id_col)
-    tie_sel = (ties.withColumn("_rn", F.row_number().over(tw))
-               .filter(F.col("_rn") <= k - F.col("_c_gt"))
-               .drop("_rn", "_w_star", "_c_gt"))
-    return hi.unionByName(tie_sel)
+                F.max("_cb").alias("_c_gt"))
+           .first())
+    if thr is None or thr["_w_star"] is None:
+        return df.limit(0)  # empty input
+    w_star, c_gt = thr["_w_star"], int(thr["_c_gt"])
+    surv = df.filter(F.col(weight_col) >= w_star)
+    # ranking within each weight group; only the w* group's rank is
+    # consulted, rows strictly above pass outright
+    tw = Window.partitionBy(weight_col).orderBy(id_col)
+    return (surv.withColumn("_rn", F.row_number().over(tw))
+            .filter((F.col(weight_col) > w_star)
+                    | (F.col("_rn") <= k - c_gt))
+            .drop("_rn"))
 
 
 def dsir_topk(docs: DataFrame, target_pred, k: int,

@@ -225,11 +225,17 @@ def test_new_ops_plan_shapes(spark):
     # the scan (no shuffle of their own); the round-7 budget branch
     # carries the two-phase prefix sum's exactly FOUR Exchanges
     # (phase-1 window, bucket-totals partial agg, tiny offsets window,
-    # broadcast join back — PLANS.md "budget_sample / pack_sequences")
+    # broadcast join back — PLANS.md "budget_sample / pack_sequences");
+    # the dsir branch adds exactly ONE more (the survivor tie-rank
+    # window) because learning and the top-k threshold resolve to
+    # literals at plan-construction time (bounded collects) — a sixth
+    # Exchange or a NestedLoop means the threshold frame got inlined
+    # as a duplicated subtree again (rule 43)
     plan = em.queries()["hash_sample"](spark, sf) \
         ._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("Exchange") == 4, plan
+    assert plan.count("Exchange") == 5, plan
     assert "BroadcastExchange" in plan, plan
+    assert "NestedLoop" not in plan, plan
     assert "EvalPython" not in plan
 
     # profile_docs: single wide aggregate — the documents parquet is
