@@ -1186,9 +1186,34 @@ def q_profile_docs(spark, sf_dir):
 
 
 def q_ivf_ann(spark, sf_dir):
-    from mre.textops import ivf_ann
+    """The inverted-file embedding family as a tagged union (registry-
+    window rule). Shared schema (op, query_id, neighbor_id, cosine,
+    rank):
+
+    * op='ann' — IVF-Flat ANN against the FIXED deterministic coarse
+      quantizer (the original rows).
+    * op='semdedup' (round 7) — SemDeDup (Abbas et al. 2023): LEARNED
+      k-means (k=8, 3 deterministic Lloyd rounds, per-component
+      centroid rounding) clusters the embedding space, cosine
+      near-dups (round(cos,4) ≥ 0.3) are confirmed only within a
+      cluster, and every vector with a lower-id in-threshold neighbour
+      is dropped. query_id carries the witness (min such neighbour),
+      neighbor_id the dropped vector, rank the cell — the whole
+      cluster→confirm→drop chain is value-checked; the oracle replays
+      Lloyd's as an unrolled per-iteration CTE chain."""
+    from mre.textops import ivf_ann, semdedup_losers
     _prep(spark)
-    return ivf_ann(_t(spark, sf_dir, "embeddings"), n_queries=5, k=10)
+    emb = _t(spark, sf_dir, "embeddings")
+    ann = ivf_ann(emb, n_queries=5, k=10).select(
+        F.lit("ann").alias("op"), "query_id", "neighbor_id",
+        "cosine", "rank")
+    sd = semdedup_losers(emb, k=8, iters=3, threshold=0.3).select(
+        F.lit("semdedup").alias("op"),
+        F.col("witness").alias("query_id"),
+        F.col("vec_id").alias("neighbor_id"),
+        "cosine",
+        F.col("cell").alias("rank"))
+    return ann.unionAll(sd)
 
 
 def q_lineage_rollup(spark, sf_dir):
@@ -1468,6 +1493,67 @@ def oracle_sql() -> dict[str, str]:
     cent_values = ",\n                ".join(
         f"({i + 1}, [{', '.join(repr(x) for x in c)}]::DOUBLE[])"
         for i, c in enumerate(_ivf_centroids(16, 64)))
+    # op='semdedup' k-means replay: Lloyd's unrolled per iteration —
+    # seed = the 8 lowest vec_ids' exact embeddings, each round one
+    # assignment CTE (row_number ORDER BY cosine DESC, cell == Spark's
+    # array_position-of-first-max) and one update CTE (per-component
+    # avg ROUNDED to KMEANS_DECIMALS — the grid both engines meet on;
+    # an emptied cell keeps its previous centroid via the COALESCE).
+    # MATERIALIZED is load-bearing (rule 39): DuckDB inlines plain
+    # CTEs and the assign/update chain re-expands exponentially.
+    _SD_K, _SD_ITERS, _SD_THR = 8, 3, 0.3
+
+    def _sd_assign(i, cents):
+        return f"""
+            sa{i} AS MATERIALIZED (
+              SELECT vec_id, emb, cell FROM (
+                SELECT se.vec_id, se.emb, c.cell,
+                       row_number() OVER (PARTITION BY se.vec_id
+                           ORDER BY list_cosine_similarity(se.emb,
+                                                           c.cent) DESC,
+                                    c.cell) AS rn
+                FROM se CROSS JOIN {cents} c) WHERE rn = 1)"""
+
+    def _sd_update(i):
+        from mre.textops import KMEANS_DECIMALS
+        return f"""
+            sc{i} AS MATERIALIZED (
+              SELECT p.cell, COALESCE(m.cent, p.cent) AS cent
+              FROM sc{i - 1} p LEFT JOIN (
+                SELECT cell, list(v ORDER BY pos) AS cent FROM (
+                  SELECT a.cell, r.range AS pos,
+                         round(avg(a.emb[r.range]),
+                               {KMEANS_DECIMALS}) AS v
+                  FROM sa{i} a CROSS JOIN range(1, 65) r
+                  GROUP BY a.cell, r.range)
+                GROUP BY cell) m ON m.cell = p.cell)"""
+
+    _sd_ctes = [f"""
+            se AS MATERIALIZED (
+              SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+            sc0 AS MATERIALIZED (
+              SELECT row_number() OVER (ORDER BY vec_id) AS cell,
+                     emb AS cent
+              FROM (SELECT vec_id, emb FROM se
+                    ORDER BY vec_id LIMIT {_SD_K}))"""]
+    for _i in range(1, _SD_ITERS + 1):
+        _sd_ctes.append(_sd_assign(_i, f"sc{_i - 1}"))
+        _sd_ctes.append(_sd_update(_i))
+    _sd_ctes.append(_sd_assign("F", f"sc{_SD_ITERS}"))
+    semdedup_oracle = "WITH " + ",".join(_sd_ctes) + f""",
+            sp AS MATERIALIZED (
+              SELECT cell, vec_a, vec_b, cosine FROM (
+                SELECT a.cell, a.vec_id AS vec_a, b.vec_id AS vec_b,
+                       round(list_cosine_similarity(a.emb, b.emb), 4)
+                           AS cosine
+                FROM saF a JOIN saF b ON a.cell = b.cell
+                                     AND a.vec_id < b.vec_id)
+              WHERE cosine >= {_SD_THR})
+            SELECT 'semdedup' AS op, min(vec_a) AS query_id,
+                   vec_b AS neighbor_id,
+                   arg_min(cosine, vec_a) AS cosine,
+                   CAST(cell AS INTEGER) AS rank
+            FROM sp GROUP BY cell, vec_b"""
     ivf_oracle = f"""
             WITH c(cell_id, cent) AS (VALUES {cent_values}),
             sims AS (
@@ -1489,7 +1575,7 @@ def oracle_sql() -> dict[str, str]:
                         PARTITION BY vec_id
                         ORDER BY sim DESC, cell_id ASC) AS prb
                     FROM sims WHERE vec_id < 5) WHERE prb <= 2)
-            SELECT query_id, neighbor_id, cosine, rank FROM (
+            SELECT 'ann' AS op, query_id, neighbor_id, cosine, rank FROM (
                 SELECT p.query_id, e.vec_id AS neighbor_id,
                        round(list_cosine_similarity(p.q_emb::DOUBLE[],
                            e.embedding::DOUBLE[]), 4) AS cosine,
@@ -1501,6 +1587,8 @@ def oracle_sql() -> dict[str, str]:
                 FROM cells e JOIN probes p ON e.cell = p.probe_cell
                                           AND e.vec_id != p.query_id)
             WHERE rank <= 10
+            UNION ALL
+            SELECT * FROM ({semdedup_oracle})
         """
     from mre.textops import _hyperplanes
     bucket_terms = " + ".join(

@@ -1496,6 +1496,189 @@ def ivf_ann(embeddings: DataFrame, n_queries: int = 5, k: int = 10,
                     "cosine", "rank"))
 
 
+# --------------------------------------------------------------------------
+# SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+# web-scale through semantic deduplication" — public method): k-means
+# over the embedding space bounds the quadratic, then near-duplicate
+# pairs are confirmed only WITHIN a cluster. The clustering is Lloyd's
+# with a deterministic seed (the k lowest vec_ids) and per-component
+# centroid rounding, so both engines iterate over IDENTICAL centroids
+# and the whole chain replays in SQL.
+
+KMEANS_DECIMALS = 6
+
+
+def _cell_assign_udf(centroids: list[list[float]]):
+    """Vectorized (Arrow-batched) max-cosine cell assignment against a
+    bounded centroid list — one numpy matmul per batch instead of
+    k·dim interpreted lambda steps per row (measured ~6× on the
+    ivf_ann driver row; the simhash pandas-UDF precedent). Ranking by
+    dot(e, c/||c||) equals ranking by cosine (the row norm is constant
+    within the row), and np.argmax takes the FIRST max — the same
+    tie-break as the SQL replay's row_number ORDER BY sim DESC,
+    cell ASC."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    cn = np.array(centroids, dtype=np.float64)
+    cn = (cn / np.linalg.norm(cn, axis=1, keepdims=True)).T  # dim×k
+
+    @pandas_udf("int")
+    def _cell(emb: pd.Series) -> pd.Series:
+        m = np.array([np.asarray(e, dtype=np.float64) for e in emb])
+        if len(m) == 0:
+            return pd.Series([], dtype="int32")
+        return pd.Series((m @ cn).argmax(axis=1) + 1, dtype="int32")
+
+    return _cell
+
+
+def kmeans_cells(embeddings: DataFrame, k: int = 8, iters: int = 3,
+                 id_col: str = "vec_id",
+                 emb_col: str = "embedding"
+                 ) -> tuple[DataFrame, list[list[float]]]:
+    """Deterministic Lloyd's k-means over an embedding column.
+
+    * init: the embeddings of the ``k`` lowest ids (a bounded sorted-
+      limit collect), exact float values — both engines read the same
+      parquet floats, so the seed is byte-identical.
+    * each of ``iters`` rounds: assign every vector to its max-cosine
+      centroid (FIRST max on ties — np.argmax in the Arrow-batched
+      assignment UDF, == ``row_number ORDER BY sim DESC, cell`` in
+      SQL), then recompute
+      centroids as the per-component mean ROUNDED to
+      ``KMEANS_DECIMALS`` decimals — the rounding is what makes the
+      next round's centroids identical across engines (summation-order
+      noise is ~1e-13, nine orders below the grid step; the
+      ``length_quantiles`` grid rule). An emptied cell keeps its
+      previous centroid.
+    * returns (assignment frame with a ``cell`` column under the FINAL
+      centroids, the centroid list).
+
+    Scale shape: per round, ONE corpus scan + a (k·dim)-group partial
+    aggregation (map-side combinable; k·dim rows cross the wire) + a
+    bounded k·dim driver collect — the assignment column is a
+    vectorized batch matmul against the closure-captured centroids
+    (``_cell_assign_udf``), riding the scan. No corpus shuffle
+    anywhere."""
+    k, iters = int(k), int(iters)
+    seed = (embeddings.select(id_col, emb_col)
+            .orderBy(id_col).limit(k).collect())
+    cents = [[float(x) for x in r[emb_col]] for r in seed]
+    if len(cents) < k:
+        k = len(cents)
+
+    def _assign(df):
+        return df.withColumn("cell",
+                             _cell_assign_udf(cents)(F.col(emb_col)))
+
+    for _ in range(iters):
+        stats = (_assign(embeddings)
+                 .select("cell", F.posexplode(emb_col)
+                         .alias("pos", "val"))
+                 .groupBy("cell", "pos")
+                 .agg(F.round(F.avg(F.col("val").cast("double")),
+                              KMEANS_DECIMALS).alias("v"))
+                 .collect())
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in stats:
+            by_cell.setdefault(int(r["cell"]), {})[int(r["pos"])] = \
+                float(r["v"])
+        cents = [
+            [by_cell[c + 1][p] for p in sorted(by_cell[c + 1])]
+            if (c + 1) in by_cell else cents[c]   # emptied cell: keep
+            for c in range(k)]
+    return _assign(embeddings), cents
+
+
+def _cell_cosine_pairs(cells: DataFrame, threshold: float,
+                       block_rows: int = 4096,
+                       n_blocks: int | None = None) -> DataFrame:
+    """Within-cell near-dup pairs (vec_a < vec_b, round(cos,4) ≥ t) via
+    the same distributed block-matmul as ``cosine_dup_pairs``, with the
+    block key extended to (cell, hash-block): block pairs join on cell
+    equality, so the quadratic never leaves a cluster. ``n_blocks``
+    defaults from a cheap count so rows-per-block stays bounded at any
+    corpus size."""
+    import pandas as pd
+
+    if n_blocks is None:
+        n_vecs = cells.count()
+        n_blocks = max(1, -(-n_vecs // block_rows))
+    blocked = (cells
+               .groupBy("cell",
+                        F.pmod(F.hash("vec_id"), F.lit(n_blocks))
+                        .alias("blk"))
+               .agg(F.collect_list(F.struct("vec_id", "embedding"))
+                    .alias("rows")))
+    a, b = blocked.alias("a"), blocked.alias("b")
+    pairs = a.join(b, (F.col("a.cell") == F.col("b.cell"))
+                   & (F.col("a.blk") <= F.col("b.blk"))).select(
+        F.col("a.cell").alias("cell"),
+        F.col("a.blk").alias("blk_a"), F.col("a.rows").alias("rows_a"),
+        F.col("b.blk").alias("blk_b"), F.col("b.rows").alias("rows_b"))
+
+    def _block(batches):
+        for pdf in batches:
+            out_c, out_a, out_b, out_s = [], [], [], []
+            for cell, blk_a, rows_a, blk_b, rows_b in zip(
+                    pdf["cell"], pdf["blk_a"], pdf["rows_a"],
+                    pdf["blk_b"], pdf["rows_b"]):
+                ids_a = np.fromiter((r["vec_id"] for r in rows_a),
+                                    dtype=np.int64, count=len(rows_a))
+                ids_b = np.fromiter((r["vec_id"] for r in rows_b),
+                                    dtype=np.int64, count=len(rows_b))
+                ma = np.array([r["embedding"] for r in rows_a],
+                              dtype=np.float64)
+                mb = np.array([r["embedding"] for r in rows_b],
+                              dtype=np.float64)
+                ma /= np.linalg.norm(ma, axis=1, keepdims=True)
+                mb /= np.linalg.norm(mb, axis=1, keepdims=True)
+                cos = np.round(ma @ mb.T, 4)
+                if blk_a == blk_b:
+                    ia, ib = np.nonzero(
+                        (cos >= threshold)
+                        & (ids_a[:, None] < ids_b[None, :]))
+                    va, vb = ids_a[ia], ids_b[ib]
+                else:
+                    ia, ib = np.nonzero(cos >= threshold)
+                    va = np.minimum(ids_a[ia], ids_b[ib])
+                    vb = np.maximum(ids_a[ia], ids_b[ib])
+                out_c.append(np.full(len(va), cell, dtype=np.int32))
+                out_a.append(va)
+                out_b.append(vb)
+                out_s.append(cos[ia, ib])
+            yield pd.DataFrame({
+                "cell": np.concatenate(out_c) if out_c else [],
+                "vec_a": np.concatenate(out_a) if out_a else [],
+                "vec_b": np.concatenate(out_b) if out_b else [],
+                "cosine": np.concatenate(out_s) if out_s else []})
+
+    return pairs.mapInPandas(
+        _block, "cell int, vec_a long, vec_b long, cosine double")
+
+
+def semdedup_losers(embeddings: DataFrame, k: int = 8, iters: int = 3,
+                    threshold: float = 0.3,
+                    block_rows: int = 4096) -> DataFrame:
+    """SemDeDup: cluster the embedding space (``kmeans_cells``), confirm
+    cosine near-dups only within a cluster, and mark every vector that
+    has an in-threshold LOWER-id neighbour in its cell as a DROP —
+    greedy keep-by-id, one representative survives any pairwise-similar
+    set. Returns one row per dropped vector:
+    (cell, vec_id, witness = min such lower neighbour,
+     cosine = round(cos(witness, vec),4)).
+
+    100 TB shape: the corpus never self-joins — k bounds each cell and
+    the hash blocks bound each matmul tile; clustering itself is
+    iters·(scan + k·dim-row shuffle)."""
+    cells, _ = kmeans_cells(embeddings, k=k, iters=iters)
+    pairs = _cell_cosine_pairs(cells, threshold, block_rows=block_rows)
+    return (pairs.groupBy("cell", F.col("vec_b").alias("vec_id"))
+            .agg(F.min("vec_a").alias("witness"),
+                 F.min_by("cosine", "vec_a").alias("cosine")))
+
+
 def hash_bucket_16(col) -> "F.Column":
     """Deterministic uniform bucket in [0, 65536) from md5's first 4 hex
     chars — md5 hex is identical in every engine, so samples/splits are
@@ -2230,7 +2413,8 @@ __all__ = [
     "shingles", "jaccard_pairs", "minhash_signatures", "minhash_candidates",
     "minhash_bands", "EST_JACCARD_SQL",
     "minhash_near_dups", "simhash", "simhash_near_dups", "ann_brute_force",
-    "ann_lsh", "ivf_ann", "cosine_dup_pairs", "gopher_quality",
+    "ann_lsh", "ivf_ann", "cosine_dup_pairs", "kmeans_cells",
+    "semdedup_losers", "KMEANS_DECIMALS", "gopher_quality",
     "gopher_repetition", "gopher_dup_sections", "gopher_ngram_battery",
     "gopher_line_rules", "GOPHER_TOP_NGRAM_BP", "GOPHER_DUP_NGRAM_BP",
     "winnow_fingerprints", "winnow_exploded",

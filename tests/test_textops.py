@@ -988,3 +988,54 @@ def test_dsir_topk_prefers_target_like_docs(spark):
     ids = {r["doc_id"] for r in sel.collect()}
     assert 100 in ids and 101 not in ids
     assert all(i in ids for i in range(8))
+
+
+def test_kmeans_cells_deterministic_and_separating(spark):
+    """Lloyd's with the deterministic seed separates two obvious
+    blobs, is reproducible run-to-run, and an emptied cell keeps its
+    previous centroid (duplicate seeds force one empty)."""
+    from mre.textops import kmeans_cells
+    a = [1.0, 0.0, 0.0, 0.0]
+    b = [0.0, 1.0, 0.0, 0.0]
+    rows = ([(i, [x + (0.01 * (i % 3)) for x in a]) for i in range(6)]
+            + [(10 + i, [x + (0.01 * (i % 3)) for x in b])
+               for i in range(6)])
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cells, cents = kmeans_cells(emb, k=2, iters=2)
+    got = {r["vec_id"]: r["cell"] for r in cells.collect()}
+    assert len(set(got[i] for i in range(6))) == 1
+    assert len(set(got[10 + i] for i in range(6))) == 1
+    assert got[0] != got[10]
+    cells2, cents2 = kmeans_cells(emb, k=2, iters=2)
+    assert cents == cents2
+    assert got == {r["vec_id"]: r["cell"] for r in cells2.collect()}
+    # duplicate seed vectors: every point lands in the FIRST max cell,
+    # the second cell empties and must keep its (seed) centroid
+    dup = spark.createDataFrame(
+        [(0, a), (1, a), (2, a)], "vec_id long, embedding array<float>")
+    _, dcents = kmeans_cells(dup, k=2, iters=1)
+    assert dcents[1] == [round(x, 6) for x in a]
+
+
+def test_semdedup_losers_drop_planted_dups(spark):
+    """A planted copy (higher id, same vector) is dropped with its
+    original as witness; distinct-direction vectors survive."""
+    from mre.textops import semdedup_losers
+    import math as _m
+    base = []
+    for i in range(12):
+        v = [0.0] * 8
+        v[i % 4] = 1.0
+        v[4 + (i % 4)] = 0.5 * (1 + (i % 3))
+        n = _m.sqrt(sum(x * x for x in v))
+        base.append((i, [x / n for x in v]))
+    copies = [(100 + i, vec) for i, vec in base[:3]]
+    emb = spark.createDataFrame(base + copies,
+                                "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: (r["witness"], r["cosine"])
+           for r in semdedup_losers(emb, k=2, iters=2,
+                                    threshold=0.999).collect()}
+    for i in range(3):
+        assert 100 + i in out and out[100 + i][0] == i, out
+        assert out[100 + i][1] == 1.0
+    assert all(i not in out for i in range(12))
