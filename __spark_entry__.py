@@ -466,11 +466,51 @@ def q_top_ngrams(spark, sf_dir):
 
 
 def q_source_stats(spark, sf_dir):
-    """Per-source curation rollup incl. exact-dup-doc counts — the
-    domain-weighting table of a corpus pipeline."""
-    from mre.textops import source_stats
+    """Per-source/host analytics as one tagged union (registry-window
+    rule). Shared schema (op, source, n_docs, total_chars, n_langs,
+    n_dup_docs):
+
+    * op='stats' — the original per-source curation rollup (doc/char
+      counts, language spread, exact-dup-doc counts).
+    * op='links' (round 7) — the host link-graph family: deterministic
+      link pages are built per doc_id IN THE EXECUTORS (the media_meta
+      builder device), anchors are extracted through the REAL lenient
+      parser (mre.core.htmlparse via mapInPandas), same-host links
+      (relative nav + the doc_id%5 absolute self-link) are dropped,
+      and damped PageRank runs 4 integer micro-unit iterations over
+      the weighted host graph (mre/linkgraph.py). Column mapping per
+      host: n_docs = out-edges kept, total_chars = rank_micro,
+      n_langs = distinct dst hosts, n_dup_docs = self-links dropped —
+      so the parse, the edge collapse AND every PageRank floor are
+      value-checked; the oracle replays the builder arithmetic and
+      the unrolled iterations in SQL."""
+    from mre.linkgraph import (extract_links, host_edges, link_pages_df,
+                               pagerank_hosts)
+    from mre.textops import _register_cache, source_stats
     _prep(spark)
-    return source_stats(_t(spark, sf_dir, "documents"))
+    docs = _t(spark, sf_dir, "documents")
+    stats = source_stats(docs).select(
+        F.lit("stats").alias("op"), "source", "n_docs", "total_chars",
+        "n_langs", "n_dup_docs")
+    links = _register_cache(
+        extract_links(link_pages_df(docs)).persist())
+    pr = pagerank_hosts(host_edges(links), iters=4)
+    per_host = (links.groupBy("src_host")
+                .agg(F.sum(F.when(F.col("kind") == "edge", 1)
+                           .otherwise(0)).alias("edges"),
+                     F.sum(F.when(F.col("kind") == "self", 1)
+                           .otherwise(0)).alias("selfs"),
+                     F.countDistinct(
+                         F.when(F.col("kind") == "edge",
+                                F.col("dst_host"))).alias("ndst")))
+    lk = (per_host.join(pr, per_host["src_host"] == pr["host"])
+          .select(F.lit("links").alias("op"),
+                  F.col("src_host").alias("source"),
+                  F.col("edges").cast("long").alias("n_docs"),
+                  F.col("rank_micro").alias("total_chars"),
+                  F.col("ndst").cast("long").alias("n_langs"),
+                  F.col("selfs").cast("long").alias("n_dup_docs")))
+    return stats.unionAll(lk)
 
 
 def q_lang_sources(spark, sf_dir):
@@ -1428,6 +1468,90 @@ UNION ALL
 """
 
 
+def _source_stats_oracle_sql() -> str:
+    """Generated oracle for the q_source_stats tagged union: op='stats'
+    is the original per-source rollup; op='links' replays the link-page
+    builder ARITHMETIC (mre/linkgraph.py link_page_html — host, anchor
+    count and targets are pure doc_id arithmetic, mirrored verbatim:
+    the Spark side derives the same numbers by PARSING the built
+    pages) and PageRank as unrolled integer-floor iterations. All ops
+    are integer division, so the ranks match exactly (the micro-nat
+    device family)."""
+    from mre.linkgraph import PAGERANK_DAMPING_PCT as _D
+    from mre.linkgraph import PAGERANK_SCALE as _S
+    _IT = 4
+    rank_ctes = ",".join(f"""
+            pr{i} AS MATERIALIZED (
+              SELECT h.host,
+                     (SELECT ({100 - _D} * {_S}) // (100 * n) FROM nn)
+                     + COALESCE(sum(c.c), 0) AS r
+              FROM hosts h LEFT JOIN (
+                SELECT we.dst_host AS host,
+                       we.w * (({_D} * p.r) // (100 * o.od)) AS c
+                FROM we JOIN pr{i - 1} p ON p.host = we.src_host
+                        JOIN od o ON o.src_host = we.src_host) c
+                ON c.host = h.host
+              GROUP BY h.host)""" for i in range(1, _IT + 1))
+    return f"""
+            WITH fp AS (
+                SELECT doc_id, source, lang, n_chars,
+                       md5(lower(trim(text))) AS f
+                FROM documents),
+            freq AS (SELECT f, count(*) AS c FROM fp GROUP BY f),
+            lbase AS (SELECT doc_id, doc_id % 16 AS src FROM documents),
+            ledges AS (
+                SELECT src, doc_id,
+                       (src + 1 + ((doc_id * 7 + 5 * j.range) % 15))
+                           % 16 AS dst
+                FROM lbase CROSS JOIN range(0, 3) j
+                WHERE j.range < 1 + doc_id % 3),
+            we AS MATERIALIZED (
+                SELECT 'h' || CAST(src AS VARCHAR) || '.example.org'
+                           AS src_host,
+                       'h' || CAST(dst AS VARCHAR) || '.example.org'
+                           AS dst_host,
+                       count(*) AS w
+                FROM ledges GROUP BY 1, 2),
+            hosts AS MATERIALIZED (
+                SELECT DISTINCT src_host AS host FROM we
+                UNION SELECT DISTINCT dst_host FROM we),
+            od AS MATERIALIZED (
+                SELECT src_host, sum(w) AS od FROM we GROUP BY 1),
+            nn AS (SELECT count(*) AS n FROM hosts),
+            pr0 AS MATERIALIZED (
+                SELECT host, {_S} // n AS r FROM hosts, nn),
+            {rank_ctes},
+            lstats AS (
+                SELECT 'h' || CAST(src AS VARCHAR) || '.example.org'
+                           AS src_host,
+                       count(*) AS edges,
+                       count(DISTINCT dst) AS ndst
+                FROM ledges GROUP BY 1),
+            lselfs AS (
+                SELECT 'h' || CAST(src AS VARCHAR) || '.example.org'
+                           AS src_host,
+                       sum(1 + CASE WHEN doc_id % 5 = 0
+                                    THEN 1 ELSE 0 END) AS selfs
+                FROM lbase GROUP BY 1)
+            SELECT 'stats' AS op, fp.source, count(*) AS n_docs,
+                   CAST(sum(fp.n_chars) AS BIGINT) AS total_chars,
+                   count(DISTINCT fp.lang) AS n_langs,
+                   CAST(sum(CASE WHEN freq.c > 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_dup_docs
+            FROM fp JOIN freq ON freq.f = fp.f
+            GROUP BY 2
+            UNION ALL
+            SELECT 'links' AS op, s.src_host AS source,
+                   CAST(s.edges AS BIGINT) AS n_docs,
+                   CAST(pr{_IT}.r AS BIGINT) AS total_chars,
+                   CAST(s.ndst AS BIGINT) AS n_langs,
+                   CAST(f.selfs AS BIGINT) AS n_dup_docs
+            FROM lstats s
+            JOIN lselfs f ON f.src_host = s.src_host
+            JOIN pr{_IT} ON pr{_IT}.host = s.src_host
+        """
+
+
 def oracle_sql() -> dict[str, str]:
     # Flagship oracle: the golden extraction table is a pure function of
     # doc_id (mre/fixtures.py golden_row — same spec the 300-doc pytest
@@ -1847,20 +1971,7 @@ def oracle_sql() -> dict[str, str]:
             FROM sh GROUP BY shingle
             ORDER BY n_docs DESC, shingle ASC LIMIT 50
         """,
-        "source_stats": r"""
-            WITH fp AS (
-                SELECT doc_id, source, lang, n_chars,
-                       md5(lower(trim(text))) AS f
-                FROM documents),
-            freq AS (SELECT f, count(*) AS c FROM fp GROUP BY f)
-            SELECT fp.source, count(*) AS n_docs,
-                   CAST(sum(fp.n_chars) AS BIGINT) AS total_chars,
-                   count(DISTINCT fp.lang) AS n_langs,
-                   CAST(sum(CASE WHEN freq.c > 1 THEN 1 ELSE 0 END)
-                        AS BIGINT) AS n_dup_docs
-            FROM fp JOIN freq ON freq.f = fp.f
-            GROUP BY 1
-        """,
+        "source_stats": _source_stats_oracle_sql(),
         "split_leakage": f"""
             WITH cand AS (
                 SELECT doc_a, doc_b

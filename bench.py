@@ -160,6 +160,21 @@ def _ngram_battery(spark, sf_dir):
                        + F.col("pass_ngram_battery")).alias("s")))
 
 
+def _link_pagerank(spark, sf_dir):
+    """The host link-graph family end-to-end: build one link page per
+    doc in the executors, extract anchors through the real lenient
+    parser, collapse to the weighted host graph, run 4 integer
+    PageRank rounds (driver row: source_stats op='links')."""
+    from pyspark.sql import functions as F
+    from mre.linkgraph import (extract_links, host_edges, link_pages_df,
+                               pagerank_hosts)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pr = pagerank_hosts(host_edges(extract_links(link_pages_df(docs))),
+                        iters=4)
+    return pr.agg(F.sum("rank_micro").alias("s"),
+                  F.count("*").alias("n"))
+
+
 def _dsir_select(spark, sf_dir):
     """DSIR importance selection end-to-end (learn the 256-bucket
     log-ratio table, score every doc with the map-literal fold, keep
@@ -224,6 +239,8 @@ EXTRA_BENCH = {
     # round-7: DSIR importance selection (hash_sample op='dsir' is the
     # driver row; this times the full learn→score→select chain)
     "dsir_select": _dsir_select,
+    # round-7: host link-graph build→parse→collapse→PageRank
+    "link_pagerank": _link_pagerank,
 }
 
 

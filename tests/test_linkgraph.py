@@ -1,0 +1,91 @@
+"""Host link-graph operators: real-parser anchor extraction and the
+integer fixed-point PageRank (mre/linkgraph.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_extract_links_resolution_and_self_drop(spark):
+    """Relative hrefs resolve to the page's own host (dropped as
+    self), absolute same-host links are dropped too, cross-host links
+    become edges — through the real lenient parser, including a
+    malformed unclosed tag."""
+    from mre.linkgraph import extract_links
+    pages = spark.createDataFrame(
+        [("http://a.org/x",
+          '<html><body><a href="/rel">r</a>'
+          '<a href="http://a.org/self">s</a>'
+          '<a href="http://b.org/t">b</a>'
+          '<a>no href</a>'
+          '<div><a href="http://c.org/u">c</a></body></html>'),
+         ("http://b.org/y",
+          '<p><a href="http://a.org/back">back</a>')],
+        "url string, html string")
+    rows = [(r["src_host"], r["dst_host"], r["kind"])
+            for r in extract_links(pages).collect()]
+    assert sorted(rows) == sorted([
+        ("a.org", "a.org", "self"),
+        ("a.org", "a.org", "self"),
+        ("a.org", "b.org", "edge"),
+        ("a.org", "c.org", "edge"),
+        ("b.org", "a.org", "edge")])
+
+
+def test_pagerank_matches_python_replay_and_orders_by_inlinks(spark):
+    """The integer floors replay exactly in pure Python, and a host
+    every other host links to outranks the periphery."""
+    from mre.linkgraph import pagerank_hosts
+    # star: p0..p4 -> hub; hub -> p0 (so the hub has out-edges); one
+    # doubled edge exercises weights
+    raw = ([(f"p{i}", "hub") for i in range(5)]
+           + [("p0", "hub"), ("hub", "p0")])
+    edges = (spark.createDataFrame(raw, "src_host string, dst_host string")
+             .groupBy("src_host", "dst_host")
+             .agg(F.count("*").alias("weight")))
+    got = {r["host"]: (r["out_weight"], r["in_weight"], r["rank_micro"])
+           for r in pagerank_hosts(edges, iters=4).collect()}
+
+    S, D, IT = 10**12, 85, 4
+    w = {}
+    for s, d in raw:
+        w[(s, d)] = w.get((s, d), 0) + 1
+    hosts = sorted({h for e in w for h in e})
+    n = len(hosts)
+    od = {}
+    for (s, _d), x in w.items():
+        od[s] = od.get(s, 0) + x
+    r = {h: S // n for h in hosts}
+    base = ((100 - D) * S) // (100 * n)
+    for _ in range(IT):
+        nxt = {h: base for h in hosts}
+        for (s, d), x in w.items():
+            nxt[d] += x * ((D * r[s]) // (100 * od[s]))
+        r = nxt
+    ind = {}
+    for (_s, d), x in w.items():
+        ind[d] = ind.get(d, 0) + x
+    for h in hosts:
+        assert got[h] == (od.get(h, 0), ind.get(h, 0), r[h]), h
+    assert got["hub"][2] > got["p1"][2] > 0
+
+
+def test_link_pages_parse_back_to_builder_arithmetic(spark):
+    """Parsing the built link pages recovers exactly the builder's
+    arithmetic: per page 1 + doc_id%3 edges, no self targets, plus the
+    nav self and the doc_id%5 absolute self."""
+    from mre.linkgraph import extract_links, link_pages_df
+    docs = spark.range(40).select(F.col("id").alias("doc_id"))
+    links = extract_links(link_pages_df(docs)).collect()
+    per = {}
+    for r in links:
+        per.setdefault(r["src_host"], {"edge": 0, "self": 0})
+        per[r["src_host"]][r["kind"]] += 1
+    exp = {}
+    for d in range(40):
+        h = f"h{d % 16}.example.org"
+        exp.setdefault(h, {"edge": 0, "self": 0})
+        exp[h]["edge"] += 1 + d % 3
+        exp[h]["self"] += 1 + (1 if d % 5 == 0 else 0)
+    assert per == exp
+    assert all(r["src_host"] != r["dst_host"] for r in links
+               if r["kind"] == "edge")
