@@ -188,6 +188,24 @@ def media_loser_ids(media: DataFrame, mode: str = "exact", *,
             .select(F.col("media_id").alias("doc_id")))
 
 
+def semantic_loser_ids(embeddings: DataFrame, *, k: int = 64,
+                       iters: int = 3,
+                       threshold: float = 0.95) -> DataFrame:
+    """Semantic (embedding-level) dedup stage — SemDeDup over a
+    (doc_id, embedding) side table: the doc_ids to DROP because their
+    embedding has an in-threshold lower-id neighbour in its k-means
+    cell (``textops.semdedup_losers``; greedy keep-by-lowest-id, the
+    shared dedup keep rule modulo cluster-min). Anti-join shape like
+    ``media_loser_ids``: docs without an embedding row pass untouched.
+    k bounds the within-cell quadratic — size it so corpus/k vectors
+    fit a matmul tile at the target scale."""
+    from .textops import semdedup_losers
+    emb = embeddings.select(F.col("doc_id").alias("vec_id"),
+                            "embedding")
+    return (semdedup_losers(emb, k=k, iters=iters, threshold=threshold)
+            .select(F.col("vec_id").alias("doc_id")))
+
+
 # --------------------------------------------------------------------------
 # the composed pipeline as one DataFrame (driver-checkable, no sink)
 
@@ -205,7 +223,10 @@ def curate_df(docs: DataFrame, evals: Optional[DataFrame] = None, *,
               lm_max_nll: int | None = None,
               lm_vocab_top: int = 4096,
               dsir_top_frac: float | None = None,
-              dsir_target_lang: str = "en") -> DataFrame:
+              dsir_target_lang: str = "en",
+              embeddings: Optional[DataFrame] = None,
+              semdedup_k: int = 64, semdedup_iters: int = 3,
+              semdedup_threshold: float = 0.95) -> DataFrame:
     """The full curation chain as a single DataFrame: surviving docs with
     their train/test ``split`` assignment (text column dropped).
 
@@ -246,6 +267,15 @@ def curate_df(docs: DataFrame, evals: Optional[DataFrame] = None, *,
                                 "left_semi")
         kept = kept.join(media_loser_ids(live_media, mode=media_dedup),
                          "doc_id", "left_anti")
+    if embeddings is not None:
+        # semantic (SemDeDup) dedup — same live-docs-first rule
+        live_emb = embeddings.join(kept.select("doc_id"), "doc_id",
+                                   "left_semi")
+        kept = kept.join(
+            semantic_loser_ids(live_emb, k=semdedup_k,
+                               iters=semdedup_iters,
+                               threshold=semdedup_threshold),
+            "doc_id", "left_anti")
     kept = _register_cache(kept.persist(StorageLevel.MEMORY_AND_DISK))
     if lm_max_nll is not None:
         kept = kept.join(
@@ -341,7 +371,11 @@ def run_curate(spark: SparkSession, src, dst: str, lineage_dst: str,
                nb_gate: bool = False,
                nb_vocab_top: int = 4096,
                dsir_top_frac: float | None = None,
-               dsir_target_lang: str = "en") -> None:
+               dsir_target_lang: str = "en",
+               embeddings_src: Optional[str] = None,
+               semdedup_k: int = 64, semdedup_iters: int = 3,
+               semdedup_threshold: float = 0.95,
+               input_tag: Optional[str] = None) -> None:
     """Run the curation pipeline end-to-end with stage checkpoints.
 
     ``src`` is a documents table (doc_id, text, …) — a path/URI, or a
@@ -438,7 +472,21 @@ def run_curate(spark: SparkSession, src, dst: str, lineage_dst: str,
     bounded 256-bucket log-ratio table; score = a zero-shuffle map-
     literal fold; select = the sort-free histogram top-k
     (``textops.dsir_topk``). Resumes through the lineage like every
-    other stage."""
+    other stage.
+
+    ``embeddings_src`` (round 7): an optional (doc_id, embedding)
+    side table — inserts a ``semantic_dedup`` stage (SemDeDup,
+    ``semantic_loser_ids``) right after media dedup: embeddings are
+    restricted to LIVE docs first (a dead doc can never claim
+    keeper-min over a surviving copy — the media-dedup rule), docs
+    whose embedding has an in-threshold lower-id neighbour in its
+    k-means cell are dropped, docs without an embedding row pass
+    through.
+
+    ``input_tag`` folds an upstream-input marker into the parameter
+    digest: a caller that pre-filters the corpus (e.g. run_corpus's
+    host-rank gate) tags the input so a changed pre-filter recomputes
+    stages instead of silently resuming against different data."""
     from .textops import cache_mark, release_caches
     if rewrite not in (None, "passages", "windows"):
         raise ValueError(f"rewrite must be None|'passages'|'windows', "
@@ -447,6 +495,8 @@ def run_curate(spark: SparkSession, src, dst: str, lineage_dst: str,
     docs = src if isinstance(src, DataFrame) else read_table(spark, src)
     evals = read_table(spark, evals_src) if evals_src else None
     media = read_table(spark, media_src) if media_src else None
+    emb = (read_table(spark, embeddings_src)
+           if embeddings_src else None)
     ph = _params_hash(
         evals_src=evals_src, shingle_n=shingle_n,
         minhash_threshold=minhash_threshold,
@@ -466,7 +516,11 @@ def run_curate(spark: SparkSession, src, dst: str, lineage_dst: str,
                            if budget_weights_bp else None),
         nb_gate=nb_gate, nb_vocab_top=nb_vocab_top,
         dsir_top_frac=dsir_top_frac,
-        dsir_target_lang=dsir_target_lang if dsir_top_frac else None)
+        dsir_target_lang=dsir_target_lang if dsir_top_frac else None,
+        embeddings_src=embeddings_src,
+        semdedup=((semdedup_k, semdedup_iters, semdedup_threshold)
+                  if embeddings_src else None),
+        input_tag=input_tag)
     done = completed_stages(spark, lineage_dst, run_id, ph) if resume \
         else set()
 
@@ -583,6 +637,17 @@ def run_curate(spark: SparkSession, src, dst: str, lineage_dst: str,
                     mode=media_dedup),
                 "doc_id", "left_anti"),
             _s2_text)
+    if emb is not None:
+        _s2_text2 = s2   # pin: the lambda must see the pre-semantic ids
+        s2 = _stage(
+            "semantic_dedup",
+            lambda: _s2_text2.join(
+                semantic_loser_ids(
+                    emb.join(_s2_text2, "doc_id", "left_semi"),
+                    k=semdedup_k, iters=semdedup_iters,
+                    threshold=semdedup_threshold),
+                "doc_id", "left_anti"),
+            _s2_text2)
     if lm_max_nll is not None:
         _s2_pre_lm = s2   # pin: the lambda must see the pre-LM ids
         s2 = _stage(
@@ -1302,7 +1367,9 @@ def run_corpus(spark: SparkSession, src: str, workdir: str, run_id: str, *,
                evals_src: Optional[str] = None,
                buckets: Optional[int] = None, dedup: str = "window",
                resume: bool = True, materialize_documents: bool = False,
-               wide_id: bool = False, **curate_knobs) -> None:
+               wide_id: bool = False,
+               host_rank_top_frac: float | None = None,
+               host_rank_iters: int = 4, **curate_knobs) -> None:
     """The end-to-end corpus job: crawl pages → extraction → curation,
     one command, with lineage for BOTH halves under one root.
 
@@ -1330,7 +1397,18 @@ def run_corpus(spark: SparkSession, src: str, workdir: str, run_id: str, *,
     stage (run_curate's lineage). ``wide_id`` threads the 128-bit
     doc-identity knob through the adapter (see extracted_to_documents).
     ``curate_knobs`` pass through to run_curate (thresholds, pii_max,
-    strict_quality, max_bucket, ...)."""
+    strict_quality, max_bucket, ...).
+
+    ``host_rank_top_frac`` (round 7): the link-based host-quality
+    prior — anchors are extracted from the RAW crawl pages (the only
+    place the HTML still exists) through the extraction parser,
+    PageRank runs ``host_rank_iters`` integer rounds over the weighted
+    host graph (mre/linkgraph.py), and only docs whose host ranks in
+    the top fraction (by rank_micro desc, host asc — the exact
+    ``topk_by_weight`` device) enter curation. The pre-filter is
+    folded into the curation parameter digest via ``input_tag`` so a
+    changed fraction recomputes stages instead of silently resuming
+    against different data."""
     from .pipeline import read_results, run_extract
     run_extract(spark, src, f"{workdir}/extracted",
                 f"{workdir}/lineage/extract", run_id=run_id,
@@ -1358,14 +1436,31 @@ def run_corpus(spark: SparkSession, src: str, workdir: str, run_id: str, *,
         # the copy was paid for — curate from it (narrower scans than
         # re-projecting the url-keyed extraction sink per stage)
         docs = read_table(spark, f"{workdir}/documents")
+    tag = curate_knobs.pop("input_tag", None)
+    if host_rank_top_frac is not None:
+        from .linkgraph import extract_links, host_edges, pagerank_hosts
+        from .textops import topk_by_weight
+        pages = read_table(spark, src).select("url", "html")
+        pr = pagerank_hosts(
+            host_edges(extract_links(pages)), iters=host_rank_iters)
+        n_hosts = pr.count()
+        allow = topk_by_weight(
+            pr, int(n_hosts * float(host_rank_top_frac)),
+            weight_col="rank_micro", id_col="host").select(
+            F.col("host").alias("source"))
+        docs = docs.join(F.broadcast(allow), "source", "left_semi")
+        tag = f"{tag or ''}|hostrank:{host_rank_top_frac}" \
+              f":{host_rank_iters}"
     run_curate(spark, docs, f"{workdir}/curated",
                f"{workdir}/lineage/curate", run_id=run_id,
-               evals_src=evals_src, resume=resume, **curate_knobs)
+               evals_src=evals_src, resume=resume, input_tag=tag,
+               **curate_knobs)
 
 
 __all__ = ["curate_df", "run_curate", "read_curated", "completed_stages",
            "quality_keep_ids", "exact_keeper_ids", "near_dup_loser_ids",
-           "contaminated_ids", "media_loser_ids", "CURATE_STAGES",
+           "contaminated_ids", "media_loser_ids", "semantic_loser_ids",
+           "CURATE_STAGES",
            "read_curate_lineage",
            "extracted_to_documents", "run_corpus",
            "build_dedup_index", "update_dedup_index", "dedup_increment",

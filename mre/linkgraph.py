@@ -162,6 +162,13 @@ def pagerank_hosts(edges: DataFrame, iters: int = 4,
          .unionAll(edges.select(F.col("dst_host").alias("host")))
          .distinct().persist()))
     n = hosts.count()
+    if n == 0:
+        # a linkless corpus has no host graph — empty result, not a
+        # division by zero (callers treat "no link evidence" explicitly)
+        return hosts.select(
+            "host", F.lit(0).cast("long").alias("out_weight"),
+            F.lit(0).cast("long").alias("in_weight"),
+            F.lit(0).cast("long").alias("rank_micro"))
     outdeg = (edges.groupBy("src_host")
               .agg(F.sum("weight").alias("od")))
     base = ((100 - d) * scale) // (100 * n)

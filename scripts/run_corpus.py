@@ -77,6 +77,10 @@ def main() -> None:
                          "toward the target-language subset")
     ap.add_argument("--dsir-target-lang", default="en",
                     help="target language for --dsir-top-frac")
+    ap.add_argument("--host-rank-frac", type=float, default=None,
+                    help="link-based host prior: PageRank the host "
+                         "graph extracted from the raw crawl pages and "
+                         "keep only docs from the top fraction of hosts")
     ap.add_argument("--no-resume", action="store_true")
     args = ap.parse_args()
 
@@ -103,7 +107,8 @@ def main() -> None:
                    token_budget=args.token_budget,
                    bpe_merges=args.bpe_merges,
                    dsir_top_frac=args.dsir_top_frac,
-                   dsir_target_lang=args.dsir_target_lang)
+                   dsir_target_lang=args.dsir_target_lang,
+                   host_rank_top_frac=args.host_rank_frac)
     finally:
         spark.stop()
 

@@ -114,6 +114,14 @@ def main() -> None:
                          "subset (before --token-budget)")
     ap.add_argument("--dsir-target-lang", default="en",
                     help="target language for --dsir-top-frac")
+    ap.add_argument("--embeddings", default=None,
+                    help="optional (doc_id, embedding) table enabling "
+                         "the SemDeDup semantic_dedup stage")
+    ap.add_argument("--semdedup-threshold", type=float, default=0.95,
+                    help="within-cluster cosine threshold for "
+                         "--embeddings semantic dedup")
+    ap.add_argument("--semdedup-k", type=int, default=64,
+                    help="k-means cluster count for --embeddings")
     ap.add_argument("--no-resume", action="store_true")
     args = ap.parse_args()
 
@@ -148,6 +156,9 @@ def main() -> None:
                    nb_gate=args.nb_gate,
                    dsir_top_frac=args.dsir_top_frac,
                    dsir_target_lang=args.dsir_target_lang,
+                   embeddings_src=args.embeddings,
+                   semdedup_threshold=args.semdedup_threshold,
+                   semdedup_k=args.semdedup_k,
                    resume=not args.no_resume)
     finally:
         spark.stop()

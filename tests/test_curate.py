@@ -1360,3 +1360,87 @@ def test_curate_df_dsir_matches_run_curate(spark, docs, tmp_path):
     split = {r["doc_id"]
              for r in spark.read.parquet(f"{dst}/split").collect()}
     assert out == split and out
+
+
+def test_run_curate_semantic_dedup_stage(spark, docs, evals, tmp_path):
+    """Round-7 SemDeDup stage: a doc whose embedding duplicates a
+    lower-id SURVIVOR's is dropped; a duplicate of a DEAD doc's
+    embedding does not kill the survivor (live-docs-first rule); docs
+    without an embedding row pass through; resume is a no-op."""
+    from mre.curate import read_curate_lineage
+    src = str(tmp_path / "docs")
+    docs.write.parquet(src)
+    v1 = [1.0, 0.0, 0.0, 0.0]
+    v2 = [0.0, 1.0, 0.0, 0.0]
+    emb_rows = [
+        (0, v1), (2, v1),      # 2 semantically dups surviving 0 → drop
+        (120, v2), (3, v2),    # 120 fails quality (dead): 3 must stay
+    ]
+    emb_src = str(tmp_path / "emb")
+    spark.createDataFrame(
+        emb_rows, "doc_id long, embedding array<float>"
+    ).write.parquet(emb_src)
+    dst, lin = str(tmp_path / "c"), str(tmp_path / "l")
+    run_curate(spark, src, dst, lin, run_id="sd1",
+               embeddings_src=emb_src, semdedup_k=2,
+               semdedup_threshold=0.999)
+    q = {r["doc_id"] for r in spark.read.parquet(f"{dst}/quality")
+         .collect()}
+    assert 120 not in q
+    sem = {r["doc_id"]
+           for r in spark.read.parquet(f"{dst}/semantic_dedup")
+           .collect()}
+    assert 2 not in sem and 0 in sem and 3 in sem
+    split = {r["doc_id"] for r in spark.read.parquet(f"{dst}/split")
+             .collect()}
+    assert 2 not in split and 3 in split and 0 in split
+    before = read_curate_lineage(spark, lin).count()
+    run_curate(spark, src, dst, lin, run_id="sd1",
+               embeddings_src=emb_src, semdedup_k=2,
+               semdedup_threshold=0.999)
+    assert read_curate_lineage(spark, lin).count() == before
+
+
+def test_run_corpus_host_rank_gate(spark, tmp_path):
+    """Round-7 link-based host prior: pages on a periphery host that
+    nothing links to are dropped when --host-rank-frac keeps the top
+    hosts; changing the fraction recomputes (input_tag) instead of
+    silently resuming."""
+    import datetime as dt
+
+    from mre.curate import run_corpus
+    from mre.fixtures import page_row
+
+    def page(doc_id, host, extra_links):
+        from mre.fixtures import paragraphs_of
+        r = page_row(doc_id)
+        links = "".join(f'<a href="http://{h}/x">l</a>'
+                        for h in extra_links)
+        body = "".join(f"<p>{p}</p>" for p in paragraphs_of(doc_id))
+        r["url"] = f"http://{host}/p/{doc_id}"
+        r["html"] = (b"<html><body><div>" + links.encode()
+                     + body.encode() + b"</div></body>")
+        return r
+
+    # hub gets links from everyone; periphery 'cold.org' only links out
+    rows = ([page(i, "hub.org", ["a.org"]) for i in range(4)]
+            + [page(10 + i, "a.org", ["hub.org", "hub.org"])
+               for i in range(4)]
+            + [page(20 + i, "cold.org", ["hub.org", "a.org"])
+               for i in range(4)])
+    pages = spark.createDataFrame(rows)
+    src = str(tmp_path / "pages")
+    pages.write.parquet(src)
+    wd = str(tmp_path / "wd")
+    run_corpus(spark, src, wd, run_id="hr1", host_rank_top_frac=0.67)
+    kept_hosts = {r["source"] for r in spark.read.parquet(
+        f"{wd}/curated/split").collect()}
+    assert "cold.org" not in kept_hosts
+    assert kept_hosts and kept_hosts <= {"hub.org", "a.org"}
+    # a changed fraction must recompute the curation stages
+    from mre.curate import read_curate_lineage
+    n1 = read_curate_lineage(spark, f"{wd}/lineage/curate").count()
+    run_corpus(spark, src, wd, run_id="hr1", host_rank_top_frac=0.34)
+    lin = read_curate_lineage(spark, f"{wd}/lineage/curate")
+    assert lin.filter(F.col("attempt") >= 2).count() > 0 or \
+        lin.count() > n1
