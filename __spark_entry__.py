@@ -981,7 +981,33 @@ def q_url_dedup(spark, sf_dir):
                   (F.col("spam_score") * 1000000
                    + F.col("host_digit_bp")).alias("n_variants"),
                   F.col("keep_url").cast("string").alias("sample_raw")))
-    return nrm.unionAll(cap).unionAll(uf)
+
+    # op='robots' — crawl-policy compliance: per-host robots.txt BUILT
+    # by arithmetic in the executors (mre/linkgraph.py robots_txt_of:
+    # even host idx → a specific 'mrebot' group that REPLACES '*',
+    # odd → '*' only), evaluated for agent 'mrebot' over the clean
+    # /articles/ urls by the REAL stdlib parser. n_variants carries
+    # the allowed flag, so RFC group selection + prefix matching are
+    # value-checked per url against the oracle's arithmetic CASE.
+    from mre.linkgraph import robots_allowed, robots_txt_of
+
+    def _rb(batches):
+        import pandas as pd
+        for pdf in batches:
+            yield pd.DataFrame({
+                "host": [f"example-{int(h)}.com" for h in pdf["hid"]],
+                "robots_txt": [robots_txt_of(int(h))
+                               for h in pdf["hid"]]})
+
+    robots = (d.select((F.col("doc_id") % 20).alias("hid")).distinct()
+              .mapInPandas(_rb, "host string, robots_txt string"))
+    rb = (robots_allowed(d.select(clean.alias("url")), robots,
+                         agent="mrebot")
+          .select(F.lit("robots").alias("op"),
+                  F.col("url").alias("url_norm"),
+                  F.col("allowed").alias("n_variants"),
+                  F.col("host").alias("sample_raw")))
+    return nrm.unionAll(cap).unionAll(uf).unionAll(rb)
 
 
 def q_hash_sample(spark, sf_dir):
@@ -2216,6 +2242,23 @@ def oracle_sql() -> dict[str, str]:
                              AND length(url) <= 2048 AS INTEGER)
                         AS VARCHAR) AS sample_raw
             FROM ufo
+            UNION ALL
+            -- op='robots': arithmetic twin of robots_txt_of (even host
+            -- idx: a specific mrebot group disallows /articles/ iff
+            -- idx%4=0; odd: the * group disallows /articles/ iff
+            -- idx%3=0) — the Spark side derives the same flags by
+            -- PARSING the built robots.txt with urllib.robotparser
+            SELECT 'robots' AS op,
+                   'https://example-' || (doc_id % 20)
+                       || '.com/articles/' || doc_id AS url_norm,
+                   CAST(CASE WHEN (doc_id % 20) % 2 = 0
+                             THEN CASE WHEN (doc_id % 20) % 4 = 0
+                                       THEN 0 ELSE 1 END
+                             ELSE CASE WHEN (doc_id % 20) % 3 = 0
+                                       THEN 0 ELSE 1 END
+                        END AS BIGINT) AS n_variants,
+                   'example-' || (doc_id % 20) || '.com' AS sample_raw
+            FROM documents
         """,
         "profile_docs": " UNION ALL ".join(
             f"""

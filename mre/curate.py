@@ -375,6 +375,8 @@ def run_curate(spark: SparkSession, src, dst: str, lineage_dst: str,
                embeddings_src: Optional[str] = None,
                semdedup_k: int = 64, semdedup_iters: int = 3,
                semdedup_threshold: float = 0.95,
+               robots_src: Optional[str] = None,
+               robots_agent: str = "mrebot",
                input_tag: Optional[str] = None) -> None:
     """Run the curation pipeline end-to-end with stage checkpoints.
 
@@ -483,6 +485,14 @@ def run_curate(spark: SparkSession, src, dst: str, lineage_dst: str,
     k-means cell are dropped, docs without an embedding row pass
     through.
 
+    ``robots_src`` (round 7): an optional (host, robots_txt) table —
+    inserts a ``robots_filter`` stage right after the URL gate: docs
+    whose url the host's robots.txt disallows for ``robots_agent``
+    (REAL stdlib parser, RFC group selection —
+    ``mre.linkgraph.robots_allowed``) are dropped; hosts with no
+    robots row allow everything. Requires a ``url`` column like
+    ``url_gate``.
+
     ``input_tag`` folds an upstream-input marker into the parameter
     digest: a caller that pre-filters the corpus (e.g. run_corpus's
     host-rank gate) tags the input so a changed pre-filter recomputes
@@ -520,6 +530,8 @@ def run_curate(spark: SparkSession, src, dst: str, lineage_dst: str,
         embeddings_src=embeddings_src,
         semdedup=((semdedup_k, semdedup_iters, semdedup_threshold)
                   if embeddings_src else None),
+        robots_src=robots_src,
+        robots_agent=robots_agent if robots_src else None,
         input_tag=input_tag)
     done = completed_stages(spark, lineage_dst, run_id, ph) if resume \
         else set()
@@ -571,6 +583,24 @@ def run_curate(spark: SparkSession, src, dst: str, lineage_dst: str,
                     .filter(F.col("keep_url") == 1).select("doc_id"),
                     _pre_url)
         docs = docs.join(sU, "doc_id", "left_semi")
+    if robots_src is not None:
+        # crawl-policy compliance — drop robots-disallowed docs before
+        # any content work (the other stage-0 family member)
+        if "url" not in docs.columns:
+            raise ValueError(
+                "robots_src needs a 'url' column on the corpus")
+        from .linkgraph import robots_allowed
+        robots = read_table(spark, robots_src)
+        _pre_rb = docs
+        sR0 = _stage(
+            "robots_filter",
+            lambda: _pre_rb.select("doc_id", "url")
+            .join(robots_allowed(_pre_rb.select("url"), robots,
+                                 agent=robots_agent)
+                  .filter(F.col("allowed") == 1).select("url"),
+                  "url", "left_semi").select("doc_id"),
+            _pre_rb)
+        docs = docs.join(sR0, "doc_id", "left_semi")
     if line_clean:
         from .textops import c4_line_clean
         _raw = docs

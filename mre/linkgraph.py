@@ -207,7 +207,73 @@ def pagerank_hosts(edges: DataFrame, iters: int = 4,
     return out
 
 
+# --------------------------------------------------------------------------
+# robots.txt gate — crawl-policy compliance (RFC 9309 semantics via the
+# stdlib parser). A compliant corpus pipeline must honour per-host
+# robots rules before fetching/keeping a page.
+
+
+def robots_txt_of(host_idx: int) -> str:
+    """Deterministic robots.txt builder (the media_meta arithmetic
+    device; mirrored by the oracle): EVEN host indices publish a
+    specific ``mrebot`` group (RFC group-selection: the specific group
+    REPLACES ``*`` for that agent) disallowing ``/articles/`` when
+    idx%4==0 else ``/blocked/``; ODD indices publish only a ``*``
+    group disallowing ``/articles/`` when idx%3==0 else ``/private/``.
+    So for agent 'mrebot' fetching /articles/…:
+    even → allowed iff idx%4 != 0; odd → allowed iff idx%3 != 0."""
+    i = int(host_idx)
+    if i % 2 == 0:
+        specific = "/articles/" if i % 4 == 0 else "/blocked/"
+        return ("User-agent: *\nDisallow: /private/\n\n"
+                f"User-agent: mrebot\nDisallow: {specific}\n")
+    general = "/articles/" if i % 3 == 0 else "/private/"
+    return f"User-agent: *\nDisallow: {general}\n"
+
+
+def robots_allowed(urls: DataFrame, robots: DataFrame,
+                   agent: str = "mrebot") -> DataFrame:
+    """Evaluate per-url robots permission with the REAL stdlib parser
+    (urllib.robotparser — RFC group selection, prefix matching).
+
+    ``urls`` carries a ``url`` column; ``robots`` is (host,
+    robots_txt) — per-host, so bounded by the host count and
+    broadcast into the join. Hosts with no robots row allow everything
+    (the crawl convention). The parser is cached per host within each
+    Arrow batch — repartitioning the urls by host turns that into one
+    parse per host per task at scale. Output: (url, host, allowed)."""
+    import pandas as pd
+
+    host = F.regexp_extract("url", r"^[a-z]+://([^/]+)", 1)
+    j = (urls.select("url", host.alias("host"))
+         .join(F.broadcast(robots), "host", "left"))
+
+    def _batch(batches):
+        from urllib.robotparser import RobotFileParser
+        for pdf in batches:
+            cache: dict = {}
+            out = []
+            for url, h, txt in zip(pdf["url"], pdf["host"],
+                                   pdf["robots_txt"]):
+                if txt is None:
+                    out.append(1)
+                    continue
+                p = cache.get(h)
+                if p is None:
+                    p = RobotFileParser()
+                    p.parse(str(txt).splitlines())
+                    cache[h] = p
+                out.append(1 if p.can_fetch(agent, url) else 0)
+            yield pd.DataFrame({"url": pdf["url"], "host": pdf["host"],
+                                "allowed": pd.Series(out,
+                                                     dtype="int64")})
+
+    return j.mapInPandas(_batch,
+                         "url string, host string, allowed long")
+
+
 __all__ = [
     "link_page_html", "link_pages_df", "extract_links", "host_edges",
     "pagerank_hosts", "PAGERANK_SCALE", "PAGERANK_DAMPING_PCT",
+    "robots_txt_of", "robots_allowed",
 ]

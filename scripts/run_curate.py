@@ -122,6 +122,11 @@ def main() -> None:
                          "--embeddings semantic dedup")
     ap.add_argument("--semdedup-k", type=int, default=64,
                     help="k-means cluster count for --embeddings")
+    ap.add_argument("--robots", default=None,
+                    help="optional (host, robots_txt) table enabling "
+                         "the robots_filter crawl-policy stage")
+    ap.add_argument("--robots-agent", default="mrebot",
+                    help="user-agent evaluated against --robots")
     ap.add_argument("--no-resume", action="store_true")
     args = ap.parse_args()
 
@@ -159,6 +164,8 @@ def main() -> None:
                    embeddings_src=args.embeddings,
                    semdedup_threshold=args.semdedup_threshold,
                    semdedup_k=args.semdedup_k,
+                   robots_src=args.robots,
+                   robots_agent=args.robots_agent,
                    resume=not args.no_resume)
     finally:
         spark.stop()

@@ -1444,3 +1444,46 @@ def test_run_corpus_host_rank_gate(spark, tmp_path):
     lin = read_curate_lineage(spark, f"{wd}/lineage/curate")
     assert lin.filter(F.col("attempt") >= 2).count() > 0 or \
         lin.count() > n1
+
+
+def test_run_curate_robots_filter_stage(spark, tmp_path):
+    """Round-7 crawl-policy stage: robots-disallowed docs drop before
+    any content work; hosts without a robots row pass; corpora
+    without a url column raise."""
+    rows = [(i, "the quick brown fox jumps over the lazy dog and the "
+                "cat sat on the mat with a hat and a bat for a while "
+                "before it went home to sleep on the warm soft bed "
+                "near the door of the house in the town by the river",
+             "en", f"h{i % 2}.org",
+             f"https://h{i % 2}.org/{'bad' if i % 3 == 0 else 'ok'}/{i}")
+            for i in range(12)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "url string").withColumn("n_chars", F.length("text"))
+    src = str(tmp_path / "docs")
+    docs.write.parquet(src)
+    robots = spark.createDataFrame(
+        [("h0.org", "User-agent: *\nDisallow: /bad/\n")],
+        "host string, robots_txt string")
+    rsrc = str(tmp_path / "robots")
+    robots.write.parquet(rsrc)
+    dst, lin = str(tmp_path / "c"), str(tmp_path / "l")
+    run_curate(spark, src, dst, lin, run_id="rb1", robots_src=rsrc)
+    kept = {r["doc_id"]
+            for r in spark.read.parquet(f"{dst}/robots_filter")
+            .collect()}
+    # /bad/ on h0.org (even doc_id, i%3==0) disallowed; h1.org has no
+    # robots row so even its /bad/ urls pass
+    expect = {i for i in range(12)
+              if not (i % 2 == 0 and i % 3 == 0)}
+    assert kept == expect
+    split = {r["doc_id"] for r in spark.read.parquet(f"{dst}/split")
+             .collect()}
+    assert split <= kept and 0 not in split and 6 not in split
+    # no url column → raises
+    import pytest as _p
+    src2 = str(tmp_path / "docs2")
+    docs.drop("url").write.parquet(src2)
+    with _p.raises(ValueError, match="url"):
+        run_curate(spark, src2, str(tmp_path / "c2"),
+                   str(tmp_path / "l2"), run_id="rb2", robots_src=rsrc)

@@ -89,3 +89,37 @@ def test_link_pages_parse_back_to_builder_arithmetic(spark):
     assert per == exp
     assert all(r["src_host"] != r["dst_host"] for r in links
                if r["kind"] == "edge")
+
+
+def test_robots_allowed_group_selection_and_defaults(spark):
+    """RFC group selection through the real stdlib parser: a specific
+    agent group REPLACES '*', prefix matching applies, and a host with
+    no robots row allows everything."""
+    from mre.linkgraph import robots_allowed
+    robots = spark.createDataFrame(
+        [("a.org", "User-agent: *\nDisallow: /articles/\n\n"
+                   "User-agent: mrebot\nDisallow: /blocked/\n"),
+         ("b.org", "User-agent: *\nDisallow: /private/\n")],
+        "host string, robots_txt string")
+    urls = spark.createDataFrame(
+        [("https://a.org/articles/1",),   # * blocks, mrebot group wins
+         ("https://a.org/blocked/2",),    # mrebot group blocks
+         ("https://b.org/private/3",),    # * blocks
+         ("https://b.org/ok/4",),
+         ("https://c.org/anything",)],    # no robots row → allowed
+        "url string")
+    got = {r["url"]: r["allowed"]
+           for r in robots_allowed(urls, robots, agent="mrebot")
+           .collect()}
+    assert got == {
+        "https://a.org/articles/1": 1,
+        "https://a.org/blocked/2": 0,
+        "https://b.org/private/3": 0,
+        "https://b.org/ok/4": 1,
+        "https://c.org/anything": 1}
+    # a generic agent falls back to the '*' group on a.org
+    got2 = {r["url"]: r["allowed"]
+            for r in robots_allowed(urls, robots, agent="other")
+            .collect()}
+    assert got2["https://a.org/articles/1"] == 0
+    assert got2["https://a.org/blocked/2"] == 1
