@@ -81,6 +81,9 @@ def main() -> None:
                     help="link-based host prior: PageRank the host "
                          "graph extracted from the raw crawl pages and "
                          "keep only docs from the top fraction of hosts")
+    ap.add_argument("--robots", default=None,
+                    help="optional (host, robots_txt) table enabling "
+                         "the robots_filter crawl-policy stage")
     ap.add_argument("--no-resume", action="store_true")
     args = ap.parse_args()
 
@@ -108,7 +111,8 @@ def main() -> None:
                    bpe_merges=args.bpe_merges,
                    dsir_top_frac=args.dsir_top_frac,
                    dsir_target_lang=args.dsir_target_lang,
-                   host_rank_top_frac=args.host_rank_frac)
+                   host_rank_top_frac=args.host_rank_frac,
+                   robots_src=args.robots)
     finally:
         spark.stop()
 
