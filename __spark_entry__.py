@@ -510,7 +510,20 @@ def q_source_stats(spark, sf_dir):
                   F.col("rank_micro").alias("total_chars"),
                   F.col("ndst").cast("long").alias("n_langs"),
                   F.col("selfs").cast("long").alias("n_dup_docs")))
-    return stats.unionAll(lk)
+    # op='mix' (round 7) — temperature-scaled mixture shares
+    # (mixture_weights_bp, alpha=0.5): per source the floored pow
+    # micro-weight, the basis-point share, and the floored token
+    # budget that share implies for a nominal 1M-token budget — the
+    # whole UniMax-style weighting chain value-checked.
+    from mre.textops import mixture_weights_bp
+    mx = (mixture_weights_bp(docs, alpha_bp=5000)
+          .select(F.lit("mix").alias("op"), "source",
+                  F.col("n_docs").cast("long").alias("n_docs"),
+                  F.col("w_micro").alias("total_chars"),
+                  F.col("weight_bp").alias("n_langs"),
+                  F.expr("(1000000 * weight_bp) DIV 10000")
+                  .cast("long").alias("n_dup_docs")))
+    return stats.unionAll(lk).unionAll(mx)
 
 
 def q_lang_sources(spark, sf_dir):
@@ -1575,6 +1588,24 @@ def _source_stats_oracle_sql() -> str:
             FROM lstats s
             JOIN lselfs f ON f.src_host = s.src_host
             JOIN pr{_IT} ON pr{_IT}.host = s.src_host
+            UNION ALL
+            -- op='mix': temperature-scaled mixture shares (alpha=0.5;
+            -- one libm pow floored to micro-units, then pure integer)
+            SELECT 'mix' AS op, source,
+                   CAST(n AS BIGINT) AS n_docs,
+                   CAST(w AS BIGINT) AS total_chars,
+                   CAST((w * 10000) // t AS BIGINT) AS n_langs,
+                   CAST((1000000 * ((w * 10000) // t)) // 10000
+                        AS BIGINT) AS n_dup_docs
+            FROM (SELECT source, n,
+                         CAST(floor(pow(CAST(n AS DOUBLE), 0.5) * 1e6)
+                              AS BIGINT) AS w
+                  FROM (SELECT source, count(*) AS n FROM documents
+                        GROUP BY 1)),
+                 (SELECT sum(CAST(floor(pow(CAST(n AS DOUBLE), 0.5)
+                                        * 1e6) AS BIGINT)) AS t
+                  FROM (SELECT count(*) AS n FROM documents GROUP BY
+                        source))
         """
 
 

@@ -368,6 +368,7 @@ def run_curate(spark: SparkSession, src, dst: str, lineage_dst: str,
                url_gate: bool = False,
                token_budget: int | None = None,
                budget_weights_bp: dict[str, int] | None = None,
+               budget_temperature_bp: int | None = None,
                nb_gate: bool = False,
                nb_vocab_top: int = 4096,
                dsir_top_frac: float | None = None,
@@ -457,6 +458,12 @@ def run_curate(spark: SparkSession, src, dst: str, lineage_dst: str,
     (``budget_weights_bp`` = mixture shares in basis points; absent
     sources get the flat cap) in deterministic content-hash order, and
     only the sampled docs reach the split.
+    ``budget_temperature_bp`` (round 7) derives those shares from the
+    survivors themselves instead: temperature-scaled
+    share_s ∝ n_s^(alpha/10000) (``textops.mixture_weights_bp``, the
+    UniMax device), computed INSIDE the stage from the decontaminated
+    survivor counts (bounded per-source collect) — mutually exclusive
+    with an explicit ``budget_weights_bp``.
 
     ``nb_gate`` (round 7) inserts an ``nb_filter`` stage right after
     quality — the CCNet bootstrap: a multinomial Naive Bayes
@@ -524,6 +531,7 @@ def run_curate(spark: SparkSession, src, dst: str, lineage_dst: str,
         url_gate=url_gate, token_budget=token_budget,
         budget_weights_bp=(tuple(sorted(budget_weights_bp.items()))
                            if budget_weights_bp else None),
+        budget_temperature_bp=budget_temperature_bp,
         nb_gate=nb_gate, nb_vocab_top=nb_vocab_top,
         dsir_top_frac=dsir_top_frac,
         dsir_target_lang=dsir_target_lang if dsir_top_frac else None,
@@ -726,15 +734,27 @@ def run_curate(spark: SparkSession, src, dst: str, lineage_dst: str,
     if token_budget is not None:
         # mixture assembly — fill the per-source token budget from the
         # fully-curated survivors, before the split freezes the corpus
-        from .textops import budget_sample
+        from .textops import budget_sample, mixture_weights_bp
+        if budget_weights_bp and budget_temperature_bp is not None:
+            raise ValueError("budget_weights_bp and "
+                             "budget_temperature_bp are mutually "
+                             "exclusive")
         _s4_pre_b = s4
-        s4 = _stage(
-            "budget_sample",
-            lambda: budget_sample(
-                base.join(_s4_pre_b, "doc_id", "left_semi"),
-                token_budget, weights_bp=budget_weights_bp)
-            .select("doc_id"),
-            _s4_pre_b)
+
+        def _budget():
+            surv = base.join(_s4_pre_b, "doc_id", "left_semi")
+            wbp = budget_weights_bp
+            if budget_temperature_bp is not None:
+                # bounded per-source collect, computed inside the
+                # stage so a resumed run never pays it
+                wbp = {r["source"]: int(r["weight_bp"])
+                       for r in mixture_weights_bp(
+                           surv, alpha_bp=budget_temperature_bp)
+                       .collect()}
+            return budget_sample(surv, token_budget,
+                                 weights_bp=wbp).select("doc_id")
+
+        s4 = _stage("budget_sample", _budget, _s4_pre_b)
     d5 = base.join(s4, "doc_id", "left_semi")
     _stage("split",
            lambda: hash_split(d5, "text", train_frac).drop("text"),

@@ -2169,6 +2169,33 @@ def pack_sequences(df: DataFrame, seq_len: int, *,
             .drop("_h", "_b", "_lc", "_off"))
 
 
+def mixture_weights_bp(df: DataFrame, alpha_bp: int = 5000, *,
+                       source_col: str = "source") -> DataFrame:
+    """Temperature-scaled mixture shares (the UniMax / multilingual-
+    sampling device): share_s ∝ n_s^(alpha_bp/10000) — alpha 10000
+    reproduces natural proportions, 0 gives uniform, the usual 3000 to
+    7000 range upweights small sources. The single float op
+    (pow) is floored to micro-units immediately (the micro-nat device:
+    both engines run one libm call on identical integers, then every
+    downstream op is integer), and shares come back in BASIS POINTS:
+    bp_s = w_micro_s · 10000 DIV Σ w_micro (floored, so Σbp ≤ 10000 —
+    the remainder is deliberately unassigned rather than
+    engine-dependently distributed). One count aggregation; the
+    per-source frame is bounded by the source count.
+
+    Columns: source, n_docs, w_micro, weight_bp — feed
+    ``{s: weight_bp}`` straight into ``budget_sample(weights_bp=…)``."""
+    alpha = int(alpha_bp) / 10000.0
+    cnt = df.groupBy(source_col).agg(F.count("*").alias("n_docs"))
+    w = F.floor(F.pow(F.col("n_docs").cast("double"), F.lit(alpha))
+                * F.lit(1e6)).cast("long")
+    cnt = cnt.withColumn("w_micro", w)
+    total = int(cnt.agg(F.sum("w_micro")).first()[0] or 0)
+    return cnt.withColumn(
+        "weight_bp",
+        F.expr(f"(w_micro * 10000) DIV {max(total, 1)}").cast("long"))
+
+
 def budget_sample(df: DataFrame, token_budget: int, *,
                   weights_bp: dict[str, int] | None = None,
                   source_col: str = "source",
@@ -2398,7 +2425,7 @@ __all__ = [
     "dsir_features_col", "dsir_bucket_lr", "dsir_weights",
     "dsir_topk", "topk_by_weight", "DSIR_BUCKETS",
     "c4_line_clean", "domain_cap", "url_filter", "budget_sample",
-    "pack_sequences",
+    "pack_sequences", "mixture_weights_bp",
     "URL_SPAM_HARD", "URL_SPAM_SOFT",
     "C4_TERMINAL_RE", "C4_MIN_WORDS", "C4_MIN_LINES",
     "table_profile", "hash_bucket_16", "hash_sample", "hash_split",

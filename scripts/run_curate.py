@@ -103,6 +103,10 @@ def main() -> None:
                          "token budget filled from the curated "
                          "survivors in content-hash order before the "
                          "split")
+    ap.add_argument("--budget-temperature-bp", type=int, default=None,
+                    help="derive the per-source shares for "
+                         "--token-budget as n^(alpha/10000) over the "
+                         "survivor counts (UniMax-style temperature)")
     ap.add_argument("--nb-gate", action="store_true",
                     help="opt-in CCNet-style bootstrap: train a Naive "
                          "Bayes classifier on the quality gate's own "
@@ -158,6 +162,7 @@ def main() -> None:
                    lm_vocab_top=args.lm_vocab_top,
                    url_gate=args.url_gate,
                    token_budget=args.token_budget,
+                   budget_temperature_bp=args.budget_temperature_bp,
                    nb_gate=args.nb_gate,
                    dsir_top_frac=args.dsir_top_frac,
                    dsir_target_lang=args.dsir_target_lang,

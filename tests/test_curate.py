@@ -1487,3 +1487,33 @@ def test_run_curate_robots_filter_stage(spark, tmp_path):
     with _p.raises(ValueError, match="url"):
         run_curate(spark, src2, str(tmp_path / "c2"),
                    str(tmp_path / "l2"), run_id="rb2", robots_src=rsrc)
+
+
+def test_run_curate_budget_temperature(spark, docs, tmp_path):
+    """Round-7 temperature shares: the budget stage with
+    budget_temperature_bp equals budget_sample fed the
+    mixture_weights_bp dict computed on the decontaminated survivors;
+    explicit weights and temperature are mutually exclusive."""
+    from mre.textops import budget_sample, mixture_weights_bp
+    src = str(tmp_path / "docs")
+    docs.write.parquet(src)
+    dst, lin = str(tmp_path / "c"), str(tmp_path / "l")
+    run_curate(spark, src, dst, lin, run_id="bt1", token_budget=200,
+               budget_temperature_bp=5000)
+    surv = docs.join(spark.read.parquet(f"{dst}/decontaminate"),
+                     "doc_id", "left_semi")
+    wbp = {r["source"]: int(r["weight_bp"])
+           for r in mixture_weights_bp(surv, alpha_bp=5000).collect()}
+    expect = {r["doc_id"]
+              for r in budget_sample(surv, 200, weights_bp=wbp)
+              .collect()}
+    got = {r["doc_id"]
+           for r in spark.read.parquet(f"{dst}/budget_sample")
+           .collect()}
+    assert got == expect and got
+    import pytest as _p
+    with _p.raises(ValueError, match="mutually exclusive"):
+        run_curate(spark, src, str(tmp_path / "c2"),
+                   str(tmp_path / "l2"), run_id="bt2",
+                   token_budget=200, budget_temperature_bp=5000,
+                   budget_weights_bp={"a": 5000})

@@ -1039,3 +1039,30 @@ def test_semdedup_losers_drop_planted_dups(spark):
         assert 100 + i in out and out[100 + i][0] == i, out
         assert out[100 + i][1] == 1.0
     assert all(i not in out for i in range(12))
+
+
+def test_mixture_weights_bp_replay_and_temperature(spark):
+    """Floored pow micro-weights + basis points replay in pure Python;
+    alpha=10000 is proportional, alpha=0 uniform, 0.5 compresses."""
+    import math
+    from mre.textops import mixture_weights_bp
+    rows = ([(i, "x", "big") for i in range(90)]
+            + [(100 + i, "x", "small") for i in range(10)])
+    docs = spark.createDataFrame(rows, "doc_id long, text string, "
+                                       "source string")
+    for abp in (0, 5000, 10000):
+        got = {r["source"]: (r["n_docs"], r["w_micro"], r["weight_bp"])
+               for r in mixture_weights_bp(docs, alpha_bp=abp)
+               .collect()}
+        w = {s: math.floor((n ** (abp / 10000.0)) * 1e6)
+             for s, n in (("big", 90), ("small", 10))}
+        t = sum(w.values())
+        for s, n in (("big", 90), ("small", 10)):
+            assert got[s] == (n, w[s], w[s] * 10000 // t), (abp, s)
+    flat = {r["source"]: r["weight_bp"]
+            for r in mixture_weights_bp(docs, alpha_bp=0).collect()}
+    assert flat["big"] == flat["small"] == 5000
+    half = {r["source"]: r["weight_bp"]
+            for r in mixture_weights_bp(docs, alpha_bp=5000).collect()}
+    # temperature compresses: 90:10 natural (9000 bp) → ~3:1
+    assert 7000 < half["big"] < 8000 and half["small"] > 2000
