@@ -212,13 +212,16 @@ def test_new_ops_plan_shapes(spark):
 
     sf = "/root/testdata/sf0.001"
 
-    # url_dedup (round-7 norm/cap/uf union): explode + regex normalize
-    # + the URL-filter scoring are pure projections — exactly TWO
-    # Exchanges total (norm's groupBy on the canonical form; cap's
-    # window on domain; uf contributes ZERO)
+    # url_dedup (round-7 norm/cap/uf/robots union): explode + regex
+    # normalize + the URL-filter scoring are pure projections — the
+    # norm groupBy and the cap window are the only corpus-keyed
+    # Exchanges; the robots branch adds its bounded 20-row host
+    # distinct plus the robots-table BroadcastExchange (a fifth
+    # Exchange string means a corpus-keyed shuffle crept in)
     plan = em.queries()["url_dedup"](spark, sf) \
         ._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("Exchange") == 2, plan
+    assert plan.count("Exchange") == 4, plan
+    assert plan.count("BroadcastExchange") == 1, plan
     assert "BatchEvalPython" not in plan and "EvalPython" not in plan
 
     # hash_sample: the flat/strat md5-bucket filters are JVM-side over
