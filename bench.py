@@ -359,14 +359,37 @@ def main() -> None:
 
     # VERDICT r6 #3: make the artifact self-adjudicating — record system
     # load around the run so a contended capture window is visible in
-    # the JSON itself, not inferred from prose three rounds running
+    # the JSON itself, not inferred from prose three rounds running.
+    # Round-7 addition: hypervisor STEAL time over the run — guest
+    # loadavg cannot see co-tenant VMs (the r4–r7 adjudications), but
+    # steal can: a slow capture with steal_pct ≈ 0 rules OUT vCPU
+    # preemption specifically (memory-bandwidth contention stays
+    # invisible to both).
+    def _cpu_stat():
+        parts = open("/proc/stat").readline().split()
+        vals = list(map(int, parts[1:9]))
+        return vals[7], sum(vals)  # (steal jiffies, total jiffies)
+
     load_before = [round(v, 2) for v in os.getloadavg()]
+    try:
+        steal0 = _cpu_stat()
+    except Exception:
+        steal0 = None
     spark = _session(CPUS)
     try:
         r = run_bench(spark, SF_DIR)
     finally:
         spark.stop()
     load_after = [round(v, 2) for v in os.getloadavg()]
+    steal_pct = None
+    if steal0 is not None:
+        try:
+            s1, t1 = _cpu_stat()
+            dt = t1 - steal0[1]
+            steal_pct = round(100.0 * (s1 - steal0[0]) / dt, 3) \
+                if dt > 0 else None
+        except Exception:
+            pass
 
     total = round(sum(r["times"].values()), 3)
     line = {
@@ -378,6 +401,7 @@ def main() -> None:
         "bench_runs_per_query": BENCH_RUNS,
         "loadavg_before": load_before,
         "loadavg_after": load_after,
+        "steal_pct": steal_pct,
         "sf": SF_DIR,
         "cpus": CPUS,
         "extract_docs_per_sec": r.get("extract_docs_per_sec"),
