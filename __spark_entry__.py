@@ -1279,20 +1279,35 @@ def q_ivf_ann(spark, sf_dir):
       is dropped. query_id carries the witness (min such neighbour),
       neighbor_id the dropped vector, rank the cell — the whole
       cluster→confirm→drop chain is value-checked; the oracle replays
-      Lloyd's as an unrolled per-iteration CTE chain."""
-    from mre.textops import ivf_ann, semdedup_losers
+      Lloyd's as an unrolled per-iteration CTE chain.
+    * op='lann' (round 7) — IVF-Flat with the LEARNED quantizer:
+      the same k-means cells, each query probing its 2 max-cosine
+      learned cells, candidates equi-joined on cell — the oracle
+      reuses the Lloyd chain and replays probe selection + ranking."""
+    from mre.textops import (_register_cache, ivf_ann, ivf_ann_learned,
+                             kmeans_cells, semdedup_losers)
     _prep(spark)
     emb = _t(spark, sf_dir, "embeddings")
     ann = ivf_ann(emb, n_queries=5, k=10).select(
         F.lit("ann").alias("op"), "query_id", "neighbor_id",
         "cosine", "rank")
-    sd = semdedup_losers(emb, k=8, iters=3, threshold=0.3).select(
+    # ONE clustering shared by both learned branches (the Lloyd rounds
+    # are the expensive half); the assignment frame feeds two branches,
+    # so it is persisted (registered cache)
+    cells, cents = kmeans_cells(emb, k=8, iters=3)
+    cc = (_register_cache(cells.persist()), cents)
+    sd = semdedup_losers(emb, k=8, iters=3, threshold=0.3,
+                         cells_cents=cc).select(
         F.lit("semdedup").alias("op"),
         F.col("witness").alias("query_id"),
         F.col("vec_id").alias("neighbor_id"),
         "cosine",
         F.col("cell").alias("rank"))
-    return ann.unionAll(sd)
+    la = ivf_ann_learned(emb, n_queries=5, k=10, kmeans_k=8,
+                         iters=3, nprobe=2, cells_cents=cc).select(
+        F.lit("lann").alias("op"), "query_id", "neighbor_id",
+        "cosine", "rank")
+    return ann.unionAll(sd).unionAll(la)
 
 
 def q_lineage_rollup(spark, sf_dir):
@@ -1721,7 +1736,8 @@ def oracle_sql() -> dict[str, str]:
         _sd_ctes.append(_sd_assign(_i, f"sc{_i - 1}"))
         _sd_ctes.append(_sd_update(_i))
     _sd_ctes.append(_sd_assign("F", f"sc{_SD_ITERS}"))
-    semdedup_oracle = "WITH " + ",".join(_sd_ctes) + f""",
+    _sd_chain = ",".join(_sd_ctes)
+    semdedup_oracle = "WITH " + _sd_chain + f""",
             sp AS MATERIALIZED (
               SELECT cell, vec_a, vec_b, cosine FROM (
                 SELECT a.cell, a.vec_id AS vec_a, b.vec_id AS vec_b,
@@ -1735,6 +1751,34 @@ def oracle_sql() -> dict[str, str]:
                    arg_min(cosine, vec_a) AS cosine,
                    CAST(cell AS INTEGER) AS rank
             FROM sp GROUP BY cell, vec_b"""
+    # op='lann': same Lloyd chain (duplicated subquery — DuckDB runs
+    # it twice, bounded), probes = top-2 learned cells per query,
+    # candidates equi-joined on cell, same rounded-cosine ranking as
+    # the fixed-quantizer branch.
+    lann_oracle = "WITH " + _sd_chain + f""",
+            lprobes AS MATERIALIZED (
+              SELECT query_id, q_emb, probe_cell FROM (
+                SELECT q.vec_id AS query_id, q.emb AS q_emb,
+                       c.cell AS probe_cell,
+                       row_number() OVER (PARTITION BY q.vec_id
+                           ORDER BY list_cosine_similarity(q.emb,
+                                                           c.cent) DESC,
+                                    c.cell) AS prb
+                FROM (SELECT vec_id, emb FROM se WHERE vec_id < 5) q
+                CROSS JOIN sc{_SD_ITERS} c) WHERE prb <= 2)
+            SELECT 'lann' AS op, query_id, neighbor_id, cosine, rank
+            FROM (
+              SELECT p.query_id, e.vec_id AS neighbor_id,
+                     round(list_cosine_similarity(p.q_emb, e.emb), 4)
+                         AS cosine,
+                     row_number() OVER (
+                         PARTITION BY p.query_id
+                         ORDER BY round(list_cosine_similarity(
+                             p.q_emb, e.emb), 4) DESC,
+                                  e.vec_id ASC) AS rank
+              FROM saF e JOIN lprobes p ON e.cell = p.probe_cell
+                                       AND e.vec_id != p.query_id)
+            WHERE rank <= 10"""
     ivf_oracle = f"""
             WITH c(cell_id, cent) AS (VALUES {cent_values}),
             sims AS (
@@ -1770,6 +1814,8 @@ def oracle_sql() -> dict[str, str]:
             WHERE rank <= 10
             UNION ALL
             SELECT * FROM ({semdedup_oracle})
+            UNION ALL
+            SELECT * FROM ({lann_oracle})
         """
     from mre.textops import _hyperplanes
     bucket_terms = " + ".join(

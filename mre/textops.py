@@ -1658,9 +1658,63 @@ def _cell_cosine_pairs(cells: DataFrame, threshold: float,
         _block, "cell int, vec_a long, vec_b long, cosine double")
 
 
+def ivf_ann_learned(embeddings: DataFrame, n_queries: int = 5,
+                    k: int = 10, kmeans_k: int = 8, iters: int = 3,
+                    nprobe: int = 2,
+                    cells_cents: tuple | None = None) -> DataFrame:
+    """IVF-Flat ANN with a LEARNED coarse quantizer — ``ivf_ann``'s
+    inverted-file shape with ``kmeans_cells``'s deterministic Lloyd
+    centroids instead of the fixed xorshift quantizer. Each query
+    probes its ``nprobe`` max-cosine cells (ties: lowest cell, the
+    shared first-max rule); candidates come from an equi-join on the
+    cell id, so the corpus never self-joins. The centroid-similarity
+    fold runs only on the ``n_queries`` probe rows — the corpus side
+    is assigned by the vectorized batch matmul inside
+    ``kmeans_cells``. ``cells_cents`` shares a precomputed
+    ``kmeans_cells`` result (e.g. with ``semdedup_losers`` over the
+    same corpus — the clustering is the expensive half)."""
+    from pyspark.sql import Window
+    cells, cents = (cells_cents if cells_cents is not None
+                    else kmeans_cells(embeddings, k=kmeans_k,
+                                      iters=iters))
+    sims = F.array(*[
+        F.aggregate(
+            F.zip_with(F.lit(c).cast("array<double>"),
+                       F.col("embedding"),
+                       lambda x, y: x * y.cast("double")),
+            F.lit(0.0), lambda acc, v: acc + v)
+        / math.sqrt(sum(x * x for x in c))
+        for c in cents])
+    probes = (embeddings.filter(F.col("vec_id") < n_queries)
+              .select(F.col("vec_id").alias("query_id"),
+                      F.col("embedding").alias("q_emb"),
+                      F.posexplode(sims).alias("cell0", "sim"))
+              .withColumn("probe_cell",
+                          (F.col("cell0") + 1).cast("int"))
+              .withColumn("prb", F.row_number().over(
+                  Window.partitionBy("query_id")
+                  .orderBy(F.desc("sim"), F.asc("probe_cell"))))
+              .filter(F.col("prb") <= nprobe)
+              .select("query_id", "q_emb", "probe_cell"))
+    joined = (cells.select("vec_id", "embedding", "cell")
+              .join(F.broadcast(probes),
+                    (F.col("cell") == F.col("probe_cell"))
+                    & (F.col("vec_id") != F.col("query_id")))
+              .withColumn("cosine",
+                          F.round(_cosine_expr("q_emb", "embedding"),
+                                  4)))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("vec_id"))
+    return (joined.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                    "cosine", "rank"))
+
+
 def semdedup_losers(embeddings: DataFrame, k: int = 8, iters: int = 3,
                     threshold: float = 0.3,
-                    block_rows: int = 4096) -> DataFrame:
+                    block_rows: int = 4096,
+                    cells_cents: tuple | None = None) -> DataFrame:
     """SemDeDup: cluster the embedding space (``kmeans_cells``), confirm
     cosine near-dups only within a cluster, and mark every vector that
     has an in-threshold LOWER-id neighbour in its cell as a DROP —
@@ -1671,8 +1725,10 @@ def semdedup_losers(embeddings: DataFrame, k: int = 8, iters: int = 3,
 
     100 TB shape: the corpus never self-joins — k bounds each cell and
     the hash blocks bound each matmul tile; clustering itself is
-    iters·(scan + k·dim-row shuffle)."""
-    cells, _ = kmeans_cells(embeddings, k=k, iters=iters)
+    iters·(scan + k·dim-row shuffle). ``cells_cents`` shares a
+    precomputed clustering (see ``ivf_ann_learned``)."""
+    cells, _ = (cells_cents if cells_cents is not None
+                else kmeans_cells(embeddings, k=k, iters=iters))
     pairs = _cell_cosine_pairs(cells, threshold, block_rows=block_rows)
     return (pairs.groupBy("cell", F.col("vec_b").alias("vec_id"))
             .agg(F.min("vec_a").alias("witness"),
@@ -2440,8 +2496,9 @@ __all__ = [
     "shingles", "jaccard_pairs", "minhash_signatures", "minhash_candidates",
     "minhash_bands", "EST_JACCARD_SQL",
     "minhash_near_dups", "simhash", "simhash_near_dups", "ann_brute_force",
-    "ann_lsh", "ivf_ann", "cosine_dup_pairs", "kmeans_cells",
-    "semdedup_losers", "KMEANS_DECIMALS", "gopher_quality",
+    "ann_lsh", "ivf_ann", "ivf_ann_learned", "cosine_dup_pairs",
+    "kmeans_cells", "semdedup_losers", "KMEANS_DECIMALS",
+    "gopher_quality",
     "gopher_repetition", "gopher_dup_sections", "gopher_ngram_battery",
     "gopher_line_rules", "GOPHER_TOP_NGRAM_BP", "GOPHER_DUP_NGRAM_BP",
     "winnow_fingerprints", "winnow_exploded",

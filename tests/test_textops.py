@@ -1066,3 +1066,27 @@ def test_mixture_weights_bp_replay_and_temperature(spark):
             for r in mixture_weights_bp(docs, alpha_bp=5000).collect()}
     # temperature compresses: 90:10 natural (9000 bp) → ~3:1
     assert 7000 < half["big"] < 8000 and half["small"] > 2000
+
+
+def test_ivf_ann_learned_recall_and_scoring(spark):
+    """The learned-quantizer IVF returns the same cosine as brute
+    force for every pair it surfaces, with nonzero recall, and never
+    a query's own vector."""
+    from mre.textops import ann_brute_force, ivf_ann_learned
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    bf = {(r["query_id"], r["neighbor_id"]): r["cosine"]
+          for r in ann_brute_force(emb, n_queries=5, k=10).collect()}
+    rows = ivf_ann_learned(emb, n_queries=5, k=10).collect()
+    assert rows and all(r["query_id"] != r["neighbor_id"] for r in rows)
+    hits = [r for r in rows
+            if (r["query_id"], r["neighbor_id"]) in bf]
+    assert hits
+    for r in hits:
+        assert abs(r["cosine"] - bf[(r["query_id"],
+                                     r["neighbor_id"])]) < 1e-9
+    # per query at most k rows, ranks dense from 1
+    per = {}
+    for r in rows:
+        per.setdefault(r["query_id"], []).append(r["rank"])
+    for q, rk in per.items():
+        assert sorted(rk) == list(range(1, len(rk) + 1)), q
