@@ -218,15 +218,97 @@ def q_set_ops(spark, sf_dir):
     return ex.unionAll(it).select("op", "doc_id")
 
 
+def _cdx_fixture(spark, sf_dir) -> str:
+    """Deterministic CDXJ snapshot pair derived from the documents
+    table (IF-guarded fixture writer, §7.4 rule 20 — written once per
+    corpus size, then reused): url = https://WWW.Example-{d%20}.com/
+    Articles/{d} (mixed case + www so SURT canonicalization is
+    observable), ts = 20240101000000+d; OLD side = docs with d%4 != 1
+    (d%7==0 gets a SECOND capture an 'hour' later, same digest — the
+    latest-capture reduction is observable in old_ts/n_captures); NEW
+    side = d%4 != 2, an 'hour' later still, digest changed to
+    md5(text||'v2') on d%5==2. The bounded collect here is fixture
+    GENERATION at test scale (the write_oracle_golden class), not an
+    operator."""
+    import os as _os
+    docs = _t(spark, sf_dir, "documents")
+    n = docs.count()
+    root = os.path.join(_REPO, "dist", f"cdx_fixture_n{n}")
+    marker = os.path.join(root, "_DONE")
+    if not os.path.exists(marker):
+        from mre.sources.cdx import format_cdxj_line, write_cdxj_gz
+        rows = docs.select(
+            "doc_id", F.md5("text").alias("dg"),
+            F.md5(F.concat(F.col("text"), F.lit("v2"))).alias("dg2")
+        ).collect()
+        old: dict = {0: [], 1: []}
+        new: dict = {0: [], 1: []}
+        for r in rows:
+            d = int(r["doc_id"])
+            url = f"https://WWW.Example-{d % 20}.com/Articles/{d}"
+            ts = str(20240101000000 + d)
+            if d % 4 != 1:
+                old[d % 2].append(
+                    format_cdxj_line(url, ts, r["dg"], length=d))
+                if d % 7 == 0:
+                    old[d % 2].append(format_cdxj_line(
+                        url, str(20240101000000 + d + 100000),
+                        r["dg"], length=d))
+            if d % 4 != 2:
+                dg = r["dg2"] if d % 5 == 2 else r["dg"]
+                new[d % 2].append(format_cdxj_line(
+                    url, str(20240101000000 + d + 200000), dg,
+                    length=d))
+        for side, shards in (("old", old), ("new", new)):
+            for i, lines in shards.items():
+                write_cdxj_gz(lines, _os.path.join(
+                    root, side, f"part{i}.cdxj.gz"))
+        with open(marker, "w") as f:
+            f.write(str(n))
+    return root
+
+
 def q_full_outer(spark, sf_dir):
+    """Full-outer semantics as one tagged union (registry-window rule).
+    Shared schema (op, doc_id, n_docs, n_events):
+
+    * op='fo' — the original documents⟗events rollup join.
+    * op='delta' (round 7) — re-crawl CAPTURE-INDEX delta over the CDX
+      source family: two deterministic CDXJ(.gz) snapshot shards are
+      read through the REAL `cdx:` path (binaryFile → line parse →
+      SURT urlkeys), reduced to the latest capture per urlkey (max_by)
+      and full-outer diffed (mre/sources/cdx.py capture_delta).
+      n_docs = status code (0 unchanged / 1 changed / 2 added /
+      3 gone), n_events = capture rows across both sides — so SURT,
+      the gzip shard parse, the latest-capture reduction and the
+      digest diff are all value-checked against the oracle's
+      arithmetic twin."""
     _prep(spark)
     d = (_t(spark, sf_dir, "documents")
          .groupBy("doc_id").agg(F.count("*").alias("n_docs")))
     ev = (_t(spark, sf_dir, "events")
           .groupBy(F.col("user_id").alias("doc_id"))
           .agg(F.count("*").alias("n_events")))
-    return (d.join(ev, "doc_id", "full_outer")
-            .select("doc_id", "n_docs", "n_events"))
+    fo = (d.join(ev, "doc_id", "full_outer")
+          .select(F.lit("fo").alias("op"), "doc_id", "n_docs",
+                  "n_events"))
+    from mre.io import read_table
+    from mre.sources.cdx import capture_delta
+    root = _cdx_fixture(spark, sf_dir)
+    dd = capture_delta(
+        read_table(spark, f"cdx:{root}/old/*.cdxj.gz"),
+        read_table(spark, f"cdx:{root}/new/*.cdxj.gz"))
+    code = (F.when(F.col("status") == "unchanged", 0)
+            .when(F.col("status") == "changed", 1)
+            .when(F.col("status") == "added", 2)
+            .otherwise(3))
+    delta = dd.select(
+        F.lit("delta").alias("op"),
+        F.regexp_extract("urlkey", r"/articles/(\d+)", 1)
+        .cast("long").alias("doc_id"),
+        code.cast("long").alias("n_docs"),
+        F.col("n_captures").alias("n_events"))
+    return fo.unionAll(delta)
 
 
 def q_events_daily(spark, sf_dir):
@@ -2943,9 +3025,26 @@ def oracle_sql() -> dict[str, str]:
                        FROM documents GROUP BY doc_id),
                  e AS (SELECT user_id AS doc_id, count(*) AS n_events
                        FROM events GROUP BY user_id)
-            SELECT coalesce(d.doc_id, e.doc_id) AS doc_id,
+            SELECT 'fo' AS op, coalesce(d.doc_id, e.doc_id) AS doc_id,
                    n_docs, n_events
             FROM d FULL OUTER JOIN e ON d.doc_id = e.doc_id
+            UNION ALL
+            -- op='delta': arithmetic twin of the CDX snapshot-pair
+            -- fixture (_cdx_fixture): old = d%4 != 1 (+ a second
+            -- same-digest capture on d%7==0), new = d%4 != 2 with the
+            -- digest changed on d%5==2; the Spark side derives the
+            -- same facts by READING the cdxj.gz shards and diffing
+            SELECT 'delta' AS op, doc_id,
+                   CAST(CASE WHEN doc_id % 4 = 1 THEN 2
+                             WHEN doc_id % 4 = 2 THEN 3
+                             WHEN doc_id % 5 = 2 THEN 1
+                             ELSE 0 END AS BIGINT) AS n_docs,
+                   CAST((CASE WHEN doc_id % 4 != 1 THEN 1 ELSE 0 END)
+                      + (CASE WHEN doc_id % 4 != 1 AND doc_id % 7 = 0
+                              THEN 1 ELSE 0 END)
+                      + (CASE WHEN doc_id % 4 != 2 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_events
+            FROM documents
         """,
         "events_daily": """
             SELECT date_trunc('day', ts) AS day, event_type,

@@ -83,6 +83,12 @@ def read_pages(spark: SparkSession, src: str) -> DataFrame:
         # the HTML extract stage is already done upstream
         from .sources.warc import wet_documents
         return wet_documents(spark, src[len("wet:"):])
+    if src.startswith("cdx:"):
+        # Common Crawl's capture-index distribution (CDXJ shards) —
+        # membership / freshness / re-crawl planning without payload
+        # bytes; see mre/sources/cdx.py capture_delta
+        from .sources.cdx import read_cdx
+        return read_cdx(spark, src[len("cdx:"):])
     if src.startswith("jsonl:"):
         return read_pages_jsonl(spark, src[len("jsonl:"):])
     for p in _FORMAT_PREFIXES:

@@ -207,3 +207,66 @@ def test_wet_roundtrip_and_curate(spark, tmp_path):
     run_curate(spark, f"wet:{d}/*.wet.gz", dst, lin, run_id="wet1")
     surv = spark.read.parquet(f"{dst}/split")
     assert 0 < surv.count() <= 80
+
+
+# ---------------------------------------------------------------------------
+# CDX(J) capture-index source (mre/sources/cdx.py)
+
+
+def test_surt_key_canonicalization():
+    from mre.sources.cdx import surt_key
+    assert surt_key("https://www.Example-3.com/Articles/7?Q=1#top") == \
+        "com,example-3)/articles/7?q=1"
+    assert surt_key("http://sub.news.example.org/a/B") == \
+        "org,example,news,sub)/a/b"
+    assert surt_key("https://example.com") == "com,example)/"
+    # single-label host keeps its www (nothing to strip against)
+    assert surt_key("http://user:pw@HOST.io/x") == "io,host)/x"
+
+
+def test_cdxj_roundtrip_and_malformed_tolerance(tmp_path):
+    from mre.sources.cdx import (captures_from_cdx_bytes,
+                                 format_cdxj_line, parse_cdxj_line,
+                                 write_cdxj_gz)
+    line = format_cdxj_line("https://www.a.com/X", "20240101000001",
+                            "d1", status=200, length=5)
+    r = parse_cdxj_line(line)
+    assert r["urlkey"] == "com,a)/x" and r["ts"] == "20240101000001"
+    assert r["digest"] == "d1" and r["status"] == 200 and r["length"] == 5
+    p = write_cdxj_gz([line, "", "garbage no json", line],
+                      str(tmp_path / "s" / "part0.cdxj.gz"))
+    rows = captures_from_cdx_bytes(open(p, "rb").read())
+    assert len(rows) == 2  # blank + malformed skipped, not fatal
+
+
+def test_capture_delta_semantics(spark, tmp_path):
+    """Read through the real cdx: dispatch and diff two snapshots:
+    added/gone/changed/unchanged + latest-capture reduction."""
+    from mre.io import read_table
+    from mre.sources.cdx import capture_delta, format_cdxj_line, \
+        write_cdxj_gz
+
+    def cap(url, ts, dg):
+        return format_cdxj_line(url, ts, dg)
+
+    old = [cap("https://a.com/keep", "20240101000000", "d1"),
+           cap("https://a.com/keep", "20240102000000", "d2"),  # latest
+           cap("https://a.com/gone", "20240101000000", "dg"),
+           cap("https://a.com/chg", "20240101000000", "c1")]
+    new = [cap("https://a.com/keep", "20240103000000", "d2"),
+           cap("https://a.com/chg", "20240103000000", "c2"),
+           cap("https://a.com/new", "20240103000000", "dn")]
+    write_cdxj_gz(old, str(tmp_path / "old" / "p0.cdxj.gz"))
+    write_cdxj_gz(new, str(tmp_path / "new" / "p0.cdxj.gz"))
+    dd = {r["urlkey"]: (r["status"], r["old_ts"], r["new_ts"],
+                        r["n_captures"])
+          for r in capture_delta(
+              read_table(spark, f"cdx:{tmp_path}/old/*.cdxj.gz"),
+              read_table(spark, f"cdx:{tmp_path}/new/*.cdxj.gz"))
+          .collect()}
+    assert dd["com,a)/keep"] == ("unchanged", "20240102000000",
+                                 "20240103000000", 3)
+    assert dd["com,a)/chg"] == ("changed", "20240101000000",
+                                "20240103000000", 2)
+    assert dd["com,a)/gone"] == ("gone", "20240101000000", None, 1)
+    assert dd["com,a)/new"] == ("added", None, "20240103000000", 1)
