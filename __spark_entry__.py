@@ -1081,9 +1081,12 @@ def q_url_dedup(spark, sf_dir):
     # by arithmetic in the executors (mre/linkgraph.py robots_txt_of:
     # even host idx → a specific 'mrebot' group that REPLACES '*',
     # odd → '*' only), evaluated for agent 'mrebot' over the clean
-    # /articles/ urls by the REAL stdlib parser. n_variants carries
-    # the allowed flag, so RFC group selection + prefix matching are
-    # value-checked per url against the oracle's arithmetic CASE.
+    # /articles/ urls by the REAL stdlib parser. n_variants packs
+    # allowed*1000000 + the matched group's Crawl-delay in ms (even
+    # idx: the mrebot group's 1+s%5 seconds; odd: the '*' group's
+    # 2+s%4 only when s%3==1) — RFC group selection, prefix matching
+    # AND delay extraction all value-checked per url against the
+    # oracle's arithmetic CASE.
     from mre.linkgraph import robots_allowed, robots_txt_of
 
     def _rb(batches):
@@ -1100,7 +1103,8 @@ def q_url_dedup(spark, sf_dir):
                          agent="mrebot")
           .select(F.lit("robots").alias("op"),
                   F.col("url").alias("url_norm"),
-                  F.col("allowed").alias("n_variants"),
+                  (F.col("allowed") * 1000000
+                   + F.col("crawl_delay_ms")).alias("n_variants"),
                   F.col("host").alias("sample_raw")))
     return nrm.unionAll(cap).unionAll(uf).unionAll(rb)
 
@@ -2415,7 +2419,12 @@ def oracle_sql() -> dict[str, str]:
                                        THEN 0 ELSE 1 END
                              ELSE CASE WHEN (doc_id % 20) % 3 = 0
                                        THEN 0 ELSE 1 END
-                        END AS BIGINT) AS n_variants,
+                        END * 1000000
+                      + CASE WHEN (doc_id % 20) % 2 = 0
+                             THEN (1 + (doc_id % 20) % 5) * 1000
+                             WHEN (doc_id % 20) % 3 = 1
+                             THEN (2 + (doc_id % 20) % 4) * 1000
+                             ELSE 0 END AS BIGINT) AS n_variants,
                    'example-' || (doc_id % 20) || '.com' AS sample_raw
             FROM documents
         """,

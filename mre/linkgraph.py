@@ -226,9 +226,12 @@ def robots_txt_of(host_idx: int) -> str:
     if i % 2 == 0:
         specific = "/articles/" if i % 4 == 0 else "/blocked/"
         return ("User-agent: *\nDisallow: /private/\n\n"
-                f"User-agent: mrebot\nDisallow: {specific}\n")
+                f"User-agent: mrebot\nDisallow: {specific}\n"
+                f"Crawl-delay: {1 + i % 5}\n")
     general = "/articles/" if i % 3 == 0 else "/private/"
-    return f"User-agent: *\nDisallow: {general}\n"
+    # odd hosts publish a '*'-group delay only when i % 3 == 1
+    delay = f"Crawl-delay: {2 + i % 4}\n" if i % 3 == 1 else ""
+    return f"User-agent: *\nDisallow: {general}\n{delay}"
 
 
 def robots_allowed(urls: DataFrame, robots: DataFrame,
@@ -241,7 +244,10 @@ def robots_allowed(urls: DataFrame, robots: DataFrame,
     broadcast into the join. Hosts with no robots row allow everything
     (the crawl convention). The parser is cached per host within each
     Arrow batch — repartitioning the urls by host turns that into one
-    parse per host per task at scale. Output: (url, host, allowed)."""
+    parse per host per task at scale. Output: (url, host, allowed,
+    crawl_delay_ms) — the matched group's Crawl-delay in integer
+    milliseconds (0 when absent), the number a polite fetcher
+    schedules with."""
     import pandas as pd
 
     host = F.regexp_extract("url", r"^[a-z]+://([^/]+)", 1)
@@ -252,11 +258,12 @@ def robots_allowed(urls: DataFrame, robots: DataFrame,
         from urllib.robotparser import RobotFileParser
         for pdf in batches:
             cache: dict = {}
-            out = []
+            out, delays = [], []
             for url, h, txt in zip(pdf["url"], pdf["host"],
                                    pdf["robots_txt"]):
                 if txt is None:
                     out.append(1)
+                    delays.append(0)
                     continue
                 p = cache.get(h)
                 if p is None:
@@ -264,12 +271,17 @@ def robots_allowed(urls: DataFrame, robots: DataFrame,
                     p.parse(str(txt).splitlines())
                     cache[h] = p
                 out.append(1 if p.can_fetch(agent, url) else 0)
+                d = p.crawl_delay(agent)
+                delays.append(int(float(d) * 1000) if d else 0)
             yield pd.DataFrame({"url": pdf["url"], "host": pdf["host"],
                                 "allowed": pd.Series(out,
-                                                     dtype="int64")})
+                                                     dtype="int64"),
+                                "crawl_delay_ms": pd.Series(
+                                    delays, dtype="int64")})
 
     return j.mapInPandas(_batch,
-                         "url string, host string, allowed long")
+                         "url string, host string, allowed long, "
+                         "crawl_delay_ms long")
 
 
 __all__ = [

@@ -123,3 +123,31 @@ def test_robots_allowed_group_selection_and_defaults(spark):
             .collect()}
     assert got2["https://a.org/articles/1"] == 0
     assert got2["https://a.org/blocked/2"] == 1
+
+
+def test_robots_crawl_delay_extraction(spark):
+    """Crawl-delay comes from the MATCHED group (specific beats '*'),
+    converts to integer milliseconds, and defaults to 0 when absent
+    (incl. hosts with no robots row and fractional delays, which the
+    stdlib parser rejects — it accepts integer seconds only)."""
+    from mre.linkgraph import robots_allowed
+    robots = spark.createDataFrame(
+        [("a.org", "User-agent: *\nDisallow: /x/\nCrawl-delay: 2\n\n"
+                   "User-agent: mrebot\nDisallow: /y/\n"
+                   "Crawl-delay: 1\n"),
+         ("b.org", "User-agent: *\nDisallow: /x/\n"),
+         ("d.org", "User-agent: *\nDisallow: /x/\n"
+                   "Crawl-delay: 0.5\n")],
+        "host string, robots_txt string")
+    urls = spark.createDataFrame(
+        [("https://a.org/p",), ("https://b.org/p",),
+         ("https://c.org/p",), ("https://d.org/p",)], "url string")
+    mre_d = {r["host"]: r["crawl_delay_ms"]
+             for r in robots_allowed(urls, robots, agent="mrebot")
+             .collect()}
+    assert mre_d == {"a.org": 1000, "b.org": 0, "c.org": 0,
+                     "d.org": 0}
+    oth_d = {r["host"]: r["crawl_delay_ms"]
+             for r in robots_allowed(urls, robots, agent="other")
+             .collect()}
+    assert oth_d["a.org"] == 2000
