@@ -218,6 +218,25 @@ def q_set_ops(spark, sf_dir):
     return ex.unionAll(it).select("op", "doc_id")
 
 
+def _robots_fixture(d) -> "DataFrame":
+    """(host, robots_txt) fixture for the example-{0..19}.com hosts —
+    built in the executors from the arithmetic builder
+    (mre/linkgraph.py robots_txt_of); shared by the url_dedup
+    op='robots' gate and the full_outer op='plan' scheduler."""
+    from mre.linkgraph import robots_txt_of
+
+    def _rb(batches):
+        import pandas as pd
+        for pdf in batches:
+            yield pd.DataFrame({
+                "host": [f"example-{int(h)}.com" for h in pdf["hid"]],
+                "robots_txt": [robots_txt_of(int(h))
+                               for h in pdf["hid"]]})
+
+    return (d.select((F.col("doc_id") % 20).alias("hid")).distinct()
+            .mapInPandas(_rb, "host string, robots_txt string"))
+
+
 def _cdx_fixture(spark, sf_dir) -> str:
     """Deterministic CDXJ snapshot pair derived from the documents
     table (IF-guarded fixture writer, §7.4 rule 20 — written once per
@@ -282,7 +301,15 @@ def q_full_outer(spark, sf_dir):
       3 gone), n_events = capture rows across both sides — so SURT,
       the gzip shard parse, the latest-capture reduction and the
       digest diff are all value-checked against the oracle's
-      arithmetic twin."""
+      arithmetic twin.
+    * op='plan' (round 7) — the re-crawl COMPOSITION: the delta's
+      added+changed urls (lowercased — robots prefix matching is
+      case-sensitive, so the fetcher canonicalizes) run through
+      ``fetch_plan`` against the shared robots fixture: robots-blocked
+      urls drop, each host's queue ranks in url order, start_ms =
+      (rank-1)·Crawl-delay. n_docs = rank, n_events = start_ms —
+      allow/deny, delay extraction and the per-host schedule are all
+      value-checked."""
     _prep(spark)
     d = (_t(spark, sf_dir, "documents")
          .groupBy("doc_id").agg(F.count("*").alias("n_docs")))
@@ -308,7 +335,18 @@ def q_full_outer(spark, sf_dir):
         .cast("long").alias("doc_id"),
         code.cast("long").alias("n_docs"),
         F.col("n_captures").alias("n_events"))
-    return fo.unionAll(delta)
+    from mre.linkgraph import fetch_plan
+    docs_d = _t(spark, sf_dir, "documents").select("doc_id")
+    fetch = (dd.filter(F.col("status").isin("added", "changed"))
+             .select(F.lower("url").alias("url")))
+    fp = fetch_plan(fetch, _robots_fixture(docs_d), agent="mrebot")
+    plan = fp.select(
+        F.lit("plan").alias("op"),
+        F.regexp_extract("url", r"/articles/(\d+)$", 1)
+        .cast("long").alias("doc_id"),
+        F.col("rank").cast("long").alias("n_docs"),
+        F.col("start_ms").alias("n_events"))
+    return fo.unionAll(delta).unionAll(plan)
 
 
 def q_events_daily(spark, sf_dir):
@@ -1087,18 +1125,8 @@ def q_url_dedup(spark, sf_dir):
     # 2+s%4 only when s%3==1) — RFC group selection, prefix matching
     # AND delay extraction all value-checked per url against the
     # oracle's arithmetic CASE.
-    from mre.linkgraph import robots_allowed, robots_txt_of
-
-    def _rb(batches):
-        import pandas as pd
-        for pdf in batches:
-            yield pd.DataFrame({
-                "host": [f"example-{int(h)}.com" for h in pdf["hid"]],
-                "robots_txt": [robots_txt_of(int(h))
-                               for h in pdf["hid"]]})
-
-    robots = (d.select((F.col("doc_id") % 20).alias("hid")).distinct()
-              .mapInPandas(_rb, "host string, robots_txt string"))
+    from mre.linkgraph import robots_allowed
+    robots = _robots_fixture(d)
     rb = (robots_allowed(d.select(clean.alias("url")), robots,
                          agent="mrebot")
           .select(F.lit("robots").alias("op"),
@@ -3054,6 +3082,35 @@ def oracle_sql() -> dict[str, str]:
                       + (CASE WHEN doc_id % 4 != 2 THEN 1 ELSE 0 END)
                         AS BIGINT) AS n_events
             FROM documents
+            UNION ALL
+            -- op='plan': fetchset = added (d%4=1) + changed (both
+            -- present, d%5=2); robots-allow + Crawl-delay per the
+            -- shared arithmetic (url_dedup op='robots'); rank = url
+            -- STRING order per host; start = (rank-1)*delay_ms
+            SELECT 'plan' AS op, doc_id,
+                   CAST(rk AS BIGINT) AS n_docs,
+                   CAST((rk - 1) * delay AS BIGINT) AS n_events
+            FROM (
+              SELECT doc_id,
+                     row_number() OVER (PARTITION BY s ORDER BY u)
+                         AS rk,
+                     delay
+              FROM (
+                SELECT doc_id, doc_id % 20 AS s,
+                       'https://www.example-' || (doc_id % 20)
+                           || '.com/articles/' || doc_id AS u,
+                       CASE WHEN (doc_id % 20) % 2 = 0
+                            THEN (1 + (doc_id % 20) % 5) * 1000
+                            WHEN (doc_id % 20) % 3 = 1
+                            THEN (2 + (doc_id % 20) % 4) * 1000
+                            ELSE 0 END AS delay
+                FROM documents
+                WHERE (doc_id % 4 = 1
+                       OR (doc_id % 4 NOT IN (1, 2)
+                           AND doc_id % 5 = 2))
+                  AND (CASE WHEN (doc_id % 20) % 2 = 0
+                            THEN (doc_id % 20) % 4 != 0
+                            ELSE (doc_id % 20) % 3 != 0 END)))
         """,
         "events_daily": """
             SELECT date_trunc('day', ts) AS day, event_type,

@@ -250,7 +250,11 @@ def robots_allowed(urls: DataFrame, robots: DataFrame,
     schedules with."""
     import pandas as pd
 
-    host = F.regexp_extract("url", r"^[a-z]+://([^/]+)", 1)
+    # canonical host: case-insensitive per RFC, one leading www label
+    # stripped — robots tables key on the canonical serving host
+    host = F.regexp_replace(
+        F.lower(F.regexp_extract("url", r"^[a-zA-Z]+://([^/]+)", 1)),
+        r"^www\.", "")
     j = (urls.select("url", host.alias("host"))
          .join(F.broadcast(robots), "host", "left"))
 
@@ -284,8 +288,32 @@ def robots_allowed(urls: DataFrame, robots: DataFrame,
                          "crawl_delay_ms long")
 
 
+def fetch_plan(urls: DataFrame, robots: DataFrame,
+               agent: str = "mrebot") -> DataFrame:
+    """Politeness-scheduled fetch plan — the re-crawl composition:
+    keep the robots-ALLOWED urls, rank each host's fetch queue in url
+    order, and schedule start_ms = (rank-1) · the host's Crawl-delay
+    (0 delay ⇒ everything at t=0). Feed it ``capture_delta``'s
+    added+changed rows and the crawl's robots table and the output is
+    exactly what a distributed fetcher consumes: (url, host, rank,
+    start_ms).
+
+    Shape: ``robots_allowed``'s broadcast join + ONE host-partitioned
+    window over the fetch subset (re-crawl candidates, not the
+    corpus); a mega-host queue is one partition — cap it upstream with
+    ``domain_cap`` if a single host's queue outgrows a task."""
+    from pyspark.sql import Window
+    ra = (robots_allowed(urls, robots, agent=agent)
+          .filter(F.col("allowed") == 1))
+    w = Window.partitionBy("host").orderBy("url")
+    return (ra.withColumn("rank", F.row_number().over(w))
+            .select("url", "host", "rank",
+                    ((F.col("rank") - 1) * F.col("crawl_delay_ms"))
+                    .cast("long").alias("start_ms")))
+
+
 __all__ = [
     "link_page_html", "link_pages_df", "extract_links", "host_edges",
     "pagerank_hosts", "PAGERANK_SCALE", "PAGERANK_DAMPING_PCT",
-    "robots_txt_of", "robots_allowed",
+    "robots_txt_of", "robots_allowed", "fetch_plan",
 ]

@@ -127,13 +127,16 @@ def read_cdx(spark: SparkSession, path_glob: str) -> DataFrame:
 def latest_captures(cdx: DataFrame) -> DataFrame:
     """One row per urlkey: the capture with the max (ts, digest) —
     digest breaks exact-ts ties deterministically. One max_by
-    aggregation (map-side combinable), no window, no sort."""
+    aggregation (map-side combinable), no window, no sort. The
+    winning capture's original url rides along (the fetchable form of
+    the SURT key)."""
     return (cdx.groupBy("urlkey")
-            .agg(F.max_by(F.struct("ts", "digest"),
+            .agg(F.max_by(F.struct("ts", "digest", "url"),
                           F.struct("ts", "digest")).alias("_m"),
                  F.count("*").alias("n_captures"))
             .select("urlkey", F.col("_m.ts").alias("ts"),
-                    F.col("_m.digest").alias("digest"), "n_captures"))
+                    F.col("_m.digest").alias("digest"),
+                    F.col("_m.url").alias("url"), "n_captures"))
 
 
 def capture_delta(old_cdx: DataFrame, new_cdx: DataFrame) -> DataFrame:
@@ -146,10 +149,12 @@ def capture_delta(old_cdx: DataFrame, new_cdx: DataFrame) -> DataFrame:
     o = latest_captures(old_cdx).select(
         "urlkey", F.col("ts").alias("old_ts"),
         F.col("digest").alias("old_digest"),
+        F.col("url").alias("_ou"),
         F.col("n_captures").alias("_no"))
     n = latest_captures(new_cdx).select(
         "urlkey", F.col("ts").alias("new_ts"),
         F.col("digest").alias("new_digest"),
+        F.col("url").alias("_nu"),
         F.col("n_captures").alias("_nn"))
     j = o.join(n, "urlkey", "full_outer")
     status = (F.when(F.col("old_digest").isNull(), "added")
@@ -159,6 +164,7 @@ def capture_delta(old_cdx: DataFrame, new_cdx: DataFrame) -> DataFrame:
               .otherwise("unchanged"))
     return j.select(
         "urlkey", status.alias("status"), "old_ts", "new_ts",
+        F.coalesce("_nu", "_ou").alias("url"),
         (F.coalesce("_no", F.lit(0)) + F.coalesce("_nn", F.lit(0)))
         .cast("long").alias("n_captures"))
 

@@ -151,3 +151,28 @@ def test_robots_crawl_delay_extraction(spark):
              for r in robots_allowed(urls, robots, agent="other")
              .collect()}
     assert oth_d["a.org"] == 2000
+
+
+def test_fetch_plan_schedules_per_host(spark):
+    """Blocked urls drop; each host's queue ranks in url order with
+    start_ms stepping by the host's Crawl-delay; zero-delay hosts all
+    start at 0; hosts without robots rows are unconstrained."""
+    from mre.linkgraph import fetch_plan
+    robots = spark.createDataFrame(
+        [("a.org", "User-agent: *\nDisallow: /no/\nCrawl-delay: 3\n"),
+         ("b.org", "User-agent: *\nDisallow: /zz/\n")],
+        "host string, robots_txt string")
+    urls = spark.createDataFrame(
+        [("https://a.org/p1",), ("https://a.org/p2",),
+         ("https://a.org/no/p3",),
+         ("https://WWW.B.org/q1",), ("https://b.org/q2",),
+         ("https://c.org/r1",)], "url string")
+    got = {r["url"]: (r["host"], r["rank"], r["start_ms"])
+           for r in fetch_plan(urls, robots).collect()}
+    assert "https://a.org/no/p3" not in got
+    assert got["https://a.org/p1"] == ("a.org", 1, 0)
+    assert got["https://a.org/p2"] == ("a.org", 2, 3000)
+    # mixed-case www host canonicalizes into the same queue
+    assert got["https://WWW.B.org/q1"] == ("b.org", 1, 0)
+    assert got["https://b.org/q2"] == ("b.org", 2, 0)
+    assert got["https://c.org/r1"] == ("c.org", 1, 0)
