@@ -83,6 +83,10 @@ def read_pages(spark: SparkSession, src: str) -> DataFrame:
         # the HTML extract stage is already done upstream
         from .sources.warc import wet_documents
         return wet_documents(spark, src[len("wet:"):])
+    if src.startswith("sitemap:"):
+        # sitemaps.org urlset / sitemapindex files — crawl discovery
+        from .sources.sitemap import read_sitemaps
+        return read_sitemaps(spark, src[len("sitemap:"):])
     if src.startswith("cdx:"):
         # Common Crawl's capture-index distribution (CDXJ shards) —
         # membership / freshness / re-crawl planning without payload

@@ -270,3 +270,50 @@ def test_capture_delta_semantics(spark, tmp_path):
                                 "20240103000000", 2)
     assert dd["com,a)/gone"] == ("gone", "20240101000000", None, 1)
     assert dd["com,a)/new"] == ("added", None, "20240103000000", 1)
+
+
+# ---------------------------------------------------------------------------
+# sitemap source (mre/sources/sitemap.py)
+
+
+def test_sitemap_roundtrip_index_and_malformed(tmp_path, spark):
+    from mre.io import read_table
+    from mre.sources.sitemap import sitemap_entries, write_sitemap
+    p1 = write_sitemap(
+        [("https://a.com/p1", "2024-01-02"),
+         ("https://a.com/p2", None)],
+        str(tmp_path / "maps" / "m1.xml.gz"))
+    write_sitemap([("https://a.com/maps/m1.xml.gz", "2024-01-03")],
+                  str(tmp_path / "maps" / "index.xml"), index=True)
+    # malformed shard is skipped, not fatal
+    (tmp_path / "maps" / "bad.xml").write_bytes(b"<urlset><url><loc>")
+    rows = sitemap_entries(open(p1, "rb").read())
+    assert [(r["kind"], r["loc"], r["lastmod"]) for r in rows] == [
+        ("url", "https://a.com/p1", "2024-01-02"),
+        ("url", "https://a.com/p2", None)]
+    got = {(r["kind"], r["loc"], r["lastmod"])
+           for r in read_table(
+               spark, f"sitemap:{tmp_path}/maps/*.xml*").collect()}
+    assert got == {
+        ("url", "https://a.com/p1", "2024-01-02"),
+        ("url", "https://a.com/p2", None),
+        ("sitemap", "https://a.com/maps/m1.xml.gz", "2024-01-03")}
+
+
+def test_undiscovered_urls_vs_capture_index(tmp_path, spark):
+    """Sitemap urls anti-join the capture index on the SURT key, so a
+    www/case variant of a KNOWN capture is not re-discovered."""
+    from mre.io import read_table
+    from mre.sources.cdx import format_cdxj_line, write_cdxj_gz
+    from mre.sources.sitemap import undiscovered_urls, write_sitemap
+    write_cdxj_gz([format_cdxj_line("https://a.com/old", "20240101000000",
+                                    "d1")],
+                  str(tmp_path / "idx" / "p0.cdxj.gz"))
+    write_sitemap(
+        [("https://WWW.A.com/OLD", None),     # known, despite the form
+         ("https://a.com/new", "2024-02-01")],
+        str(tmp_path / "maps" / "m.xml"))
+    got = [r["url"] for r in undiscovered_urls(
+        read_table(spark, f"sitemap:{tmp_path}/maps/*.xml"),
+        read_table(spark, f"cdx:{tmp_path}/idx/*.cdxj.gz")).collect()]
+    assert got == ["https://a.com/new"]
