@@ -22,6 +22,10 @@ def main() -> None:
                     help="previous capture index (cdx: path/glob)")
     ap.add_argument("--new", required=True,
                     help="current capture index (cdx: path/glob)")
+    ap.add_argument("--sitemaps", default=None,
+                    help="optional sitemap: path/glob — announced urls "
+                         "the capture index has never seen join the "
+                         "fetch plan (discovery)")
     ap.add_argument("--robots", default=None,
                     help="optional (host, robots_txt) table; without "
                          "it every url is allowed with zero delay")
@@ -46,6 +50,20 @@ def main() -> None:
         statuses = [s.strip() for s in args.statuses.split(",") if s]
         urls = (delta.filter(F.col("status").isin(statuses))
                 .select(F.lower("url").alias("url")))
+        n_disc = 0
+        if args.sitemaps:
+            from mre.sources.cdx import read_cdx
+            from mre.sources.sitemap import undiscovered_urls
+            disc = undiscovered_urls(
+                read_table(spark, args.sitemaps),
+                read_cdx(spark, args.new[len("cdx:"):]
+                         if args.new.startswith("cdx:") else args.new)
+            ).select(F.lower("url").alias("url"))
+            disc.write.mode("overwrite").parquet(
+                f"{args.dst}/discovered")
+            disc = spark.read.parquet(f"{args.dst}/discovered")
+            n_disc = disc.count()
+            urls = urls.unionByName(disc).distinct()
         if args.robots:
             robots = read_table(spark, args.robots)
         else:
@@ -58,6 +76,7 @@ def main() -> None:
                          F.count("*").alias("n")).collect()}
         n_plan = spark.read.parquet(f"{args.dst}/plan").count()
         print(json.dumps({"delta": by_status, "planned": n_plan,
+                          "discovered": n_disc,
                           "statuses": statuses}))
     finally:
         spark.stop()
