@@ -784,6 +784,43 @@ def read_curated(spark: SparkSession, dst: str) -> DataFrame:
     return read_table(spark, f"{dst}/split")
 
 
+def curation_funnel(spark: SparkSession, dst: str,
+                    docs: DataFrame,
+                    group_col: str = "source") -> DataFrame:
+    """Per-source attribution of the curation funnel — WHICH domains
+    lose documents at WHICH stage ("why did my corpus shrink?"). For
+    every stage id-list materialized under ``{dst}/{stage}`` (whatever
+    subset of stages the run enabled, discovered from the directory),
+    counts the surviving docs per ``group_col``: one narrow semi-join
+    + count per stage, each against an id-list that is already on
+    disk — nothing recomputes. Columns: stage, <group_col>, n_docs.
+    Read it pivoted (stage × source) for the report."""
+    out = None
+    hadoop = spark._jvm.org.apache.hadoop
+    fs = hadoop.fs.FileSystem.get(spark._jsc.hadoopConfiguration())
+    path = hadoop.fs.Path(dst)
+    if not fs.exists(path):
+        raise FileNotFoundError(dst)
+    stages = sorted(
+        f.getPath().getName() for f in fs.listStatus(path)
+        if f.isDirectory())
+    base = docs.select("doc_id", group_col)
+    for stage in stages:
+        try:
+            ids = read_table(spark, f"{dst}/{stage}").select("doc_id")
+        except Exception:
+            continue  # non-id-list artifacts (bpe_merges, tokens, …)
+        cnt = (base.join(ids, "doc_id", "left_semi")
+               .groupBy(group_col)
+               .agg(F.count("*").alias("n_docs"))
+               .select(F.lit(stage).alias("stage"), group_col,
+                       "n_docs"))
+        out = cnt if out is None else out.unionByName(cnt)
+    if out is None:
+        raise ValueError(f"no stage outputs under {dst}")
+    return out
+
+
 def read_curate_lineage(spark: SparkSession, lineage_dst: str) -> DataFrame:
     """Curation lineage resolved to ONE row per (run_id, stage): the
     latest attempt (ADVICE r4 — recomputed stages append rather than
@@ -1507,7 +1544,8 @@ def run_corpus(spark: SparkSession, src: str, workdir: str, run_id: str, *,
                **curate_knobs)
 
 
-__all__ = ["curate_df", "run_curate", "read_curated", "completed_stages",
+__all__ = ["curate_df", "run_curate", "read_curated", "curation_funnel",
+           "completed_stages",
            "quality_keep_ids", "exact_keeper_ids", "near_dup_loser_ids",
            "contaminated_ids", "media_loser_ids", "semantic_loser_ids",
            "CURATE_STAGES",

@@ -1517,3 +1517,29 @@ def test_run_curate_budget_temperature(spark, docs, tmp_path):
                    str(tmp_path / "l2"), run_id="bt2",
                    token_budget=200, budget_temperature_bp=5000,
                    budget_weights_bp={"a": 5000})
+
+
+def test_curation_funnel_per_source(spark, docs, evals, tmp_path):
+    """The funnel counts per (stage, source) agree with the
+    materialized id-lists; non-id-list artifacts are skipped."""
+    from mre.curate import curation_funnel
+    src = str(tmp_path / "docs")
+    docs.write.parquet(src)
+    dst, lin = str(tmp_path / "c"), str(tmp_path / "l")
+    run_curate(spark, src, dst, lin, run_id="fn1",
+               evals_src=None, bpe_merges=3, bpe_vocab_top=50)
+    fn = {(r["stage"], r["source"]): r["n_docs"]
+          for r in curation_funnel(spark, dst, docs).collect()}
+    stages = {s for s, _ in fn}
+    assert {"quality", "exact_dedup", "near_dup", "decontaminate",
+            "split", "tokens"} <= stages
+    assert "bpe_merges" not in stages  # no doc_id column → skipped
+    for stage in ("quality", "split"):
+        ids = spark.read.parquet(f"{dst}/{stage}")
+        expect = {(stage, r["source"]): r["n"] for r in
+                  docs.join(ids.select("doc_id"), "doc_id",
+                            "left_semi")
+                  .groupBy("source").agg(F.count("*").alias("n"))
+                  .collect()}
+        got = {k: v for k, v in fn.items() if k[0] == stage}
+        assert got == expect, stage
