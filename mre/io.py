@@ -87,6 +87,10 @@ def read_pages(spark: SparkSession, src: str) -> DataFrame:
         # sitemaps.org urlset / sitemapindex files — crawl discovery
         from .sources.sitemap import read_sitemaps
         return read_sitemaps(spark, src[len("sitemap:"):])
+    if src.startswith("feed:"):
+        # RSS 2.0 / Atom feeds — news-pipeline discovery
+        from .sources.sitemap import read_feeds
+        return read_feeds(spark, src[len("feed:"):])
     if src.startswith("cdx:"):
         # Common Crawl's capture-index distribution (CDXJ shards) —
         # membership / freshness / re-crawl planning without payload

@@ -95,6 +95,78 @@ def write_sitemap(locs: list[tuple], path: str,
     return path
 
 
+def feed_entries(payload: bytes) -> list[dict]:
+    """Article links from one RSS 2.0 or Atom feed document — the
+    news-pipeline discovery input (a news extractor's sources publish
+    feeds before sitemaps). RSS: rss>channel>item {link, pubDate};
+    Atom: feed>entry {link[@href] with rel absent/'alternate',
+    updated/published}. Same row shape as ``sitemap_entries``
+    (kind='url', loc, lastmod) so the SURT discovery anti-join
+    consumes either. [] for malformed XML."""
+    import xml.etree.ElementTree as ET
+    if payload[:2] == b"\x1f\x8b":
+        payload = gzip.GzipFile(fileobj=_io.BytesIO(payload)).read()
+    try:
+        root = ET.fromstring(payload)
+    except ET.ParseError:
+        return []
+    rtag = _local(root.tag)
+    out = []
+
+    def _row(loc, lastmod):
+        if loc:
+            out.append({"kind": "url", "loc": loc.strip(),
+                        "lastmod": (lastmod or "").strip() or None,
+                        "changefreq": None, "priority": None})
+
+    if rtag == "rss":
+        for channel in root:
+            if _local(channel.tag) != "channel":
+                continue
+            for item in channel:
+                if _local(item.tag) != "item":
+                    continue
+                link, date = None, None
+                for c in item:
+                    n = _local(c.tag)
+                    if n == "link":
+                        link = c.text
+                    elif n == "pubdate":
+                        date = c.text
+                _row(link, date)
+    elif rtag == "feed":
+        for entry in root:
+            if _local(entry.tag) != "entry":
+                continue
+            link, date = None, None
+            for c in entry:
+                n = _local(c.tag)
+                if n == "link":
+                    rel = (c.get("rel") or "alternate").lower()
+                    if rel == "alternate" and link is None:
+                        link = c.get("href")
+                elif n in ("updated", "published") and date is None:
+                    date = c.text
+            _row(link, date)
+    return out
+
+
+def read_feeds(spark: SparkSession, path_glob: str) -> DataFrame:
+    """RSS/Atom feed files → the SITEMAP_SCHEMA frame (kind='url')."""
+    files = (spark.read.format("binaryFile").load(path_glob)
+             .select("content"))
+    cols = [c.split()[0] for c in SITEMAP_SCHEMA.split(", ")]
+
+    def split(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for content in pdf["content"]:
+                rows = feed_entries(bytes(content))
+                if rows:
+                    yield pd.DataFrame(rows, columns=cols)
+
+    return files.mapInPandas(split, SITEMAP_SCHEMA)
+
+
 def read_sitemaps(spark: SparkSession, path_glob: str) -> DataFrame:
     """Sitemap / sitemap-index files → SITEMAP_SCHEMA frame."""
     files = (spark.read.format("binaryFile").load(path_glob)
@@ -134,4 +206,5 @@ def undiscovered_urls(sitemaps: DataFrame, cdx: DataFrame) -> DataFrame:
 
 
 __all__ = ["sitemap_entries", "write_sitemap", "read_sitemaps",
+           "feed_entries", "read_feeds",
            "undiscovered_urls", "SITEMAP_SCHEMA"]

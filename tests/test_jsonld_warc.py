@@ -317,3 +317,36 @@ def test_undiscovered_urls_vs_capture_index(tmp_path, spark):
         read_table(spark, f"sitemap:{tmp_path}/maps/*.xml"),
         read_table(spark, f"cdx:{tmp_path}/idx/*.cdxj.gz")).collect()]
     assert got == ["https://a.com/new"]
+
+
+def test_feed_discovery_roundtrip(tmp_path, spark):
+    """RSS + Atom feeds read through the feed: dispatch feed the same
+    SURT discovery anti-join as sitemaps."""
+    from mre.io import read_table
+    from mre.sources.cdx import format_cdxj_line, write_cdxj_gz
+    from mre.sources.sitemap import undiscovered_urls
+    (tmp_path / "feeds").mkdir()
+    (tmp_path / "feeds" / "r.xml").write_bytes(
+        b'<rss version="2.0"><channel>'
+        b'<item><link>https://n.com/a</link>'
+        b'<pubDate>Mon, 01 Jan 2024 00:00:00 GMT</pubDate></item>'
+        b'<item><link>https://n.com/b</link></item>'
+        b'</channel></rss>')
+    (tmp_path / "feeds" / "a.xml").write_bytes(
+        b'<feed xmlns="http://www.w3.org/2005/Atom">'
+        b'<entry><link rel="self" href="https://n.com/self"/>'
+        b'<link href="https://n.com/x"/><updated>2024-01-02</updated>'
+        b'</entry></feed>')
+    got = {(r["loc"], r["lastmod"]) for r in
+           read_table(spark, f"feed:{tmp_path}/feeds/*.xml").collect()}
+    assert got == {("https://n.com/a",
+                    "Mon, 01 Jan 2024 00:00:00 GMT"),
+                   ("https://n.com/b", None),
+                   ("https://n.com/x", "2024-01-02")}
+    write_cdxj_gz([format_cdxj_line("https://n.com/a",
+                                    "20240101000000", "d")],
+                  str(tmp_path / "idx" / "p0.cdxj.gz"))
+    new = {r["url"] for r in undiscovered_urls(
+        read_table(spark, f"feed:{tmp_path}/feeds/*.xml"),
+        read_table(spark, f"cdx:{tmp_path}/idx/*.cdxj.gz")).collect()}
+    assert new == {"https://n.com/b", "https://n.com/x"}
