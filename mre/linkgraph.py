@@ -97,7 +97,10 @@ def extract_links(pages: DataFrame, url_col: str = "url",
         for pdf in batches:
             srcs, dsts, kinds = [], [], []
             for url, html in zip(pdf[url_col], pdf[html_col]):
-                host = urlsplit(url).netloc
+                try:
+                    host = urlsplit(url).netloc
+                except ValueError:
+                    continue  # malformed page url: no attributable links
                 if isinstance(html, (bytes, bytearray)):
                     html = bytes(html).decode("utf-8", "replace")
                 try:
@@ -108,7 +111,13 @@ def extract_links(pages: DataFrame, url_col: str = "url",
                     href = a.attrib.get("href")
                     if not href:
                         continue
-                    dst = urlsplit(href).netloc or host
+                    try:
+                        # a malformed href (unbalanced IPv6 bracket —
+                        # the stdlib splitter RAISES) is one bad anchor
+                        # in a 10^12-page scan, never a task failure
+                        dst = urlsplit(href).netloc or host
+                    except ValueError:
+                        continue
                     srcs.append(host)
                     dsts.append(dst)
                     kinds.append("self" if dst == host else "edge")

@@ -43,9 +43,17 @@ def surt_key(url: str) -> str:
     comma-joined, one leading 'www' label dropped, everything
     lowercased, ')' joins host to path (query kept, fragment dropped).
     ``https://www.Example-3.com/Articles/7?q=1#top`` →
-    ``com,example-3)/articles/7?q=1``."""
+    ``com,example-3)/articles/7?q=1``.
+
+    TOTAL on arbitrary strings (fuzz-pinned): a url the stdlib
+    splitter rejects (e.g. an unbalanced IPv6 bracket) keys as its
+    lowercased raw form behind an empty host — one garbage line in an
+    index shard or sitemap must never kill a scan."""
     from urllib.parse import urlsplit
-    p = urlsplit(url.strip())
+    try:
+        p = urlsplit(url.strip())
+    except ValueError:
+        return ")" + url.strip().lower()
     host = (p.netloc or "").lower()
     if "@" in host:
         host = host.rsplit("@", 1)[1]

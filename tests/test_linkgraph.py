@@ -176,3 +176,18 @@ def test_fetch_plan_schedules_per_host(spark):
     assert got["https://WWW.B.org/q1"] == ("b.org", 1, 0)
     assert got["https://b.org/q2"] == ("b.org", 2, 0)
     assert got["https://c.org/r1"] == ("c.org", 1, 0)
+
+
+def test_extract_links_tolerates_malformed_hrefs(spark):
+    """A href the stdlib url splitter REJECTS (unbalanced IPv6
+    bracket) is one skipped anchor, never a task failure; the page's
+    other links survive."""
+    from mre.linkgraph import extract_links
+    pages = spark.createDataFrame(
+        [("http://a.org/x",
+          '<a href="http://[">bad</a><a href="http://b.org/ok">g</a>'),
+         ("http://[bad/y", '<a href="http://c.org/z">x</a>')],
+        "url string, html string")
+    rows = [(r["src_host"], r["dst_host"], r["kind"])
+            for r in extract_links(pages).collect()]
+    assert rows == [("a.org", "b.org", "edge")]
