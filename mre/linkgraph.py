@@ -283,7 +283,13 @@ def robots_allowed(urls: DataFrame, robots: DataFrame,
                     p = RobotFileParser()
                     p.parse(str(txt).splitlines())
                     cache[h] = p
-                out.append(1 if p.can_fetch(agent, url) else 0)
+                try:
+                    # can_fetch urlparses the URL and RAISES on e.g.
+                    # an unbalanced IPv6 bracket — a malformed corpus
+                    # url is a DENY, never a task failure
+                    out.append(1 if p.can_fetch(agent, url) else 0)
+                except ValueError:
+                    out.append(0)
                 d = p.crawl_delay(agent)
                 delays.append(int(float(d) * 1000) if d else 0)
             yield pd.DataFrame({"url": pdf["url"], "host": pdf["host"],

@@ -191,3 +191,26 @@ def test_extract_links_tolerates_malformed_hrefs(spark):
     rows = [(r["src_host"], r["dst_host"], r["kind"])
             for r in extract_links(pages).collect()]
     assert rows == [("a.org", "b.org", "edge")]
+
+
+def test_robots_allowed_total_on_malformed_url(spark):
+    """Malformed urls never fail the task: with no matching robots row
+    they fall to the allow-all default; when a robots row DOES match
+    the malformed host (so can_fetch runs and raises), the url is a
+    DENY. Garbage robots text parses to allow-all (stdlib)."""
+    from mre.linkgraph import robots_allowed
+    robots = spark.createDataFrame(
+        [("a.org", "User-agent: *\nDisallow: /x/\n"),
+         ("[", "User-agent: *\nDisallow: /x/\n"),
+         ("b.org", "\x00garbage ::: not robots %%%")],
+        "host string, robots_txt string")
+    urls = spark.createDataFrame(
+        [("http://[",), ("http://[bad/y",), ("https://a.org/ok",),
+         ("https://b.org/x/p",)],
+        "url string")
+    got = {r["url"]: r["allowed"]
+           for r in robots_allowed(urls, robots).collect()}
+    assert got["http://["] == 0          # robots row matches → guard
+    assert got["http://[bad/y"] == 1     # no row → allow-all default
+    assert got["https://a.org/ok"] == 1
+    assert got["https://b.org/x/p"] == 1  # garbage robots = allow-all
