@@ -3278,7 +3278,8 @@ def oracle_sql() -> dict[str, str]:
             FROM m
             UNION ALL
             SELECT 'lm', d.doc_id, coalesce(sc.n, 0),
-                   NULL::DOUBLE, NULL::DOUBLE, sc.ssum // sc.n
+                   NULL::DOUBLE, NULL::DOUBLE,
+                   CAST(sc.ssum // sc.n AS BIGINT)
             FROM documents d LEFT JOIN sc USING (doc_id)
             UNION ALL
             SELECT 'vocab', rnk, cnt, NULL::DOUBLE, NULL::DOUBLE, nll
@@ -3294,7 +3295,8 @@ def oracle_sql() -> dict[str, str]:
                               + coalesce(nbs.s, 0)) <= 0 AS INTEGER)
                         AS DOUBLE),
                    NULL::DOUBLE,
-                   (SELECT delta FROM nbpr) + coalesce(nbs.s, 0)
+                   CAST((SELECT delta FROM nbpr)
+                        + coalesce(nbs.s, 0) AS BIGINT)
             FROM documents d LEFT JOIN nbs ON nbs.doc_id = d.doc_id
         """,
         "lang_id": r"""

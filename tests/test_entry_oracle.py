@@ -35,7 +35,7 @@ def _normalize(pdf):
     return pdf
 
 
-def _values_equal(a, b) -> bool:
+def _values_equal(a, b, exact: bool = False) -> bool:
     if a is None and b is None:
         return True
     try:
@@ -43,6 +43,8 @@ def _values_equal(a, b) -> bool:
             fa, fb = float(a), float(b)
             if math.isnan(fa) and math.isnan(fb):
                 return True
+            if exact:
+                return fa == fb
             return abs(fa - fb) <= 1e-9 * max(1.0, abs(fa), abs(fb))
     except (TypeError, ValueError):
         pass
@@ -76,10 +78,24 @@ def test_query_matches_oracle(spark, name):
     assert sorted(got.columns) == sorted(exp.columns), \
         f"{name}: columns {sorted(got.columns)} vs {sorted(exp.columns)}"
     g, e = _normalize(got), _normalize(exp)
+    import numpy as np
     for col in g.columns:
+        # driver-strength dtype gate (VERDICT r7 #2): the driver hashes
+        # pandas frames, so an integer-typed Spark column against a
+        # float-typed oracle column (e.g. an uncast DuckDB sum() whose
+        # HUGEINT widens the frame — rule 8, SURVEY §7.2) diverges on
+        # EVERY row even when the values agree. Mirror that: if Spark
+        # renders integral, the oracle must too, and compare exactly.
+        g_int = np.issubdtype(g[col].dtype, np.integer)
+        e_int = np.issubdtype(e[col].dtype, np.integer)
+        assert not (g_int and np.issubdtype(e[col].dtype, np.floating)), (
+            f"{name}.{col}: oracle dtype {e[col].dtype} vs Spark "
+            f"{g[col].dtype} — uncast integer sum in the oracle? "
+            f"(rule 8: CAST(sum(x) AS BIGINT))")
+        exact = g_int or e_int
         gv, ev = g[col].tolist(), e[col].tolist()
         mism = [(i, a, b) for i, (a, b) in enumerate(zip(gv, ev))
-                if not _values_equal(a, b)]
+                if not _values_equal(a, b, exact=exact)]
         assert not mism, f"{name}.{col}: first mismatches {mism[:5]}"
 
 
