@@ -932,7 +932,8 @@ def source_stats(docs: DataFrame) -> DataFrame:
                  .alias("n_dup_docs")))
 
 
-def dup_clusters(pairs: DataFrame, max_iter: int = 30) -> DataFrame:
+def dup_clusters(pairs: DataFrame, max_iter: int = 30,
+                 driver_edge_cap: int = 500_000) -> DataFrame:
     """Connected components over a near-dup pair frame: (doc_id,
     cluster_id) with cluster_id = min doc_id in the component — the final
     step of every dedup family (pairs → groups → keep one per group).
@@ -958,11 +959,50 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 30) -> DataFrame:
     is unpersisted as soon as the next round is materialized (its reader
     — the changed-row count — has already run), and the edge frame once
     the loop ends; only the FINAL label checkpoint stays (the returned
-    plan reads it) and is registered for ``release_caches()``."""
+    plan reads it) and is registered for ``release_caches()``.
+
+    SMALL-GRAPH FAST PATH (round 8): when the deduped undirected edge
+    frame holds ≤ ``driver_edge_cap`` rows (a constant bound — ~8 MB of
+    long pairs at the default; NOT corpus-scaled), the component labels
+    are computed on the driver with vectorized numpy min-label
+    propagation + pointer jumping over index-remapped edges, and
+    returned as one local frame. Every benched call site (MinHash pair
+    graphs, within-batch ingest dedup, the composed curation pipeline)
+    feeds pair frames orders of magnitude under the cap, and each
+    distributed round costs 2 driver-coordinated jobs
+    (localCheckpoint + changed-count) — measured ~1.5-2.5 s of pure
+    job-scheduling overhead per call at sf0.1 for graphs of a few dozen
+    edges. Above the cap the pointer-jumping loop below is unchanged
+    (the corpus-scale path). Same labels either way: min doc_id per
+    component, exact."""
     e = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
     edges = (e.union(e.select(F.col("b").alias("a"),
                               F.col("a").alias("b")))
              .distinct().localCheckpoint(eager=True))
+    n_edges = edges.count()   # reads the just-materialized checkpoint
+    if n_edges <= driver_edge_cap:
+        rows = edges.collect()   # bounded by the cap, never corpus-shaped
+        _release_local_checkpoint(edges)
+        spark = pairs.sparkSession
+        if not rows:
+            return spark.createDataFrame([], "doc_id long, cluster_id long")
+        ea = np.fromiter((r["a"] for r in rows), np.int64, count=len(rows))
+        eb = np.fromiter((r["b"] for r in rows), np.int64, count=len(rows))
+        nodes = np.unique(np.concatenate([ea, eb]))
+        ia = np.searchsorted(nodes, ea)
+        ib = np.searchsorted(nodes, eb)
+        # min-label propagation + pointer jumping on index labels; the
+        # node array is sorted, so min index == min doc_id
+        labels = np.arange(len(nodes), dtype=np.int64)
+        while True:
+            nxt = labels.copy()
+            np.minimum.at(nxt, ia, labels[ib])  # edges are doubled
+            nxt = np.minimum(nxt, nxt[nxt])     # label-of-label hop
+            if np.array_equal(nxt, labels):
+                break
+            labels = nxt
+        return spark.createDataFrame(
+            pd.DataFrame({"doc_id": nodes, "cluster_id": nodes[labels]}))
     labels = (edges.select(F.col("a").alias("node")).distinct()
               .withColumn("label", F.col("node"))
               .localCheckpoint(eager=True))

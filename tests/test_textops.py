@@ -261,7 +261,7 @@ def test_dup_clusters_star_graph_hot_label(spark):
     pairs = spark.range(1, n + 1).select(
         F.lit(0).alias("doc_a"), F.col("id").alias("doc_b"))
     t0 = time.monotonic()
-    out = dup_clusters(pairs, max_iter=4)
+    out = dup_clusters(pairs, max_iter=4, driver_edge_cap=0)
     rows = out.collect()
     wall = time.monotonic() - t0
     assert len(rows) == n + 1
@@ -280,8 +280,29 @@ def test_dup_clusters_long_path_pointer_jumping(spark):
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(63)], ["doc_a", "doc_b"])
     got = {r["doc_id"]: r["cluster_id"]
-           for r in dup_clusters(pairs, max_iter=10).collect()}
+           for r in dup_clusters(pairs, max_iter=10,
+                                 driver_edge_cap=0).collect()}
     assert got == {i: 0 for i in range(64)}
+
+
+def test_dup_clusters_driver_path_matches_distributed(spark):
+    """The round-8 small-graph fast path (numpy min-label propagation on
+    the driver, below driver_edge_cap) must produce exactly the labels
+    the distributed pointer-jumping loop does — chains, islands, a star
+    and a cycle in one graph."""
+    from mre.textops import dup_clusters
+
+    edges = ([(i, i + 1) for i in range(0, 20)]           # chain
+             + [(100, 100 + i) for i in range(1, 30)]     # star
+             + [(200, 201), (201, 202), (202, 200)]       # cycle
+             + [(300, 301)])                              # island
+    pairs = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+    fast = {(r["doc_id"], r["cluster_id"])
+            for r in dup_clusters(pairs).collect()}
+    slow = {(r["doc_id"], r["cluster_id"])
+            for r in dup_clusters(pairs, driver_edge_cap=0).collect()}
+    assert fast == slow
+    assert (5, 0) in fast and (129, 100) in fast and (202, 200) in fast
 
 
 def test_gopher_repetition_flags_stuffed_docs(spark):
