@@ -906,6 +906,9 @@ def _index_meta(spark: SparkSession, index_dst: str):
     written meta cannot exist)."""
     from .io import ICEBERG_PREFIX, _hadoop_fs
     meta_path = f"{index_dst}/meta"
+    cached = _META_CACHE.get(index_dst)
+    if cached is not None:
+        return cached
     if meta_path.startswith(ICEBERG_PREFIX):
         try:
             r = read_table(spark, meta_path).first()
@@ -917,9 +920,22 @@ def _index_meta(spark: SparkSession, index_dst: str):
             return None
         r = read_table(spark, meta_path).first()   # errors propagate
     f = r.__fields__
-    return {"k": r["k"], "n": r["n"],
+    meta = {"k": r["k"], "n": r["n"],
             "bands": r["bands"] if "bands" in f else None,
             "parts": r["parts"] if "parts" in f else None}
+    _META_CACHE[index_dst] = meta
+    return meta
+
+
+# Build parameters are immutable for the life of an index path (written
+# once by build_dedup_index; appends/compaction/deletion never change
+# them), so the one-row meta read — a full Spark job per ingest call,
+# and every ingest epoch pays it at least twice — is memoized per path
+# within the process. build_dedup_index drops the entry before
+# rewriting (a rebuilt index at the same path gets fresh parameters);
+# an ABSENT meta (None) is never cached so an index built later in the
+# process is picked up.
+_META_CACHE: dict[str, dict] = {}
 
 
 def _bucket_expr(table: str, parts: int):
@@ -1003,6 +1019,7 @@ def build_dedup_index(spark: SparkSession, docs: DataFrame, dst: str, *,
     would silently undercount the estimated Jaccard; bands of different
     width would hash-disagree). All writers go through the
     iceberg:-aware dispatch."""
+    _META_CACHE.pop(dst, None)   # rebuilding may change parameters
     write_overwrite(
         spark.createDataFrame([(k, n, bands, parts)],
                               "k int, n int, bands int, parts int"),
@@ -1025,7 +1042,8 @@ def build_dedup_index(spark: SparkSession, docs: DataFrame, dst: str, *,
 
 def update_dedup_index(spark: SparkSession, docs: DataFrame,
                        index_dst: str, *, k: int = 32,
-                       n: int = 3) -> None:
+                       n: int = 3, sigs: DataFrame | None = None,
+                       assume_fresh: bool = False) -> None:
     """Idempotently add ``docs`` to the index. Docs whose fingerprint is
     already present are skipped entirely; for the rest, bands and
     signatures are appended FIRST and fingerprints LAST, so a crash
@@ -1045,7 +1063,22 @@ def update_dedup_index(spark: SparkSession, docs: DataFrame,
     already-present probe is index-preserving — the (bucket-pruned)
     fingerprint index is scanned and probed against the BROADCAST batch
     digests, then the batch anti-joins the broadcast hit set — so the
-    index is never shuffled here either."""
+    index is never shuffled here either.
+
+    Round-8 fast-path knobs (both default OFF — semantics unchanged):
+
+    * ``sigs``: a precomputed (doc_id, sig) frame covering ⊇ the fresh
+      docs (e.g. the signature frame ``dedup_increment`` already
+      materialized for the same batch) — the k-hash signature scan is
+      replaced by a batch-shaped semi-join against it.
+    * ``assume_fresh=True``: skip the already-present probe entirely
+      and treat every ``docs`` row as fresh. ONLY safe when the caller
+      guarantees the index has not been touched for this batch — the
+      streaming ``ingest_epoch`` fresh path provides exactly that (its
+      marker protocol routes every retry-after-partial-append through
+      the 'written' path, which calls this WITHOUT assume_fresh, so the
+      fingerprint guard still protects the crash window). ``docs`` must
+      be materialized (checkpointed) by the caller in this mode."""
     meta = _index_meta(spark, index_dst)
     if meta is not None and (meta["k"], meta["n"]) != (k, n):
         raise ValueError(
@@ -1055,21 +1088,28 @@ def update_dedup_index(spark: SparkSession, docs: DataFrame,
     bands = meta["bands"] if meta is not None else None
     parts = meta["parts"] if meta is not None else None
     from pyspark import StorageLevel
-    # fp_docs feeds three consumers (touched-bucket collect, broadcast
-    # probe set, anti-join) — persist so the batch digest projection
-    # runs once (batch-shaped); unpersisted at the end of this call
-    fp_docs = fingerprint(docs).persist(StorageLevel.MEMORY_AND_DISK)
-    fps_idx = _read_index(spark, index_dst, "fingerprints", parts, fp_docs)
-    already = (fps_idx.select("fingerprint")
-               .join(F.broadcast(fp_docs.select("fingerprint").distinct()),
-                     "fingerprint", "left_semi"))
-    fresh_ids = (fp_docs
-                 .join(F.broadcast(already), "fingerprint", "left_anti")
-                 .select("doc_id"))
-    fresh = docs.join(fresh_ids, "doc_id", "left_semi") \
-        .localCheckpoint(eager=True)  # several appends read it; and
-    # never re-evaluate against the index mid-mutation
     from .textops import _release_local_checkpoint
+    fp_docs = None
+    if assume_fresh:
+        fresh = docs
+    else:
+        # fp_docs feeds three consumers (touched-bucket collect,
+        # broadcast probe set, anti-join) — persist so the batch digest
+        # projection runs once (batch-shaped); unpersisted at the end
+        fp_docs = fingerprint(docs).persist(StorageLevel.MEMORY_AND_DISK)
+        fps_idx = _read_index(spark, index_dst, "fingerprints", parts,
+                              fp_docs)
+        already = (fps_idx.select("fingerprint")
+                   .join(F.broadcast(fp_docs.select("fingerprint")
+                                     .distinct()),
+                         "fingerprint", "left_semi"))
+        fresh_ids = (fp_docs
+                     .join(F.broadcast(already), "fingerprint",
+                           "left_anti")
+                     .select("doc_id"))
+        fresh = docs.join(fresh_ids, "doc_id", "left_semi") \
+            .localCheckpoint(eager=True)  # several appends read it; and
+        # never re-evaluate against the index mid-mutation
 
     def _append(df: DataFrame, table: str) -> None:
         if parts is None:
@@ -1078,14 +1118,22 @@ def update_dedup_index(spark: SparkSession, docs: DataFrame,
             write_append(df.withColumn("pb", _bucket_expr(table, parts)),
                          f"{index_dst}/{table}", partition_col="pb")
 
-    sigs = minhash_signatures(fresh, k, n).localCheckpoint(eager=True)
+    if sigs is not None:
+        fresh_sigs = (sigs.join(fresh.select("doc_id"), "doc_id",
+                                "left_semi")
+                      .localCheckpoint(eager=True))
+    else:
+        fresh_sigs = minhash_signatures(fresh, k, n) \
+            .localCheckpoint(eager=True)
     if bands is not None:
-        _append(minhash_bands(sigs, bands), "bands")
-    _append(sigs, "signatures")
+        _append(minhash_bands(fresh_sigs, bands), "bands")
+    _append(fresh_sigs, "signatures")
     _append(fingerprint(fresh), "fingerprints")
-    fp_docs.unpersist()
-    _release_local_checkpoint(sigs)
-    _release_local_checkpoint(fresh)
+    if fp_docs is not None:
+        fp_docs.unpersist()
+    _release_local_checkpoint(fresh_sigs)
+    if fresh is not docs:
+        _release_local_checkpoint(fresh)
 
 
 def dedup_increment(spark: SparkSession, new_docs: DataFrame,
@@ -1261,12 +1309,23 @@ def dedup_increment(spark: SparkSession, new_docs: DataFrame,
         # materialize BEFORE mutating the index the plan reads from
         # (the survivor plan anti-joins those tables); batch-shaped
         survivors = survivors.localCheckpoint(eager=True)
-        update_dedup_index(spark, survivors, index_dst, k=k, n=n)
+        # reuse the signature frame this call already materialized —
+        # update_dedup_index semi-joins it instead of re-running the
+        # k-hash signature scan over the survivors (round 8)
+        update_dedup_index(spark, survivors, index_dst, k=k, n=n,
+                           sigs=sig_surv)
         # the checkpoint truncated the lineage — this call's persisted
         # intermediates are dead; the checkpoint itself goes to the
         # registry for the caller to release after consuming the result
         release_caches(since=mark)
         _register_cache(_CkptHandle(survivors))
+    else:
+        # expose the already-materialized survivor signatures so a
+        # caller that owns the index update (scripts/run_ingest.py, the
+        # streaming ingest_epoch) can hand them to update_dedup_index
+        # instead of recomputing; the attribute dies with this plan
+        # object — checkpoint/copy it before the caller's release point
+        survivors._mre_sig_surv = sig_surv
     return survivors
 
 

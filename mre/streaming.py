@@ -161,7 +161,44 @@ def _epoch_phases(spark: SparkSession, epochs_dst: str,
 
 def _mark_epoch(spark: SparkSession, epochs_dst: str, epoch_id: int,
                 phase: str, n_docs: int) -> None:
-    from .io import write_append
+    """Append one marker row. For plain local paths the row is written
+    directly with pyarrow into a dot-prefixed temp file and renamed
+    into place — a Spark write job for a 1-row table costs ~0.4 s of
+    pure scheduling/commit overhead, twice per epoch (round 8). The
+    rename is atomic on a local filesystem and Spark ignores
+    dot-prefixed files, so a reader can never observe a torn marker
+    file (a torn file would fail the WHOLE epochs-table read, which
+    ``_epoch_phases`` maps to 'no phases' — exactly the unsafe
+    full-recompute the marker protocol exists to prevent). Remote and
+    iceberg: destinations keep the committer-backed Spark write."""
+    from .io import ICEBERG_PREFIX, write_append
+    if "://" not in epochs_dst \
+            and not epochs_dst.startswith(ICEBERG_PREFIX):
+        try:
+            import datetime
+            import os
+            import uuid
+
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+            os.makedirs(epochs_dst, exist_ok=True)
+            tbl = pa.table({
+                "epoch": pa.array([int(epoch_id)], pa.int64()),
+                "phase": pa.array([phase], pa.string()),
+                "n_docs": pa.array([int(n_docs)], pa.int64()),
+                # tz-aware (isAdjustedToUTC) so Spark reads the same
+                # TimestampType current_timestamp() would have written
+                "committed_at": pa.array(
+                    [datetime.datetime.now(datetime.timezone.utc)],
+                    pa.timestamp("us", tz="UTC")),
+            })
+            name = f"part-marker-{uuid.uuid4().hex}.parquet"
+            tmp = os.path.join(epochs_dst, f".{name}")
+            pq.write_table(tbl, tmp)
+            os.rename(tmp, os.path.join(epochs_dst, name))
+            return
+        except ImportError:
+            pass
     write_append(
         spark.createDataFrame([(int(epoch_id), phase, int(n_docs))],
                               "epoch long, phase string, n_docs long")
@@ -222,16 +259,25 @@ def ingest_epoch(spark: SparkSession, df: DataFrame, epoch_id: int,
             _release_local_checkpoint(surv)
             release_caches(since=mark)
         return
-    surv = dedup_increment(spark, df, index_dst, threshold=threshold,
-                           max_bucket=max_bucket, update_index=False)
-    surv = surv.localCheckpoint(eager=True)
+    surv0 = dedup_increment(spark, df, index_dst, threshold=threshold,
+                            max_bucket=max_bucket, update_index=False)
+    # the signature frame dedup_increment already materialized for this
+    # batch — handed to update_dedup_index below so the index append
+    # does not re-run the k-hash signature scan (round 8)
+    sig_surv = getattr(surv0, "_mre_sig_surv", None)
+    surv = surv0.localCheckpoint(eager=True)
     try:
         n = surv.count()
         write_overwrite_partitions(
             surv.withColumn("epoch", F.lit(int(epoch_id))),
             accepted_dst, "epoch")
         _mark_epoch(spark, epochs_dst, epoch_id, "written", n)
-        update_dedup_index(spark, surv, index_dst)
+        # assume_fresh: the marker protocol guarantees the index is
+        # untouched for this epoch on THIS path (any retry after a
+        # partial append re-enters via 'written' above, which keeps the
+        # fingerprint guard), so the already-present probe is skipped
+        update_dedup_index(spark, surv, index_dst, sigs=sig_surv,
+                           assume_fresh=True)
         _mark_epoch(spark, epochs_dst, epoch_id, "indexed", n)
     finally:
         _release_local_checkpoint(surv)

@@ -874,7 +874,12 @@ def test_update_dedup_index_param_guard_and_strict_meta(spark, docs,
         "doc_id long, text string")
     with pytest.raises(ValueError, match="built with"):
         update_dedup_index(spark, batch, idx, k=64)
-    # corrupt the meta table: present but unreadable → loud, not legacy
+    # corrupt the meta table: present but unreadable → loud, not legacy.
+    # The per-path meta memo (round 8) would otherwise serve the cached
+    # parameters — clear it so this models a FRESH process hitting the
+    # corrupted table (the case the strict-read contract is about).
+    from mre.curate import _META_CACHE
+    _META_CACHE.clear()
     for f in glob.glob(f"{idx}/meta/*.parquet"):
         os.remove(f)
     with open(f"{idx}/meta/part-corrupt.parquet", "w") as fh:
