@@ -2626,8 +2626,17 @@ def dsir_weights(docs: DataFrame, target_pred,
                    for r in dsir_bucket_lr(
                        docs, target_pred, n_buckets, text_col)
                    .select("bucket", "lr_micro").collect()]
-    lut = F.create_map(*[F.lit(v) for b, lr in sorted(lr_rows)
-                         for v in (b, int(lr))])
+    # O(1) lookup: the table is densified to all n_buckets rows, so it
+    # rides as an ARRAY literal indexed by bucket — element_at on a map
+    # literal is a LINEAR key scan per feature (measured: the 256-entry
+    # map cost ~2× the whole scoring fold at sf0.1, r8). A bucket absent
+    # from a caller-supplied lr_rows yields a null element — the same
+    # null-poisoning semantics the map lookup had.
+    by_bucket = dict(lr_rows)
+    lut = F.array(*[
+        (F.lit(int(by_bucket[b])) if b in by_bucket
+         else F.lit(None).cast("long"))
+        for b in range(n_buckets)])
     return (_with_dsir_features(docs, text_col)
             .withColumn("dsir_n_feats", F.size("_ft").cast("long"))
             .withColumn(
@@ -2635,7 +2644,7 @@ def dsir_weights(docs: DataFrame, target_pred,
                 F.aggregate(
                     F.col("_ft"), F.lit(0).cast("long"),
                     lambda acc, f: acc + F.element_at(
-                        lut, _dsir_bucket_col(f, n_buckets))
+                        lut, _dsir_bucket_col(f, n_buckets) + 1)
                     .cast("long")))
             .drop("_ft"))
 
