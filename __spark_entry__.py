@@ -480,14 +480,31 @@ def q_quality(spark, sf_dir):
       incl. prior; ≤ 0 predicts class 1), stopword_ratio=nb_pred.
       The ENTIRE train (per-class counts → total-order top-V vocab →
       floored deltas) and score replay in DuckDB."""
-    from mre.textops import (gopher_ngram_battery, lm_learn, lm_score,
-                             nb_score, nb_train, quality_score)
+    from mre.textops import (_register_cache, gopher_ngram_battery,
+                             lm_learn, lm_score, nb_score, nb_train,
+                             quality_score, tokens_col)
     _prep(spark)
     docs = _t(spark, sf_dir, "documents")
     heur = quality_score(docs).select(
         F.lit("heur").alias("op"), "doc_id", "n_tokens",
         "stopword_ratio", "mean_token_len", "quality_bp")
-    vocab, total = lm_learn(docs, vocab_top=_LM_VOCAB_TOP)
+    # ONE corpus token explode+count shared by the lm and nb learners
+    # (round 8): cnt counts every token (lm semantics, label-independent)
+    # while c0/c1 are the per-class sums nb needs — previously each
+    # learner ran its own full explode+shuffle over identical tokens.
+    labeled = docs.withColumn("label",
+                              (F.col("lang") == "en").cast("int"))
+    tokc = _register_cache(
+        labeled.select(F.col("label").alias("_y"),
+                       F.explode(tokens_col()).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count("*").alias("cnt"),
+             F.sum(F.when(F.col("_y") == 0, 1).otherwise(0)).alias("c0"),
+             F.sum(F.when(F.col("_y") == 1, 1).otherwise(0)).alias("c1"))
+        .persist())
+    vocab, total = lm_learn(docs, vocab_top=_LM_VOCAB_TOP,
+                            counts=tokc.select("tok", "cnt"))
     ordered = [(r["tok"], int(r["cnt"]), int(r["nll_micro"]))
                for r in vocab.orderBy(F.col("cnt").desc(), "tok")
                .collect()]  # bounded: ≤ _LM_VOCAB_TOP rows
@@ -510,9 +527,8 @@ def q_quality(spark, sf_dir):
         F.col("pass_rule").cast("double").alias("stopword_ratio"),
         F.col("pass_ngram_battery").cast("double").alias("mean_token_len"),
         F.col("char_bp").alias("quality_bp"))
-    labeled = docs.withColumn("label",
-                              (F.col("lang") == "en").cast("int"))
-    model, meta = nb_train(labeled, "label", vocab_top=_LM_VOCAB_TOP)
+    model, meta = nb_train(labeled, "label", vocab_top=_LM_VOCAB_TOP,
+                           counts=tokc.select("tok", "c0", "c1"))
     nb = nb_score(docs, model, meta).select(
         F.lit("nb").alias("op"), "doc_id",
         F.col("nb_n_tokens").alias("n_tokens"),

@@ -163,7 +163,8 @@ def _nll_micro_expr(cnt, total):
 
 
 def lm_learn(docs: DataFrame, vocab_top: int = 256,
-             text_col: str = "text") -> tuple[DataFrame, int]:
+             text_col: str = "text",
+             counts: DataFrame | None = None) -> tuple[DataFrame, int]:
     """Learn a unigram LM over whitespace tokens: one distributed
     token-count aggregation (map-side combinable — the only shuffle),
     keep the ``vocab_top`` most frequent under the TOTAL order
@@ -174,10 +175,17 @@ def lm_learn(docs: DataFrame, vocab_top: int = 256,
 
     Scale shape: the corpus shuffles token COUNTS only (partial aggs),
     the vocab is bounded (``vocab_top`` rows) and the total is one
-    scalar — both driver-safe."""
-    toks = (docs.select(F.explode(tokens_col(text_col)).alias("tok"))
-            .filter(F.col("tok") != ""))
-    counts = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    scalar — both driver-safe.
+
+    ``counts`` (round 8): a precomputed (tok, cnt) frame with the same
+    tokenization (``tokens_col``, empty tokens dropped) — lets a caller
+    that also trains the NB gate share ONE token-count aggregation
+    (nb_train's per-class counts sum to exactly this frame) instead of
+    exploding the corpus twice."""
+    if counts is None:
+        toks = (docs.select(F.explode(tokens_col(text_col)).alias("tok"))
+                .filter(F.col("tok") != ""))
+        counts = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
     total = int(counts.agg(F.sum("cnt")).first()[0] or 0)
     vocab = (counts.orderBy(F.col("cnt").desc(), F.col("tok"))
              .limit(int(vocab_top))
@@ -236,7 +244,8 @@ def lm_vocab_rows(vocab: DataFrame) -> list:
 
 def nb_train(docs: DataFrame, label_col: str = "label",
              vocab_top: int = 256,
-             text_col: str = "text") -> tuple[list, dict]:
+             text_col: str = "text",
+             counts: DataFrame | None = None) -> tuple[list, dict]:
     """Train a binary multinomial Naive Bayes text classifier on the
     corpus itself — the SQL-replayable analogue of the fastText-style
     classifiers CCNet/RefinedWeb gate corpora with (their SGD training
@@ -257,14 +266,19 @@ def nb_train(docs: DataFrame, label_col: str = "label",
     v, total0, total1, n0, n1}. Raises if either class is empty.
 
     Scale shape: ONE (tok)-keyed count shuffle carrying two partial
-    sums; totals/priors are scalar aggregates; the vocab is bounded."""
+    sums; totals/priors are scalar aggregates; the vocab is bounded.
+
+    ``counts`` (round 8): a precomputed (tok, c0, c1) frame with the
+    same tokenization and label semantics — lets a caller that also
+    trains the unigram LM share one aggregation (see ``lm_learn``)."""
     lab = F.col(label_col).cast("int")
-    toks = (docs.select(lab.alias("_y"),
-                        F.explode(tokens_col(text_col)).alias("tok"))
-            .filter(F.col("tok") != ""))
-    counts = toks.groupBy("tok").agg(
-        F.sum(F.when(F.col("_y") == 0, 1).otherwise(0)).alias("c0"),
-        F.sum(F.when(F.col("_y") == 1, 1).otherwise(0)).alias("c1"))
+    if counts is None:
+        toks = (docs.select(lab.alias("_y"),
+                            F.explode(tokens_col(text_col)).alias("tok"))
+                .filter(F.col("tok") != ""))
+        counts = toks.groupBy("tok").agg(
+            F.sum(F.when(F.col("_y") == 0, 1).otherwise(0)).alias("c0"),
+            F.sum(F.when(F.col("_y") == 1, 1).otherwise(0)).alias("c1"))
     tot = counts.agg(F.sum("c0"), F.sum("c1")).first()
     total0, total1 = int(tot[0] or 0), int(tot[1] or 0)
     nd = docs.agg(F.sum(F.when(lab == 0, 1).otherwise(0)),
@@ -1738,7 +1752,8 @@ def _cell_assign_udf(centroids: list[list[float]]):
 
 def kmeans_cells(embeddings: DataFrame, k: int = 8, iters: int = 3,
                  id_col: str = "vec_id",
-                 emb_col: str = "embedding"
+                 emb_col: str = "embedding",
+                 driver_vec_cap: int = 65536
                  ) -> tuple[DataFrame, list[list[float]]]:
     """Deterministic Lloyd's k-means over an embedding column.
 
@@ -1763,8 +1778,54 @@ def kmeans_cells(embeddings: DataFrame, k: int = 8, iters: int = 3,
     bounded k·dim driver collect — the assignment column is a
     vectorized batch matmul against the closure-captured centroids
     (``_cell_assign_udf``), riding the scan. No corpus shuffle
-    anywhere."""
+    anywhere.
+
+    SMALL-CORPUS FAST PATH (round 8): when the table holds ≤
+    ``driver_vec_cap`` vectors (a constant bound — ≤ ~32 MB of doubles
+    at the default for dim 64; never corpus-scaled), the Lloyd loop
+    runs on the driver over one bounded collect instead of
+    ``1 + iters`` sequential driver-synchronized jobs (each ~0.4 s of
+    scheduling at bench scale). The arithmetic is the SAME: assignment
+    is the identical float64 ``m @ (c/||c||).T`` argmax the Arrow UDF
+    computes, and the per-component mean is rounded with an exact
+    replica of Spark's HALF_UP double rounding
+    (``BigDecimal.valueOf(x).setScale(6, HALF_UP)`` ==
+    ``Decimal(repr(x)).quantize(1e-6, ROUND_HALF_UP)`` — both start
+    from the shortest round-trip decimal form). Sum order may differ
+    from a distributed run by ~1e-13 ulps, nine orders below the
+    rounding grid — the same tolerance class the distributed path
+    already accepts across partitionings (and the SQL oracle across
+    engines). The returned assignment column is the unchanged lazy
+    UDF projection under the final centroids."""
     k, iters = int(k), int(iters)
+    probe = (embeddings.select(id_col, emb_col)
+             .limit(int(driver_vec_cap) + 1).collect())
+    if len(probe) <= driver_vec_cap:
+        rows = sorted(probe, key=lambda r: r[id_col])
+        m = np.array([[float(x) for x in r[emb_col]] for r in rows],
+                     dtype=np.float64)
+        cents = [list(map(float, m[i])) for i in range(min(k, len(m)))]
+        k = len(cents)
+        from decimal import ROUND_HALF_UP, Decimal
+        q = Decimal("0.000001")
+
+        def _round6(x: float) -> float:
+            # + 0.0 folds -0.0 to +0.0, like BigDecimal (sign-less zero)
+            return float(Decimal(repr(float(x)))
+                         .quantize(q, rounding=ROUND_HALF_UP)) + 0.0
+
+        for _ in range(iters):
+            cn = np.array(cents, dtype=np.float64)
+            cn = (cn / np.linalg.norm(cn, axis=1, keepdims=True)).T
+            assign = (m @ cn).argmax(axis=1)      # first max, like SQL
+            cents = [
+                [_round6(v) for v in m[assign == c].mean(axis=0)]
+                if np.any(assign == c) else cents[c]   # emptied: keep
+                for c in range(k)]
+        return (embeddings.withColumn(
+            "cell", _cell_assign_udf(cents)(F.col(emb_col))), cents)
+    # above the cap the probe rows are arbitrary — re-collect the seed
+    # (the k globally-lowest ids) the distributed way
     seed = (embeddings.select(id_col, emb_col)
             .orderBy(id_col).limit(k).collect())
     cents = [[float(x) for x in r[emb_col]] for r in seed]

@@ -1038,6 +1038,24 @@ def test_kmeans_cells_deterministic_and_separating(spark):
     assert dcents[1] == [round(x, 6) for x in a]
 
 
+def test_kmeans_driver_path_matches_distributed(spark):
+    """The round-8 driver Lloyd fast path (below driver_vec_cap) must
+    produce the same centroids and assignments as the distributed
+    per-round aggregation — checked on the real sf0.001 embeddings
+    table with the driver-row parameters (k=8, iters=3)."""
+    from mre.textops import kmeans_cells
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet")
+    cells_f, cents_f = kmeans_cells(emb, k=8, iters=3)
+    cells_d, cents_d = kmeans_cells(emb, k=8, iters=3,
+                                    driver_vec_cap=0)
+    assert cents_f == cents_d
+    fast = {(r["vec_id"], r["cell"]) for r in cells_f.collect()}
+    slow = {(r["vec_id"], r["cell"]) for r in cells_d.collect()}
+    assert fast == slow
+
+
 def test_semdedup_losers_drop_planted_dups(spark):
     """A planted copy (higher id, same vector) is dropped with its
     original as witness; distinct-direction vectors survive."""
