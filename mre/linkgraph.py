@@ -140,7 +140,8 @@ def host_edges(links: DataFrame) -> DataFrame:
 
 def pagerank_hosts(edges: DataFrame, iters: int = 4,
                    scale: int = PAGERANK_SCALE,
-                   damping_pct: int = PAGERANK_DAMPING_PCT) -> DataFrame:
+                   damping_pct: int = PAGERANK_DAMPING_PCT,
+                   driver_edge_cap: int = 500_000) -> DataFrame:
     """Damped PageRank over the weighted host graph in integer
     micro-units — exact and engine-portable:
 
@@ -158,14 +159,56 @@ def pagerank_hosts(edges: DataFrame, iters: int = 4,
     Returns (host, out_weight, in_weight, rank_micro). Driver loop of
     ``iters`` rounds; each round joins the rank frame to the host
     graph (host-keyed shuffle) — the standard distributed-PageRank
-    shape, corpus-independent after the ``host_edges`` collapse."""
+    shape, corpus-independent after the ``host_edges`` collapse.
+
+    SMALL-GRAPH FAST PATH (round 8, the ``dup_clusters`` device): when
+    the collapsed host graph holds ≤ ``driver_edge_cap`` weighted edges
+    (a constant bound, never corpus-scaled — host graphs are ≤ hosts²
+    and tiny in practice), the whole iteration runs on the driver in
+    Python integers. Every operation above is integer floor arithmetic
+    on non-negative values, so Python ``//`` replays it EXACTLY —
+    bit-identical ranks, no float anywhere — while replacing
+    1 + iters driver-synchronized jobs (count + per-round
+    localCheckpoint) with one bounded collect. Above the cap the
+    distributed loop below is unchanged."""
     from .textops import _register_cache
     iters, scale, d = int(iters), int(scale), int(damping_pct)
+    # persist BEFORE the size probe: if the graph exceeds the cap, the
+    # distributed loop below reuses the materialized cache instead of
+    # re-running the (potentially expensive) upstream edge build
+    edges = _register_cache(edges.persist())
+    probe = edges.select("src_host", "dst_host", "weight") \
+        .limit(int(driver_edge_cap) + 1).collect()
+    if len(probe) <= driver_edge_cap:
+        ew = {(r["src_host"], r["dst_host"]): int(r["weight"])
+              for r in probe}
+        hosts_l = sorted({h for e in ew for h in e})
+        n = len(hosts_l)
+        spark = edges.sparkSession
+        if n == 0:
+            return spark.createDataFrame(
+                [], "host string, out_weight long, in_weight long, "
+                    "rank_micro long")
+        od: dict = {}
+        iw: dict = {}
+        for (s, t), w in ew.items():
+            od[s] = od.get(s, 0) + w
+            iw[t] = iw.get(t, 0) + w
+        base = ((100 - d) * scale) // (100 * n)
+        r = {h: scale // n for h in hosts_l}
+        for _ in range(iters):
+            cs: dict = {}
+            for (s, t), w in ew.items():
+                cs[t] = cs.get(t, 0) + w * ((d * r[s]) // (100 * od[s]))
+            r = {h: base + cs.get(h, 0) for h in hosts_l}
+        return spark.createDataFrame(
+            [(h, od.get(h, 0), iw.get(h, 0), r[h]) for h in hosts_l],
+            "host string, out_weight long, in_weight long, "
+            "rank_micro long")
     # the edge frame feeds outdeg, every contribution round, indeg and
-    # the final join — persist it (registered: ADVICE-r4 cache
+    # the final join — persisted above (registered: ADVICE-r4 cache
     # ownership, released by the caller after materializing); at corpus
     # scale this frame is ≤ hosts², not corpus-shaped
-    edges = _register_cache(edges.persist())
     hosts = _register_cache(
         (edges.select(F.col("src_host").alias("host"))
          .unionAll(edges.select(F.col("dst_host").alias("host")))

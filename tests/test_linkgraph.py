@@ -69,6 +69,22 @@ def test_pagerank_matches_python_replay_and_orders_by_inlinks(spark):
     assert got["hub"][2] > got["p1"][2] > 0
 
 
+def test_pagerank_driver_path_matches_distributed(spark):
+    """The round-8 driver fast path (below driver_edge_cap) must emit
+    bit-identical rows to the distributed iteration — the arithmetic is
+    all integer floors, so the parity is exact, not approximate."""
+    from mre.linkgraph import pagerank_hosts
+    raw = ([(f"p{i}", "hub") for i in range(5)]
+           + [("p0", "hub"), ("hub", "p0"), ("p3", "p4")])
+    edges = (spark.createDataFrame(raw, "src_host string, dst_host string")
+             .groupBy("src_host", "dst_host")
+             .agg(F.count("*").alias("weight")))
+    fast = {tuple(r) for r in pagerank_hosts(edges, iters=4).collect()}
+    slow = {tuple(r) for r in pagerank_hosts(edges, iters=4,
+                                             driver_edge_cap=0).collect()}
+    assert fast == slow and len(fast) == 6
+
+
 def test_link_pages_parse_back_to_builder_arithmetic(spark):
     """Parsing the built link pages recovers exactly the builder's
     arithmetic: per page 1 + doc_id%3 edges, no self targets, plus the
