@@ -1352,7 +1352,13 @@ def q_sentence_dedup(spark, sf_dir):
     gtext = F.array_join(gparas, "\n\n")
     gtext = F.when(F.col("doc_id") % 6 == 0,
                    F.concat(gtext, F.lit(gpara_dup * 2))).otherwise(gtext)
-    gd = gopher_dup_sections(docs.select("doc_id", gtext.alias("text")))
+    # gd feeds TWO union branches (gdupl + gdupp) — persist so the
+    # paragraph-augmentation transform and the section scan run once
+    # (round 8; registered for the bench's release_caches)
+    from mre.textops import _register_cache
+    gd = _register_cache(
+        gopher_dup_sections(docs.select("doc_id", gtext.alias("text")))
+        .persist())
     nulls = F.lit(None).cast("string").alias("text_out")
     gl = gd.select(
         F.lit("gdupl").alias("op"), "doc_id",
