@@ -472,7 +472,7 @@ def winnow_dup_pairs(docs: DataFrame, k: int = 8, window: int = 4,
                      min_shared: int = 3,
                      max_df: int | None = None,
                      fps: DataFrame | None = None,
-                     block_rows: int = 512) -> DataFrame:
+                     block_rows: int | None = None) -> DataFrame:
     """Docs sharing ≥ min_shared winnowing fingerprints (passage-level
     near-dup). ``max_df`` is the corpus-scale guard, same contract as
     ``jaccard_pairs``: fingerprints in more than ``max_df`` docs (license
@@ -536,6 +536,16 @@ def winnow_dup_pairs(docs: DataFrame, k: int = 8, window: int = 4,
         fps.groupBy("doc_id").agg(F.collect_list("fp").alias("fps"))
         .persist(StorageLevel.MEMORY_AND_DISK))
     n_docs = arrs.count()
+    if block_rows is None:
+        # scale-adaptive (guide §2): each block's per-side prep (fp sort
+        # + group walk) repeats once per partner block, so the block
+        # count must not grow linearly with the corpus — derive
+        # block_rows from the measured doc count to hold the fan-out
+        # near 64 blocks, clamped so the per-task count grid
+        # (block_rows² longs) stays bounded: 512 → 2 MB at bench scale,
+        # 4096 → 134 MB at the cap. Output is blocking-invariant, so
+        # the derivation affects performance only.
+        block_rows = min(4096, max(512, -(-n_docs // 64)))
     n_blocks = max(1, -(-n_docs // int(block_rows)))
     blocked = (arrs
                .groupBy(F.pmod(F.hash("doc_id"), F.lit(n_blocks))
