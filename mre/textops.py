@@ -503,7 +503,6 @@ def winnow_dup_pairs(docs: DataFrame, k: int = 8, window: int = 4,
     (driver-oracled). Per-task memory is bounded by the block_rows²
     counter grid + a capped pair-index chunk, independent of corpus
     size; a block row carries ~block_rows·(fingerprints/doc) longs."""
-    import pandas as pd
     from pyspark import StorageLevel
     if fps is None:
         fps = winnow_exploded(docs, k, window)
@@ -557,32 +556,58 @@ def winnow_dup_pairs(docs: DataFrame, k: int = 8, window: int = 4,
         F.col("a.blk").alias("blk_a"), F.col("a.rows").alias("rows_a"),
         F.col("b.blk").alias("blk_b"), F.col("b.rows").alias("rows_b"))
     ms = int(min_shared)
-    chunk_cap = 16_000_000  # pair indices per bincount pass (~128 MB)
+    chunk_cap = 8_000_000  # buffered pair indices per bincount pass
 
-    def _side(rows):
-        """(ids sorted asc, fp values sorted, row idx aligned to the fp
-        sort) — row index order == doc_id order, so in-block index pairs
-        (i < j) are already (doc_a, doc_b) ordered."""
-        ids = np.fromiter((r["doc_id"] for r in rows), dtype=np.int64,
-                          count=len(rows))
+    def _side(struct_arr):
+        """(ids sorted asc, fp values sorted, doc rank aligned to the
+        fp sort) decoded ZERO-COPY from the Arrow struct list — no
+        per-row Python objects (the r8.0 pandas kernel spent ~1 s/task
+        rebuilding 536k fps through dict rows). Rank order == doc_id
+        order, so in-block rank pairs (i < j) are (doc_a, doc_b)
+        ordered."""
+        ids = struct_arr.field("doc_id").to_numpy(zero_copy_only=False)
+        lf = struct_arr.field("fps")
+        lens = np.diff(lf.offsets.to_numpy())
+        flat = lf.flatten().to_numpy(zero_copy_only=False)
         order = np.argsort(ids, kind="stable")
-        ids = ids[order]
-        lists = [np.asarray(rows[int(o)]["fps"], dtype=np.int64)
-                 for o in order]
-        lens = np.fromiter((len(x) for x in lists), dtype=np.int64,
-                           count=len(lists))
-        flat = (np.concatenate(lists) if lists
-                else np.empty(0, np.int64))
-        ridx = np.repeat(np.arange(len(lists), dtype=np.int64), lens)
+        rank = np.empty(len(ids), dtype=np.int64)
+        rank[order] = np.arange(len(ids), dtype=np.int64)
+        ridx = np.repeat(rank, lens)
         o = np.argsort(flat, kind="stable")
-        return ids, flat[o], ridx[o]
+        return ids[order], flat[o], ridx[o]
 
-    def _accumulate(gen, n_cells):
-        """Sum bincounts of generated pair-index arrays in bounded
-        chunks; returns the dense count grid."""
+    def _accumulate(ga, ra, gb, rb, n_b, same, n_cells):
+        """Dense pair-count grid for one block pair: per matched fp
+        group, broadcast the (a-rank × b-rank) cross product (numpy
+        outer ops — a modular-tiling variant was measured SLOWER, the
+        integer division dominating), buffer the pair-index arrays to
+        ``chunk_cap`` elements and np.bincount them in bounded passes.
+        ``same`` runs the block against itself and keeps only
+        rank_a < rank_b so each unordered in-block pair counts once."""
+        ua, sa = np.unique(ga, return_index=True)
+        ea = np.r_[sa[1:], len(ga)]
+        if same:
+            keep = np.flatnonzero((ea - sa) >= 2)
+            ia = ib = keep
+            sb, eb = sa, ea
+            rb = ra
+        else:
+            ub, sb = np.unique(gb, return_index=True)
+            eb = np.r_[sb[1:], len(gb)]
+            _, ia, ib = np.intersect1d(ua, ub, assume_unique=True,
+                                       return_indices=True)
         grid = np.zeros(n_cells, dtype=np.int64)
         buf, bufn = [], 0
-        for pi in gen:
+        for cai, cbi in zip(ia, ib):
+            rag = ra[sa[cai]:ea[cai]]
+            if same:
+                grp = np.sort(rag)
+                d = len(grp)
+                ii, jj = np.triu_indices(d, k=1)
+                pi = grp[ii] * n_b + grp[jj]
+            else:
+                rbg = rb[sb[cbi]:eb[cbi]]
+                pi = (rag[:, None] * n_b + rbg[None, :]).ravel()
             if not len(pi):
                 continue
             buf.append(pi)
@@ -596,66 +621,43 @@ def winnow_dup_pairs(docs: DataFrame, k: int = 8, window: int = 4,
         return grid
 
     def _pairs(batches):
-        for pdf in batches:
-            for blk_a, rows_a, blk_b, rows_b in zip(
-                    pdf["blk_a"], pdf["rows_a"], pdf["blk_b"],
-                    pdf["rows_b"]):
-                if blk_a == blk_b:
-                    ids, g, r = _side(rows_a)
-                    n = len(ids)
-                    if n < 2:
-                        continue
-                    starts = np.flatnonzero(
-                        np.r_[True, g[1:] != g[:-1]])
-                    ends = np.r_[starts[1:], len(g)]
-
-                    def gen():
-                        for s, e in zip(starts, ends):
-                            d = int(e - s)
-                            if d < 2:
-                                continue
-                            grp = np.sort(r[s:e])
-                            ii, jj = np.triu_indices(d, k=1)
-                            yield grp[ii] * n + grp[jj]
-
-                    grid = _accumulate(gen(), n * n)
-                    idx = np.flatnonzero(grid >= ms)
-                    da = ids[idx // n]
-                    db = ids[idx % n]
+        import pyarrow as pa
+        out_schema = pa.schema([
+            pa.field("doc_a", pa.int64()),
+            pa.field("doc_b", pa.int64()),
+            pa.field("n_shared", pa.int64())])
+        for batch in batches:
+            blks_a = batch.column("blk_a")
+            blks_b = batch.column("blk_b")
+            col_a = batch.column("rows_a")
+            col_b = batch.column("rows_b")
+            for i in range(batch.num_rows):
+                same = blks_a[i].as_py() == blks_b[i].as_py()
+                ids_a, ga, ra = _side(col_a[i].values)
+                if same:
+                    ids_b, gb, rb = ids_a, ga, ra
                 else:
-                    ids_a, ga, ra = _side(rows_a)
-                    ids_b, gb, rb = _side(rows_b)
-                    na, nb = len(ids_a), len(ids_b)
-                    if na == 0 or nb == 0:
-                        continue
-                    ua, sa = np.unique(ga, return_index=True)
-                    ub, sb = np.unique(gb, return_index=True)
-                    ea = np.r_[sa[1:], len(ga)]
-                    eb = np.r_[sb[1:], len(gb)]
-                    _, ia, ib = np.intersect1d(
-                        ua, ub, assume_unique=True,
-                        return_indices=True)
-
-                    def gen():
-                        for cai, cbi in zip(ia, ib):
-                            rag = ra[sa[cai]:ea[cai]]
-                            rbg = rb[sb[cbi]:eb[cbi]]
-                            yield (rag[:, None] * nb
-                                   + rbg[None, :]).ravel()
-
-                    grid = _accumulate(gen(), na * nb)
-                    idx = np.flatnonzero(grid >= ms)
-                    xa = ids_a[idx // nb]
-                    xb = ids_b[idx % nb]
-                    da = np.minimum(xa, xb)
-                    db = np.maximum(xa, xb)
+                    ids_b, gb, rb = _side(col_b[i].values)
+                na, n_b = len(ids_a), len(ids_b)
+                if na == 0 or n_b == 0 or (same and na < 2):
+                    continue
+                grid = _accumulate(ga, ra, gb, rb, n_b, same, na * n_b)
+                idx = np.flatnonzero(grid >= ms)
                 if not len(idx):
                     continue
-                yield pd.DataFrame({"doc_a": da, "doc_b": db,
-                                    "n_shared": grid[idx]})
+                xa = ids_a[idx // n_b]
+                xb = ids_b[idx % n_b]
+                if same:
+                    d_a, d_b = xa, xb       # rank mask ⇒ already a < b
+                else:
+                    d_a = np.minimum(xa, xb)
+                    d_b = np.maximum(xa, xb)
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(d_a), pa.array(d_b),
+                     pa.array(grid[idx])], schema=out_schema)
 
-    return bp.mapInPandas(_pairs,
-                          "doc_a long, doc_b long, n_shared long")
+    return bp.mapInArrow(_pairs,
+                         "doc_a long, doc_b long, n_shared long")
 
 
 def exact_dedup(docs: DataFrame) -> DataFrame:
