@@ -2651,8 +2651,13 @@ def dsir_bucket_lr(docs: DataFrame, target_pred,
     lr_micro = floor(-ln((cnt_raw+1)/(tot_raw+B))*1e6)
              - floor(-ln((cnt_tgt+1)/(tot_tgt+B))*1e6)
     (add-1 smoothing; positive when the feature is relatively more
-    likely under the target). The totals are two scalars collected
-    from the <=B-row count frame — driver-safe by construction."""
+    likely under the target). The ≤B-row count frame is collected ONCE
+    and the totals + log-ratios are computed on the driver (round 8 —
+    the ``nb_train`` device: same double divide → ln → scale → floor op
+    sequence via Python libm, ≤1 ulp from any engine's ln, the accepted
+    micro-nat equivalence class); the round-7 form ran a scalar-agg
+    job, a densify join and a localCheckpoint for the same ≤B rows."""
+    import math
     fx = (_with_dsir_features(docs, text_col)
           .select(target_pred.alias("_is_t"),
                   F.explode("_ft").alias("f")))
@@ -2661,24 +2666,22 @@ def dsir_bucket_lr(docs: DataFrame, target_pred,
             .agg(F.count("*").alias("cnt_raw"),
                  F.sum(F.when(F.col("_is_t"), 1).otherwise(0))
                  .alias("cnt_tgt")))
-    cnts = cnts.persist()
-    row = cnts.agg(F.sum("cnt_raw"), F.sum("cnt_tgt")).first()
-    tot_raw, tot_tgt = int(row[0] or 0), int(row[1] or 0)
-    allb = (docs.sparkSession.range(n_buckets)
-            .select(F.col("id").cast("int").alias("bucket"))
-            .join(cnts, "bucket", "left")
-            .select("bucket",
-                    F.coalesce("cnt_raw", F.lit(0)).alias("cnt_raw"),
-                    F.coalesce("cnt_tgt", F.lit(0)).alias("cnt_tgt")))
-    out = allb.select(
-        "bucket", "cnt_raw", "cnt_tgt",
-        (_nll_micro_expr(F.col("cnt_raw") + 1,
-                         F.lit(tot_raw + n_buckets))
-         - _nll_micro_expr(F.col("cnt_tgt") + 1,
-                           F.lit(tot_tgt + n_buckets))).alias("lr_micro"))
-    out = out.localCheckpoint()  # bounded (B rows); frees the persist
-    cnts.unpersist()
-    return out
+    by = {int(r["bucket"]): (int(r["cnt_raw"]), int(r["cnt_tgt"]))
+          for r in cnts.collect()}   # bounded: ≤ n_buckets rows
+    tot_raw = sum(c for c, _ in by.values())
+    tot_tgt = sum(t for _, t in by.values())
+
+    def _nll(c, t):
+        return math.floor(-math.log(c / t) * 1e6)
+
+    rows = []
+    for b in range(int(n_buckets)):
+        craw, ctgt = by.get(b, (0, 0))
+        rows.append((b, craw, ctgt,
+                     _nll(craw + 1, tot_raw + n_buckets)
+                     - _nll(ctgt + 1, tot_tgt + n_buckets)))
+    return docs.sparkSession.createDataFrame(
+        rows, "bucket int, cnt_raw long, cnt_tgt long, lr_micro long")
 
 
 def dsir_weights(docs: DataFrame, target_pred,
